@@ -1,0 +1,482 @@
+"""HBM-resident vector store — capability parity with the reference's store engine.
+
+The reference keeps each store as a gen_server process holding an Erlang map
+``id -> {id, vector, metadata}`` and scans it per query
+(reference: src/vector_store.erl:31-35, :227-236).  The TPU-native design is a
+struct-of-arrays resident in device HBM:
+
+  * ``vectors [N_cap, D]`` float32 (or int8 codes + per-row scales for a
+    quantized store), capacity grown by doubling so JIT programs are reused;
+  * ``norms [N_cap]`` float32 — row L2 norms precomputed at insert so cosine
+    search never recomputes them (the reference recomputes the query norm N
+    times per search, src/vector_store.erl:241);
+  * ``valid [N_cap]`` bool — delete is a mask clear, insert reuses free rows;
+
+plus host-side id<->row and metadata tables.  Inserts are *batched scatters*
+(one compiled program per power-of-two batch size); searches are batched
+matmul+top-k (see core/search.py).  All mutation goes through a lock — but
+unlike the reference, searches never serialize behind each other.
+
+Insert semantics preserved: dimension is fixed by the first insert (or at
+creation), every element must be a finite real number, inserting an existing
+id overwrites it (maps:put semantics, src/vector_store.erl:113-141, :213-225).
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from erlvectordb_tpu.core import search as search_mod
+from erlvectordb_tpu.core.search import VALID_METRICS
+
+MIN_CAPACITY = 1024
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+# --------------------------------------------------------------------------
+# Jitted mutation kernels.  `rows` may contain out-of-range sentinels
+# (= capacity) for padding lanes; mode="drop" makes those writes no-ops,
+# so one compiled program serves any batch size <= its bucket.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_insert_f32(vectors, norms, valid, rows, new_vecs):
+    vectors = vectors.at[rows].set(new_vecs, mode="drop")
+    new_norms = jnp.sqrt(jnp.sum(new_vecs * new_vecs, axis=-1))
+    norms = norms.at[rows].set(new_norms, mode="drop")
+    valid = valid.at[rows].set(True, mode="drop")
+    return vectors, norms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_insert_int8(codes, scales, norms, valid, rows, new_vecs):
+    absmax = jnp.max(jnp.abs(new_vecs), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(new_vecs / scale[:, None]), -127, 127).astype(jnp.int8)
+    codes = codes.at[rows].set(q, mode="drop")
+    scales = scales.at[rows].set(scale, mode="drop")
+    new_norms = jnp.sqrt(jnp.sum(new_vecs * new_vecs, axis=-1))
+    norms = norms.at[rows].set(new_norms, mode="drop")
+    valid = valid.at[rows].set(True, mode="drop")
+    return codes, scales, norms, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_delete(valid, rows):
+    return valid.at[rows].set(False, mode="drop")
+
+
+class DimensionMismatch(ValueError):
+    """Vector dimension does not match the store's dimension."""
+
+
+class InvalidVector(ValueError):
+    """Vector contains non-finite or non-numeric elements."""
+
+
+class VectorStore:
+    """One named vector store: device arrays + host id/metadata tables.
+
+    Parameters
+    ----------
+    name:       store name (unique within a registry).
+    dim:        optional fixed dimension; otherwise set by the first insert.
+    metric:     default distance metric ("cosine", like the reference).
+    dtype:      "float32" (exact) or "int8" (symmetric per-row quantized —
+                search runs in the quantized domain on the int8 MXU path).
+    device:     optional jax.Device to pin arrays to.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        dim: Optional[int] = None,
+        metric: str = "cosine",
+        dtype: str = "float32",
+        device: Optional[jax.Device] = None,
+    ):
+        if metric not in VALID_METRICS:
+            raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+        if dtype not in ("float32", "int8"):
+            raise ValueError(f"dtype must be 'float32' or 'int8', got {dtype!r}")
+        self.name = name
+        self.metric = metric
+        self.dtype = dtype
+        self._device = device
+        self._dim: Optional[int] = dim
+        self._capacity = 0
+        self._lock = threading.RLock()
+
+        # Device state (allocated lazily once dim is known).
+        self._vectors: Optional[jax.Array] = None   # f32 rows or int8 codes
+        self._scales: Optional[jax.Array] = None    # int8 stores only
+        self._norms: Optional[jax.Array] = None
+        self._valid: Optional[jax.Array] = None
+
+        # Host state.
+        self._id_to_row: Dict[str, int] = {}
+        self._row_to_id: Dict[int, str] = {}
+        self._metadata: Dict[str, Any] = {}
+        self._free_rows: List[int] = []
+        self._next_row = 0
+
+        # Change tracking for persistence (dirty-flag, like the reference's
+        # ETS dirty bit, src/vector_persistence.erl:131-135).
+        self.version = 0
+        self.dirty = False
+        self.created_at = time.time()
+
+    # ---------------------------------------------------------------- props
+
+    @property
+    def dim(self) -> Optional[int]:
+        return self._dim
+
+    @property
+    def count(self) -> int:
+        return len(self._id_to_row)
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __contains__(self, vector_id: str) -> bool:
+        return vector_id in self._id_to_row
+
+    # ------------------------------------------------------------ alloc/grow
+
+    def _put(self, x: np.ndarray | jax.Array) -> jax.Array:
+        if self._device is not None:
+            return jax.device_put(x, self._device)
+        return jnp.asarray(x)
+
+    def _ensure_allocated(self, dim: int) -> None:
+        if self._dim is None:
+            self._dim = dim
+        if self._vectors is not None:
+            return
+        cap = MIN_CAPACITY
+        self._capacity = cap
+        if self.dtype == "int8":
+            self._vectors = self._put(np.zeros((cap, self._dim), np.int8))
+            self._scales = self._put(np.ones((cap,), np.float32))
+        else:
+            self._vectors = self._put(np.zeros((cap, self._dim), np.float32))
+        self._norms = self._put(np.zeros((cap,), np.float32))
+        self._valid = self._put(np.zeros((cap,), bool))
+
+    def _grow_to(self, new_cap: int) -> None:
+        new_cap = max(_next_pow2(new_cap), MIN_CAPACITY)
+        if new_cap <= self._capacity:
+            return
+        pad = new_cap - self._capacity
+        self._vectors = jnp.pad(self._vectors, ((0, pad), (0, 0)))
+        if self._scales is not None:
+            self._scales = jnp.pad(self._scales, ((0, pad),), constant_values=1.0)
+        self._norms = jnp.pad(self._norms, ((0, pad),))
+        self._valid = jnp.pad(self._valid, ((0, pad),))
+        self._capacity = new_cap
+
+    def _alloc_rows(self, n: int) -> List[int]:
+        rows: List[int] = []
+        while self._free_rows and len(rows) < n:
+            rows.append(self._free_rows.pop())
+        remaining = n - len(rows)
+        if remaining:
+            if self._next_row + remaining > self._capacity:
+                self._grow_to(self._next_row + remaining)
+            rows.extend(range(self._next_row, self._next_row + remaining))
+            self._next_row += remaining
+        return rows
+
+    # ------------------------------------------------------------ validation
+
+    def _validate_batch(self, vectors: np.ndarray) -> np.ndarray:
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if arr.ndim != 2:
+            raise InvalidVector("vectors must be 1-D or 2-D numeric arrays")
+        if self._dim is not None and arr.shape[1] != self._dim:
+            raise DimensionMismatch(
+                f"store {self.name!r} has dimension {self._dim}, got {arr.shape[1]}"
+            )
+        if arr.shape[1] == 0:
+            raise InvalidVector("vectors must be non-empty")
+        if not np.all(np.isfinite(arr)):
+            raise InvalidVector("vector elements must be finite numbers")
+        return arr
+
+    # ---------------------------------------------------------------- insert
+
+    def insert(self, vector_id: str, vector, metadata: Optional[dict] = None) -> None:
+        """Insert or overwrite one vector (reference insert/3 semantics)."""
+        self.insert_batch([vector_id], [vector], [metadata or {}])
+
+    def insert_batch(
+        self,
+        ids: Sequence[str],
+        vectors,
+        metadatas: Optional[Sequence[Optional[dict]]] = None,
+    ) -> None:
+        """Batched insert: one device scatter for the whole batch."""
+        if len(ids) == 0:
+            return
+        arr = self._validate_batch(vectors)
+        if arr.shape[0] != len(ids):
+            raise ValueError("ids and vectors length mismatch")
+        if metadatas is None:
+            metadatas = [{}] * len(ids)
+        # Last write wins for duplicate ids within one batch.
+        with self._lock:
+            self._ensure_allocated(arr.shape[1])
+            rows = np.empty(len(ids), np.int64)
+            fresh_needed = []
+            for i, vid in enumerate(ids):
+                vid = str(vid)
+                existing = self._id_to_row.get(vid)
+                if existing is not None:
+                    rows[i] = existing
+                else:
+                    fresh_needed.append(i)
+            fresh_rows = self._alloc_rows(len(fresh_needed))
+            for i, row in zip(fresh_needed, fresh_rows):
+                rows[i] = row
+            # Bucket the batch to a power of two; padding lanes scatter to an
+            # out-of-range row and are dropped on device.
+            bucket = _next_pow2(len(ids))
+            pad = bucket - len(ids)
+            if pad:
+                rows_dev = np.concatenate([rows, np.full(pad, self._capacity, np.int64)])
+                arr_dev = np.concatenate([arr, np.zeros((pad, arr.shape[1]), np.float32)])
+            else:
+                rows_dev, arr_dev = rows, arr
+            rows_j = self._put(rows_dev.astype(np.int32))
+            vecs_j = self._put(arr_dev)
+            if self.dtype == "int8":
+                (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int8(
+                    self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
+                )
+            else:
+                (self._vectors, self._norms, self._valid) = _scatter_insert_f32(
+                    self._vectors, self._norms, self._valid, rows_j, vecs_j
+                )
+            for i, vid in enumerate(ids):
+                vid = str(vid)
+                row = int(rows[i])
+                self._id_to_row[vid] = row
+                self._row_to_id[row] = vid
+                self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
+            self.version += 1
+            self.dirty = True
+
+    # ---------------------------------------------------------------- delete
+
+    def delete(self, vector_id: str) -> bool:
+        """Delete by id; returns False if absent (reference {error, not_found})."""
+        return self.delete_batch([vector_id]) == 1
+
+    def delete_batch(self, ids: Iterable[str]) -> int:
+        with self._lock:
+            rows = []
+            hit_ids = []
+            for vid in ids:
+                vid = str(vid)
+                row = self._id_to_row.get(vid)
+                if row is not None:
+                    rows.append(row)
+                    hit_ids.append(vid)
+            if not rows:
+                return 0
+            bucket = _next_pow2(len(rows))
+            padded = rows + [self._capacity] * (bucket - len(rows))
+            self._valid = _scatter_delete(self._valid, self._put(np.asarray(padded, np.int32)))
+            for vid, row in zip(hit_ids, rows):
+                del self._id_to_row[vid]
+                del self._row_to_id[row]
+                self._metadata.pop(vid, None)
+                self._free_rows.append(row)
+            self.version += 1
+            self.dirty = True
+            return len(rows)
+
+    # ---------------------------------------------------------------- search
+
+    def search(
+        self,
+        query,
+        k: int = 10,
+        metric: Optional[str] = None,
+    ) -> List[Tuple[str, Any, float]]:
+        """Exact top-k search for one query.
+
+        Returns ``[(id, metadata, distance)]`` ascending by distance —
+        the reference's result shape (src/vector_store.erl:234-236).
+        """
+        results = self.search_batch(np.asarray(query, np.float32)[None, :], k, metric)
+        return results[0]
+
+    def search_batch(
+        self,
+        queries,
+        k: int = 10,
+        metric: Optional[str] = None,
+    ) -> List[List[Tuple[str, Any, float]]]:
+        """Batched exact top-k: one compiled program for B queries."""
+        metric = metric or self.metric
+        if metric not in VALID_METRICS:
+            raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+        q = self._validate_batch(queries)
+        if self._vectors is None or self.count == 0:
+            return [[] for _ in range(q.shape[0])]
+        if k <= 0:
+            return [[] for _ in range(q.shape[0])]
+        kb = search_mod.k_bucket(min(k, self.count), self._capacity)
+        q_j = self._put(q)
+        if self.dtype == "int8":
+            dists, rows = search_mod.exact_topk_int8(
+                self._vectors, self._scales, self._norms, self._valid, q_j,
+                metric=metric, k=kb,
+            )
+        else:
+            dists, rows = search_mod.exact_topk(
+                self._vectors, self._norms, self._valid, q_j, metric=metric, k=kb,
+            )
+        dists_np = np.asarray(dists)
+        rows_np = np.asarray(rows)
+        out: List[List[Tuple[str, Any, float]]] = []
+        kk = min(k, self.count)
+        for b in range(q.shape[0]):
+            hits = []
+            for j in range(min(kk, kb)):
+                d = float(dists_np[b, j])
+                if not np.isfinite(d):
+                    break  # ran past the valid rows
+                vid = self._row_to_id.get(int(rows_np[b, j]))
+                if vid is None:
+                    continue  # row deleted between device scan and host map
+                hits.append((vid, self._metadata.get(vid, {}), d))
+            out.append(hits)
+        return out
+
+    # ------------------------------------------------------------- accessors
+
+    def get(self, vector_id: str) -> Optional[Tuple[np.ndarray, Any]]:
+        """Fetch one vector and its metadata (dequantized for int8 stores)."""
+        with self._lock:
+            row = self._id_to_row.get(str(vector_id))
+            if row is None:
+                return None
+            vec = np.asarray(self._vectors[row])
+            if self.dtype == "int8":
+                vec = vec.astype(np.float32) * float(self._scales[row])
+            return vec, self._metadata.get(str(vector_id), {})
+
+    def get_all_vectors(self) -> List[Tuple[str, np.ndarray, Any]]:
+        """All live (id, vector, metadata) — migration/backup path
+        (reference get_all_vectors, src/vector_store.erl:184-190)."""
+        with self._lock:
+            if self.count == 0:
+                return []
+            rows = sorted(self._row_to_id)
+            mat = np.asarray(self._vectors)  # one transfer
+            if self.dtype == "int8":
+                scales = np.asarray(self._scales)
+            out = []
+            for row in rows:
+                vid = self._row_to_id[row]
+                vec = mat[row]
+                if self.dtype == "int8":
+                    vec = vec.astype(np.float32) * scales[row]
+                out.append((vid, vec, self._metadata.get(vid, {})))
+            return out
+
+    def get_stats(self) -> dict:
+        """Stats shape parity with reference get_stats (src/vector_store.erl:166-173)."""
+        return {
+            "name": self.name,
+            "count": self.count,
+            "dimension": self._dim,
+            "metric": self.metric,
+            "dtype": self.dtype,
+            "capacity": self._capacity,
+            "version": self.version,
+            "memory_bytes": self.device_memory_bytes(),
+        }
+
+    def device_memory_bytes(self) -> int:
+        if self._vectors is None:
+            return 0
+        total = self._vectors.size * self._vectors.dtype.itemsize
+        total += self._norms.size * 4 + self._valid.size
+        if self._scales is not None:
+            total += self._scales.size * 4
+        return int(total)
+
+    # ----------------------------------------------------- state export/import
+    # Used by persist/ for snapshots; arrays come back as host numpy.
+
+    def export_state(self) -> dict:
+        with self._lock:
+            state = {
+                "format": 1,
+                "name": self.name,
+                "dim": self._dim,
+                "metric": self.metric,
+                "dtype": self.dtype,
+                "created_at": self.created_at,
+                "version": self.version,
+                "id_to_row": dict(self._id_to_row),
+                "metadata": dict(self._metadata),
+                "next_row": self._next_row,
+                "free_rows": list(self._free_rows),
+            }
+            if self._vectors is not None:
+                state["vectors"] = np.asarray(self._vectors)
+                state["norms"] = np.asarray(self._norms)
+                state["valid"] = np.asarray(self._valid)
+                if self._scales is not None:
+                    state["scales"] = np.asarray(self._scales)
+            return state
+
+    @classmethod
+    def from_state(cls, state: dict, device: Optional[jax.Device] = None) -> "VectorStore":
+        store = cls(
+            state["name"],
+            dim=state.get("dim"),
+            metric=state.get("metric", "cosine"),
+            dtype=state.get("dtype", "float32"),
+            device=device,
+        )
+        store.created_at = state.get("created_at", time.time())
+        store.version = state.get("version", 0)
+        if "vectors" in state and state["vectors"] is not None:
+            vecs = np.asarray(state["vectors"])
+            store._capacity = vecs.shape[0]
+            store._vectors = store._put(vecs)
+            store._norms = store._put(np.asarray(state["norms"], np.float32))
+            store._valid = store._put(np.asarray(state["valid"], bool))
+            if "scales" in state and state["scales"] is not None:
+                store._scales = store._put(np.asarray(state["scales"], np.float32))
+        store._id_to_row = {str(k): int(v) for k, v in state.get("id_to_row", {}).items()}
+        store._row_to_id = {v: k for k, v in store._id_to_row.items()}
+        store._metadata = dict(state.get("metadata", {}))
+        store._next_row = int(state.get("next_row", len(store._id_to_row)))
+        store._free_rows = [int(r) for r in state.get("free_rows", [])]
+        return store

@@ -1,0 +1,238 @@
+"""Store engine tests — transliteration of the reference's vector_store_SUITE
+(test/vector_store_SUITE.erl: create/insert/search/delete/dimension-validation)
+plus TPU-specific coverage: batching, capacity growth, int8 stores, metrics.
+"""
+
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.core import (
+    DimensionMismatch,
+    InvalidVector,
+    StoreExists,
+    StoreNotFound,
+    VectorStore,
+)
+
+
+class TestBasicCrud:
+    def test_create_and_stats(self, registry):
+        registry.create("s1", dim=4)
+        stats = registry.get("s1").get_stats()
+        assert stats["name"] == "s1"
+        assert stats["count"] == 0
+        assert stats["dimension"] == 4
+
+    def test_duplicate_create_rejected(self, registry):
+        registry.create("s1")
+        with pytest.raises(StoreExists):
+            registry.create("s1")
+
+    def test_missing_store(self, registry):
+        with pytest.raises(StoreNotFound):
+            registry.get("nope")
+
+    def test_insert_and_search_top1_identity(self):
+        # Parity with vector_store_SUITE: the queried vector ranks first.
+        store = VectorStore("t")
+        store.insert("a", [1.0, 0.0, 0.0], {"tag": "a"})
+        store.insert("b", [0.0, 1.0, 0.0], {"tag": "b"})
+        store.insert("c", [0.7, 0.7, 0.0], {"tag": "c"})
+        res = store.search([1.0, 0.0, 0.0], k=2)
+        assert len(res) == 2
+        vid, meta, dist = res[0]
+        assert vid == "a"
+        assert meta == {"tag": "a"}
+        assert dist == pytest.approx(0.0, abs=1e-5)
+        assert res[0][2] <= res[1][2]
+
+    def test_insert_overwrites_same_id(self):
+        store = VectorStore("t")
+        store.insert("x", [1.0, 0.0], {"v": 1})
+        store.insert("x", [0.0, 1.0], {"v": 2})
+        assert store.count == 1
+        vec, meta = store.get("x")
+        assert meta == {"v": 2}
+        np.testing.assert_allclose(vec, [0.0, 1.0])
+
+    def test_delete(self):
+        store = VectorStore("t")
+        store.insert("a", [1.0, 0.0])
+        store.insert("b", [0.0, 1.0])
+        assert store.delete("a")
+        assert not store.delete("a")
+        assert store.count == 1
+        res = store.search([1.0, 0.0], k=5)
+        assert [r[0] for r in res] == ["b"]
+
+    def test_deleted_row_reused(self):
+        store = VectorStore("t")
+        store.insert("a", [1.0, 0.0])
+        store.delete("a")
+        store.insert("b", [0.5, 0.5])
+        assert store.count == 1
+        assert store.search([0.5, 0.5], k=1)[0][0] == "b"
+
+
+class TestValidation:
+    def test_dimension_mismatch(self):
+        store = VectorStore("t", dim=3)
+        with pytest.raises(DimensionMismatch):
+            store.insert("a", [1.0, 2.0])
+
+    def test_dimension_fixed_by_first_insert(self):
+        store = VectorStore("t")
+        store.insert("a", [1.0, 2.0])
+        with pytest.raises(DimensionMismatch):
+            store.insert("b", [1.0, 2.0, 3.0])
+
+    def test_non_finite_rejected(self):
+        store = VectorStore("t")
+        with pytest.raises(InvalidVector):
+            store.insert("a", [1.0, float("nan")])
+        with pytest.raises(InvalidVector):
+            store.insert("a", [1.0, float("inf")])
+
+    def test_non_numeric_rejected(self):
+        store = VectorStore("t")
+        with pytest.raises((InvalidVector, ValueError)):
+            store.insert("a", [1.0, "zap"])
+
+    def test_search_dimension_mismatch(self):
+        store = VectorStore("t", dim=3)
+        store.insert("a", [1.0, 0.0, 0.0])
+        with pytest.raises(DimensionMismatch):
+            store.search([1.0, 0.0], k=1)
+
+
+class TestSearchSemantics:
+    def test_k_larger_than_count(self):
+        store = VectorStore("t")
+        store.insert("a", [1.0, 0.0])
+        res = store.search([1.0, 0.0], k=100)
+        assert len(res) == 1
+
+    def test_empty_store_search(self):
+        store = VectorStore("t", dim=2)
+        assert store.search([1.0, 0.0], k=3) == []
+
+    def test_zero_norm_cosine_distance_is_one(self):
+        # Reference semantics: zero-norm -> distance 1.0
+        # (src/vector_store.erl:238-246).
+        store = VectorStore("t")
+        store.insert("zero", [0.0, 0.0])
+        res = store.search([1.0, 0.0], k=1)
+        assert res[0][2] == pytest.approx(1.0, abs=1e-6)
+
+    def test_matches_numpy_exact(self, rng):
+        n, d, k = 500, 32, 10
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal(d).astype(np.float32)
+        store = VectorStore("t")
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        res = store.search(q, k=k)
+        # numpy ground truth (cosine distance)
+        sims = data @ q / (np.linalg.norm(data, axis=1) * np.linalg.norm(q))
+        order = np.argsort(1.0 - sims, kind="stable")[:k]
+        expected = {f"v{i}" for i in order}
+        got = {r[0] for r in res}
+        # Allow ties at the boundary: compare distances instead of exact sets.
+        exp_d = np.sort(1.0 - sims)[:k]
+        got_d = np.array([r[2] for r in res])
+        np.testing.assert_allclose(got_d, exp_d, atol=1e-4)
+        assert len(got & expected) >= k - 1
+
+    @pytest.mark.parametrize("metric", ["euclidean", "manhattan", "dot"])
+    def test_other_metrics_match_numpy(self, rng, metric):
+        n, d, k = 300, 16, 5
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal(d).astype(np.float32)
+        store = VectorStore("t", metric=metric)
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        res = store.search(q, k=k)
+        if metric == "euclidean":
+            ref = np.linalg.norm(data - q, axis=1)
+        elif metric == "manhattan":
+            ref = np.abs(data - q).sum(axis=1)
+        else:
+            ref = -(data @ q)
+        exp = np.sort(ref)[:k]
+        got = np.array([r[2] for r in res])
+        np.testing.assert_allclose(got, exp, atol=1e-3)
+
+    def test_batched_search(self, rng):
+        n, d = 200, 8
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore("t", metric="euclidean")
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        qs = data[:7]  # the vectors themselves
+        results = store.search_batch(qs, k=1)
+        assert [r[0][0] for r in results] == [f"v{i}" for i in range(7)]
+
+
+class TestCapacityGrowth:
+    def test_grow_past_initial_capacity(self, rng):
+        store = VectorStore("t")
+        n = 2500  # > MIN_CAPACITY=1024, forces two growths
+        data = rng.standard_normal((n, 4)).astype(np.float32)
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        assert store.count == n
+        assert store.capacity >= n
+        res = store.search(data[1234], k=1)
+        assert res[0][0] == "v1234"
+
+
+class TestInt8Store:
+    def test_int8_roundtrip_and_search(self, rng):
+        n, d = 400, 64
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore("t", dtype="int8")
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        vec, _ = store.get("v7")
+        # int8 symmetric quantization error bound: absmax/127 per element
+        assert np.max(np.abs(vec - data[7])) <= np.abs(data[7]).max() / 127 + 1e-6
+        res = store.search(data[42], k=1)
+        assert res[0][0] == "v42"
+
+    def test_int8_recall_vs_exact(self, rng):
+        n, d, k, nq = 1000, 32, 10, 20
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        ids = [f"v{i}" for i in range(n)]
+        exact = VectorStore("f32")
+        exact.insert_batch(ids, data)
+        quant = VectorStore("q", dtype="int8")
+        quant.insert_batch(ids, data)
+        qs = rng.standard_normal((nq, d)).astype(np.float32)
+        r_exact = exact.search_batch(qs, k=k)
+        r_quant = quant.search_batch(qs, k=k)
+        recalls = []
+        for a, b in zip(r_exact, r_quant):
+            sa = {x[0] for x in a}
+            sb = {x[0] for x in b}
+            recalls.append(len(sa & sb) / k)
+        assert np.mean(recalls) >= 0.9
+
+
+class TestAccessors:
+    def test_get_all_vectors(self, rng):
+        store = VectorStore("t")
+        data = rng.standard_normal((10, 4)).astype(np.float32)
+        store.insert_batch([f"v{i}" for i in range(10)], data, [{"i": i} for i in range(10)])
+        allv = store.get_all_vectors()
+        assert len(allv) == 10
+        by_id = {vid: (vec, meta) for vid, vec, meta in allv}
+        np.testing.assert_allclose(by_id["v3"][0], data[3], atol=1e-6)
+        assert by_id["v3"][1] == {"i": 3}
+
+    def test_export_import_state(self, rng):
+        store = VectorStore("t", metric="euclidean")
+        data = rng.standard_normal((50, 8)).astype(np.float32)
+        store.insert_batch([f"v{i}" for i in range(50)], data)
+        store.delete("v10")
+        state = store.export_state()
+        clone = VectorStore.from_state(state)
+        assert clone.count == 49
+        assert clone.metric == "euclidean"
+        assert clone.search(data[20], k=1)[0][0] == "v20"
+        # deleted id stays deleted
+        assert clone.get("v10") is None
