@@ -2,18 +2,16 @@
 
 Multi-chip sharding logic is exercised in CI the way the reference could not
 test its cluster (its clustering suite ran single-node —
-reference test/clustering_SUITE.erl:85-87): JAX's host-platform device count
-gives us a real 8-device mesh on CPU.  Must run before jax is imported.
+reference test/clustering_SUITE.erl:85-87): JAX's virtual CPU devices give us
+a real 8-device mesh.  Note: this sandbox's sitecustomize pins
+JAX_PLATFORMS=axon (a tunneled real TPU), so the env-var route is overridden;
+we must force the platform through jax.config before first backend use.
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
