@@ -1,0 +1,177 @@
+"""Persistence & backup tests — analogue of the reference persistence_SUITE
+(save→load, restart durability, backup→restore, JSON export→import, manual
+sync; test/persistence_SUITE.erl:63-183)."""
+
+import json
+import time
+
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.core import VectorStore
+from erlvectordb_tpu.persist import (
+    PersistenceManager,
+    backup_store,
+    delete_backup,
+    delete_persisted,
+    export_store,
+    get_store_info,
+    import_store,
+    list_backups,
+    list_persisted,
+    load_store,
+    restore_store,
+    save_store,
+)
+
+
+@pytest.fixture
+def populated_store(rng):
+    store = VectorStore("pstore", metric="cosine")
+    data = rng.standard_normal((64, 16)).astype(np.float32)
+    store.insert_batch(
+        [f"v{i}" for i in range(64)], data, [{"i": i} for i in range(64)]
+    )
+    store.delete("v5")
+    return store, data
+
+
+class TestSnapshot:
+    def test_save_load_roundtrip(self, populated_store, tmp_path):
+        store, data = populated_store
+        save_store(store, tmp_path)
+        loaded = load_store("pstore", tmp_path)
+        assert loaded is not None
+        assert loaded.count == 63
+        assert loaded.metric == "cosine"
+        assert loaded.get("v5") is None
+        vec, meta = loaded.get("v7")
+        np.testing.assert_allclose(vec, data[7], atol=1e-6)
+        assert meta == {"i": 7}
+        # restart durability: searching the reloaded store works
+        assert loaded.search(data[10], k=1)[0][0] == "v10"
+
+    def test_load_missing_returns_none(self, tmp_path):
+        assert load_store("ghost", tmp_path) is None
+
+    def test_compressed_snapshot(self, populated_store, tmp_path):
+        store, data = populated_store
+        save_store(store, tmp_path, compression="zlib")
+        info = get_store_info("pstore", tmp_path)
+        assert info["compression"] == "zlib"
+        loaded = load_store("pstore", tmp_path)
+        np.testing.assert_allclose(loaded.get("v7")[0], data[7], atol=1e-6)
+
+    def test_list_and_delete(self, populated_store, tmp_path):
+        store, _ = populated_store
+        save_store(store, tmp_path)
+        assert list_persisted(tmp_path) == ["pstore"]
+        assert delete_persisted("pstore", tmp_path)
+        assert list_persisted(tmp_path) == []
+        assert not delete_persisted("pstore", tmp_path)
+
+    def test_store_info(self, populated_store, tmp_path):
+        store, _ = populated_store
+        save_store(store, tmp_path)
+        info = get_store_info("pstore", tmp_path)
+        assert info["count"] == 63
+        assert info["dimension"] == 16
+
+    def test_atomic_overwrite(self, populated_store, tmp_path):
+        store, data = populated_store
+        save_store(store, tmp_path)
+        store.insert("new", np.ones(16, np.float32))
+        save_store(store, tmp_path)
+        loaded = load_store("pstore", tmp_path)
+        assert loaded.count == 64
+
+
+class TestPersistenceManager:
+    def test_manual_sync_and_reopen(self, populated_store, tmp_path):
+        store, data = populated_store
+        mgr = PersistenceManager(tmp_path, sync_interval=9999)
+        mgr.track(store)
+        assert mgr.sync("pstore")
+        reopened = mgr.open_store("pstore")
+        assert reopened.count == 63
+
+    def test_sync_all_only_dirty(self, populated_store, tmp_path):
+        store, _ = populated_store
+        mgr = PersistenceManager(tmp_path, sync_interval=9999)
+        mgr.track(store)
+        assert mgr.sync_all() == 1
+        assert mgr.sync_all() == 0  # version unchanged -> no write
+        store.insert("extra", np.ones(16, np.float32))
+        assert mgr.sync_all() == 1
+
+    def test_background_sync(self, populated_store, tmp_path):
+        store, _ = populated_store
+        mgr = PersistenceManager(tmp_path, sync_interval=0.1)
+        mgr.track(store)
+        mgr.start()
+        try:
+            deadline = time.time() + 5
+            while time.time() < deadline and load_store("pstore", tmp_path) is None:
+                time.sleep(0.05)
+            assert load_store("pstore", tmp_path) is not None
+        finally:
+            mgr.close()
+
+    def test_close_flushes(self, populated_store, tmp_path):
+        store, _ = populated_store
+        mgr = PersistenceManager(tmp_path, sync_interval=9999)
+        mgr.track(store)
+        mgr.close()
+        assert load_store("pstore", tmp_path) is not None
+
+
+class TestBackup:
+    def test_backup_restore(self, populated_store, tmp_path):
+        store, data = populated_store
+        path = backup_store(store, "daily", tmp_path)
+        restored = restore_store(path, new_name="pstore_restored")
+        assert restored.name == "pstore_restored"
+        assert restored.count == 63
+        assert restored.search(data[20], k=1)[0][0] == "v20"
+
+    def test_list_backups(self, populated_store, tmp_path):
+        store, _ = populated_store
+        backup_store(store, "b1", tmp_path)
+        backup_store(store, "b2", tmp_path)
+        listing = list_backups(tmp_path)
+        assert len(listing) == 2
+        assert {b["backup_name"] for b in listing} == {"b1", "b2"}
+        assert all(b["vector_count"] == 63 for b in listing)
+
+    def test_delete_backup(self, populated_store, tmp_path):
+        store, _ = populated_store
+        path = backup_store(store, "gone", tmp_path)
+        fname = path.split("/")[-1]
+        assert delete_backup(fname, tmp_path)
+        assert list_backups(tmp_path) == []
+        assert not delete_backup(fname, tmp_path)
+
+
+class TestJsonExportImport:
+    def test_export_import_roundtrip(self, populated_store, tmp_path):
+        store, data = populated_store
+        path = tmp_path / "export.json"
+        export_store(store, path)
+        doc = json.loads(path.read_text())
+        assert doc["store_name"] == "pstore"
+        assert doc["vector_count"] == 63
+        imported = import_store(path, new_name="imported")
+        assert imported.count == 63
+        # reference asserts distance ~ 0 for an exported vector
+        # (test/persistence_SUITE.erl:138-166)
+        res = imported.search(data[3], k=1)
+        assert res[0][0] == "v3"
+        assert res[0][2] == pytest.approx(0.0, abs=1e-4)
+
+    def test_import_into_int8(self, populated_store, tmp_path):
+        store, data = populated_store
+        path = tmp_path / "export.json"
+        export_store(store, path)
+        imported = import_store(path, new_name="q", dtype="int8")
+        assert imported.dtype == "int8"
+        assert imported.search(data[3], k=1)[0][0] == "v3"
