@@ -46,7 +46,7 @@ def k_bucket(k: int, n_cap: int) -> int:
     return min(b, n_cap)
 
 
-def _pairwise_distances(
+def pairwise_distances(
     vectors: jax.Array,  # [N, D] f32 (or int8 codes already dequant-scaled)
     norms: jax.Array,    # [N]    f32 — precomputed L2 norms of rows
     queries: jax.Array,  # [B, D] f32
@@ -95,10 +95,47 @@ def exact_topk(
     trims them, which reproduces the reference's "return at most N results"
     behavior (src/vector_store.erl:234-236 sublist semantics).
     """
-    dists = _pairwise_distances(vectors, norms, queries, metric)
+    dists = pairwise_distances(vectors, norms, queries, metric)
     dists = jnp.where(valid[None, :], dists, _INF)
     neg, rows = lax.top_k(-dists, k)
     return -neg, rows
+
+
+def int8_distances(
+    codes: jax.Array,    # [N, D] int8 symmetric-quantized rows
+    scales: jax.Array,   # [N]    f32 per-row scale
+    norms: jax.Array,    # [N]    f32 norms of the ORIGINAL f32 rows
+    queries: jax.Array,  # [B, D] f32
+    metric: Metric,
+) -> jax.Array:          # [B, N] f32 distances (smaller = closer)
+    """Distances against int8 rows, computed in the quantized domain
+    (int8 x int8 -> int32 on the MXU; scales correct the result)."""
+    q_absmax = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+    q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)  # [B, 1]
+    q_codes = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+
+    idots = jnp.dot(q_codes, codes.T, preferred_element_type=jnp.int32)  # [B, N]
+    dots = idots.astype(jnp.float32) * q_scale * scales[None, :]
+
+    if metric == "dot":
+        return -dots
+    if metric == "cosine":
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
+        denom = qn[:, None] * norms[None, :]
+        sim = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 0.0)
+        return 1.0 - sim
+    if metric == "euclidean":
+        qsq = jnp.sum(queries * queries, axis=-1)
+        d2 = qsq[:, None] - 2.0 * dots + (norms * norms)[None, :]
+        return jnp.sqrt(jnp.maximum(d2, 0.0))
+    if metric == "manhattan":
+        deq = codes.astype(jnp.float32) * scales[:, None]
+
+        def per_query(q):
+            return jnp.sum(jnp.abs(deq - q[None, :]), axis=-1)
+
+        return lax.map(per_query, queries)
+    raise ValueError(f"unknown metric {metric!r}")
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
@@ -120,37 +157,7 @@ def exact_topk_int8(
     searching decompressed vectors in the reference (it decompresses before
     search — src/vector_persistence.erl:276-283; we never do).
     """
-    # Symmetric per-query int8 quantization.
-    q_absmax = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
-    q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)  # [B, 1]
-    q_codes = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
-
-    idots = jnp.dot(q_codes, codes.T, preferred_element_type=jnp.int32)  # [B, N] i32
-    dots = idots.astype(jnp.float32) * q_scale * scales[None, :]
-
-    if metric == "dot":
-        dists = -dots
-    elif metric == "cosine":
-        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
-        denom = qn[:, None] * norms[None, :]
-        sim = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 0.0)
-        dists = 1.0 - sim
-    elif metric == "euclidean":
-        qsq = jnp.sum(queries * queries, axis=-1)
-        d2 = qsq[:, None] - 2.0 * dots + (norms * norms)[None, :]
-        dists = jnp.sqrt(jnp.maximum(d2, 0.0))
-    elif metric == "manhattan":
-        # Manhattan has no inner-product form; dequantize rows on the fly
-        # per query tile. Rare path; kept for API parity.
-        deq = codes.astype(jnp.float32) * scales[:, None]
-
-        def per_query(q):
-            return jnp.sum(jnp.abs(deq - q[None, :]), axis=-1)
-
-        dists = lax.map(per_query, queries)
-    else:
-        raise ValueError(f"unknown metric {metric!r}")
-
+    dists = int8_distances(codes, scales, norms, queries, metric)
     dists = jnp.where(valid[None, :], dists, _INF)
     neg, rows = lax.top_k(-dists, k)
     return -neg, rows

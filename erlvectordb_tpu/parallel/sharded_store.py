@@ -1,0 +1,467 @@
+"""Row-sharded vector store over a device mesh — exact distributed search.
+
+What the reference cannot do: it only replicates whole stores across nodes
+and never fans a query out (search is one local gen_server call,
+src/erlvectordb.erl:88-92; replication src/cluster_manager.erl:148-171).
+Here one store's rows are SHARDED across the mesh's ``data`` axis and every
+query is answered exactly:
+
+    shard_map:  per-device distance scan over its [cap, D] slice (MXU)
+                -> local top-k                                     (on-chip)
+                -> all_gather of (k dists, k global rows) over ICI  [S*k]
+                -> replicated final top-k merge                     (tiny)
+
+Queries are split across the ``replica`` axis (each replica group holds a
+full copy of the rows), so replica count multiplies query throughput — the
+productive version of the reference's availability replicas.
+
+Device layout: ``vectors [S, cap, D]`` sharded ``P('data', None, None)`` —
+shard s owns slice ``[s]``; a global row id is ``s * cap + local``.  Bulk
+store migration (the reference's per-vector rpc loop,
+src/cluster_manager.erl:370-380) is ``from_store``/``to_store`` — one
+resharding device transfer.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from erlvectordb_tpu.core.search import (
+    VALID_METRICS,
+    int8_distances,
+    pairwise_distances,
+)
+from erlvectordb_tpu.core.store import _next_pow2
+from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
+
+MIN_SHARD_CAPACITY = 256
+
+_INF = jnp.float32(jnp.inf)
+
+
+# --------------------------------------------------------------------------
+# Compiled programs, cached per (mesh, metric, k, dtype).  Shapes are handled
+# by jit's own cache.
+# --------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _build_search(mesh: Mesh, metric: str, k: int, is_int8: bool):
+    def local_scan(vecs, aux, nrm, vld, q):
+        # block shapes: vecs [1, cap, D], aux/nrm/vld [1, cap], q [B_r, D]
+        vecs, aux, nrm, vld = vecs[0], aux[0], nrm[0], vld[0]
+        if is_int8:
+            dists = int8_distances(vecs, aux, nrm, q, metric)
+        else:
+            dists = pairwise_distances(vecs, nrm, q, metric)
+        dists = jnp.where(vld[None, :], dists, _INF)
+        kk = min(k, vecs.shape[0])
+        neg, loc = lax.top_k(-dists, kk)
+        shard = lax.axis_index(DATA_AXIS)
+        glob = loc + shard * vecs.shape[0]
+        # Merge: gather the k candidates (not the N-length rows) over ICI.
+        d_all = lax.all_gather(-neg, DATA_AXIS)  # [S, B_r, kk]
+        g_all = lax.all_gather(glob, DATA_AXIS)
+        s = d_all.shape[0]
+        b = q.shape[0]
+        d_flat = d_all.transpose(1, 0, 2).reshape(b, s * kk)
+        g_flat = g_all.transpose(1, 0, 2).reshape(b, s * kk)
+        kf = min(k, s * kk)
+        neg2, sel = lax.top_k(-d_flat, kf)
+        return -neg2, jnp.take_along_axis(g_flat, sel, axis=1)
+
+    shd = jax.shard_map(
+        local_scan,
+        mesh=mesh,
+        in_specs=(
+            P(DATA_AXIS, None, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(DATA_AXIS, None),
+            P(REPLICA_AXIS, None),
+        ),
+        out_specs=(P(REPLICA_AXIS, None), P(REPLICA_AXIS, None)),
+        check_vma=False,
+    )
+    return jax.jit(shd)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_insert(mesh: Mesh, is_int8: bool):
+    if is_int8:
+        def insert(codes, scales, norms, valid, shard_idx, local_idx, new_vecs):
+            absmax = jnp.max(jnp.abs(new_vecs), axis=-1)
+            scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+            q = jnp.clip(jnp.round(new_vecs / scale[:, None]), -127, 127).astype(jnp.int8)
+            codes = codes.at[shard_idx, local_idx].set(q, mode="drop")
+            scales = scales.at[shard_idx, local_idx].set(scale, mode="drop")
+            nn = jnp.sqrt(jnp.sum(new_vecs * new_vecs, axis=-1))
+            norms = norms.at[shard_idx, local_idx].set(nn, mode="drop")
+            valid = valid.at[shard_idx, local_idx].set(True, mode="drop")
+            return codes, scales, norms, valid
+
+        return jax.jit(insert, donate_argnums=(0, 1, 2, 3))
+
+    def insert(vectors, norms, valid, shard_idx, local_idx, new_vecs):
+        vectors = vectors.at[shard_idx, local_idx].set(new_vecs, mode="drop")
+        nn = jnp.sqrt(jnp.sum(new_vecs * new_vecs, axis=-1))
+        norms = norms.at[shard_idx, local_idx].set(nn, mode="drop")
+        valid = valid.at[shard_idx, local_idx].set(True, mode="drop")
+        return vectors, norms, valid
+
+    return jax.jit(insert, donate_argnums=(0, 1, 2))
+
+
+@functools.lru_cache(maxsize=None)
+def _build_delete(mesh: Mesh):
+    def delete(valid, shard_idx, local_idx):
+        return valid.at[shard_idx, local_idx].set(False, mode="drop")
+
+    return jax.jit(delete, donate_argnums=(0,))
+
+
+class ShardedVectorStore:
+    """One store whose rows live sharded across a device mesh."""
+
+    def __init__(
+        self,
+        name: str,
+        mesh: Mesh,
+        dim: Optional[int] = None,
+        metric: str = "cosine",
+        dtype: str = "float32",
+    ):
+        if metric not in VALID_METRICS:
+            raise ValueError(f"metric must be one of {VALID_METRICS}")
+        if dtype not in ("float32", "int8"):
+            raise ValueError("dtype must be 'float32' or 'int8'")
+        self.name = name
+        self.mesh = mesh
+        self.metric = metric
+        self.dtype = dtype
+        self._dim = dim
+        self.n_shards = mesh.shape[DATA_AXIS]
+        self.n_replicas = mesh.shape[REPLICA_AXIS]
+        self._cap = 0  # per-shard capacity
+        self._lock = threading.RLock()
+
+        self._vectors: Optional[jax.Array] = None  # [S, cap, D]
+        self._scales: Optional[jax.Array] = None   # [S, cap] (int8 only)
+        self._norms: Optional[jax.Array] = None    # [S, cap]
+        self._valid: Optional[jax.Array] = None    # [S, cap]
+
+        self._id_to_slot: Dict[str, Tuple[int, int]] = {}  # id -> (shard, local)
+        self._slot_to_id: Dict[Tuple[int, int], str] = {}
+        self._metadata: Dict[str, Any] = {}
+        self._free: List[List[int]] = [[] for _ in range(self.n_shards)]
+        self._next_local = [0] * self.n_shards
+        self._rr = 0  # round-robin shard cursor
+
+        self.version = 0
+        self.dirty = False
+        self.created_at = time.time()
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def dim(self) -> Optional[int]:
+        return self._dim
+
+    @property
+    def count(self) -> int:
+        return len(self._id_to_slot)
+
+    @property
+    def capacity(self) -> int:
+        return self._cap * self.n_shards
+
+    def __len__(self) -> int:
+        return self.count
+
+    def __contains__(self, vid: str) -> bool:
+        return vid in self._id_to_slot
+
+    # --------------------------------------------------------------- device
+
+    def _sharding(self, spec: P) -> NamedSharding:
+        return NamedSharding(self.mesh, spec)
+
+    def _ensure_allocated(self, dim: int) -> None:
+        if self._dim is None:
+            self._dim = dim
+        if self._vectors is not None:
+            return
+        self._cap = MIN_SHARD_CAPACITY
+        s, cap, d = self.n_shards, self._cap, self._dim
+        row3 = self._sharding(P(DATA_AXIS, None, None))
+        row2 = self._sharding(P(DATA_AXIS, None))
+        vdtype = np.int8 if self.dtype == "int8" else np.float32
+        self._vectors = jax.device_put(np.zeros((s, cap, d), vdtype), row3)
+        if self.dtype == "int8":
+            self._scales = jax.device_put(np.ones((s, cap), np.float32), row2)
+        self._norms = jax.device_put(np.zeros((s, cap), np.float32), row2)
+        self._valid = jax.device_put(np.zeros((s, cap), bool), row2)
+
+    def _grow_to(self, per_shard: int) -> None:
+        new_cap = max(_next_pow2(per_shard), MIN_SHARD_CAPACITY)
+        if new_cap <= self._cap:
+            return
+        pad = new_cap - self._cap
+        cfg3 = ((0, 0), (0, pad), (0, 0))
+        cfg2 = ((0, 0), (0, pad))
+        row3 = self._sharding(P(DATA_AXIS, None, None))
+        row2 = self._sharding(P(DATA_AXIS, None))
+        self._vectors = jax.device_put(jnp.pad(self._vectors, cfg3), row3)
+        if self._scales is not None:
+            self._scales = jax.device_put(
+                jnp.pad(self._scales, cfg2, constant_values=1.0), row2
+            )
+        self._norms = jax.device_put(jnp.pad(self._norms, cfg2), row2)
+        self._valid = jax.device_put(jnp.pad(self._valid, cfg2), row2)
+        self._cap = new_cap
+
+    def _alloc_slots(self, n: int) -> List[Tuple[int, int]]:
+        """Round-robin allocation across shards for balance."""
+        slots: List[Tuple[int, int]] = []
+        pending = [0] * self.n_shards
+        for _ in range(n):
+            s = self._rr
+            self._rr = (self._rr + 1) % self.n_shards
+            if self._free[s]:
+                slots.append((s, self._free[s].pop()))
+            else:
+                slots.append((s, self._next_local[s] + pending[s]))
+                pending[s] += 1
+        max_needed = max(
+            (self._next_local[s] + pending[s] for s in range(self.n_shards)),
+            default=0,
+        )
+        if max_needed > self._cap:
+            self._grow_to(max_needed)
+        for s in range(self.n_shards):
+            self._next_local[s] += pending[s]
+        return slots
+
+    # --------------------------------------------------------------- insert
+
+    def _validate_batch(self, vectors) -> np.ndarray:
+        arr = np.asarray(vectors, dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr[None, :]
+        if self._dim is not None and arr.shape[1] != self._dim:
+            from erlvectordb_tpu.core.store import DimensionMismatch
+
+            raise DimensionMismatch(
+                f"store {self.name!r} has dimension {self._dim}, got {arr.shape[1]}"
+            )
+        if not np.all(np.isfinite(arr)):
+            from erlvectordb_tpu.core.store import InvalidVector
+
+            raise InvalidVector("vector elements must be finite numbers")
+        return arr
+
+    def insert(self, vector_id: str, vector, metadata: Optional[dict] = None) -> None:
+        self.insert_batch([vector_id], [vector], [metadata or {}])
+
+    def insert_batch(
+        self,
+        ids: Sequence[str],
+        vectors,
+        metadatas: Optional[Sequence[Optional[dict]]] = None,
+    ) -> None:
+        if len(ids) == 0:
+            return
+        arr = self._validate_batch(vectors)
+        if arr.shape[0] != len(ids):
+            raise ValueError("ids and vectors length mismatch")
+        if metadatas is None:
+            metadatas = [{}] * len(ids)
+        with self._lock:
+            self._ensure_allocated(arr.shape[1])
+            shard_idx = np.empty(len(ids), np.int32)
+            local_idx = np.empty(len(ids), np.int32)
+            fresh = []
+            for i, vid in enumerate(ids):
+                vid = str(vid)
+                slot = self._id_to_slot.get(vid)
+                if slot is not None:
+                    shard_idx[i], local_idx[i] = slot
+                else:
+                    fresh.append(i)
+            for i, slot in zip(fresh, self._alloc_slots(len(fresh))):
+                shard_idx[i], local_idx[i] = slot
+            bucket = _next_pow2(len(ids))
+            pad = bucket - len(ids)
+            if pad:
+                shard_idx = np.concatenate([shard_idx, np.full(pad, self.n_shards, np.int32)])
+                local_idx = np.concatenate([local_idx, np.zeros(pad, np.int32)])
+                arr_d = np.concatenate([arr, np.zeros((pad, arr.shape[1]), np.float32)])
+            else:
+                arr_d = arr
+            fn = _build_insert(self.mesh, self.dtype == "int8")
+            if self.dtype == "int8":
+                (self._vectors, self._scales, self._norms, self._valid) = fn(
+                    self._vectors, self._scales, self._norms, self._valid,
+                    jnp.asarray(shard_idx), jnp.asarray(local_idx), jnp.asarray(arr_d),
+                )
+            else:
+                (self._vectors, self._norms, self._valid) = fn(
+                    self._vectors, self._norms, self._valid,
+                    jnp.asarray(shard_idx), jnp.asarray(local_idx), jnp.asarray(arr_d),
+                )
+            for i, vid in enumerate(ids):
+                vid = str(vid)
+                slot = (int(shard_idx[i]), int(local_idx[i]))
+                self._id_to_slot[vid] = slot
+                self._slot_to_id[slot] = vid
+                self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
+            self.version += 1
+            self.dirty = True
+
+    # --------------------------------------------------------------- delete
+
+    def delete(self, vector_id: str) -> bool:
+        with self._lock:
+            slot = self._id_to_slot.pop(str(vector_id), None)
+            if slot is None:
+                return False
+            self._slot_to_id.pop(slot, None)
+            self._metadata.pop(str(vector_id), None)
+            fn = _build_delete(self.mesh)
+            self._valid = fn(
+                self._valid,
+                jnp.asarray([slot[0]], jnp.int32),
+                jnp.asarray([slot[1]], jnp.int32),
+            )
+            self._free[slot[0]].append(slot[1])
+            self.version += 1
+            self.dirty = True
+            return True
+
+    # --------------------------------------------------------------- search
+
+    def search(self, query, k: int = 10, metric: Optional[str] = None):
+        return self.search_batch(np.asarray(query, np.float32)[None, :], k, metric)[0]
+
+    def search_batch(self, queries, k: int = 10, metric: Optional[str] = None):
+        metric = metric or self.metric
+        q = self._validate_batch(queries)
+        nq = q.shape[0]
+        if self._vectors is None or self.count == 0 or k <= 0:
+            return [[] for _ in range(nq)]
+        # Pad the batch so it splits evenly across replicas.
+        r = self.n_replicas
+        pad_b = (-nq) % r
+        if pad_b:
+            q = np.concatenate([q, np.zeros((pad_b, q.shape[1]), np.float32)])
+        kb = _next_pow2(min(k, max(self.count, 1)))
+        fn = _build_search(self.mesh, metric, kb, self.dtype == "int8")
+        aux = self._scales if self.dtype == "int8" else self._norms  # dummy for f32
+        q_dev = jax.device_put(q, self._sharding(P(REPLICA_AXIS, None)))
+        dists, rows = fn(self._vectors, aux, self._norms, self._valid, q_dev)
+        dists_np = np.asarray(dists)[:nq]
+        rows_np = np.asarray(rows)[:nq]
+        out = []
+        for b in range(nq):
+            hits = []
+            for j in range(min(k, rows_np.shape[1])):
+                d = float(dists_np[b, j])
+                if not np.isfinite(d):
+                    break
+                g = int(rows_np[b, j])
+                slot = (g // self._cap, g % self._cap)
+                vid = self._slot_to_id.get(slot)
+                if vid is None:
+                    continue
+                hits.append((vid, self._metadata.get(vid, {}), d))
+            out.append(hits)
+        return out
+
+    # ------------------------------------------------------------ accessors
+
+    def get(self, vector_id: str):
+        with self._lock:
+            slot = self._id_to_slot.get(str(vector_id))
+            if slot is None:
+                return None
+            vec = np.asarray(self._vectors[slot[0], slot[1]])
+            if self.dtype == "int8":
+                vec = vec.astype(np.float32) * float(self._scales[slot[0], slot[1]])
+            return vec, self._metadata.get(str(vector_id), {})
+
+    def get_stats(self) -> dict:
+        per_shard = [0] * self.n_shards
+        for s, _ in self._id_to_slot.values():
+            per_shard[s] += 1
+        return {
+            "name": self.name,
+            "count": self.count,
+            "dimension": self._dim,
+            "metric": self.metric,
+            "dtype": self.dtype,
+            "capacity": self.capacity,
+            "shards": self.n_shards,
+            "replicas": self.n_replicas,
+            "per_shard_counts": per_shard,
+            "version": self.version,
+        }
+
+    def get_all_vectors(self):
+        with self._lock:
+            if self.count == 0:
+                return []
+            mat = np.asarray(self._vectors)
+            scales = np.asarray(self._scales) if self.dtype == "int8" else None
+            out = []
+            for vid, (s, l) in sorted(self._id_to_slot.items()):
+                vec = mat[s, l]
+                if scales is not None:
+                    vec = vec.astype(np.float32) * scales[s, l]
+                out.append((vid, vec, self._metadata.get(vid, {})))
+            return out
+
+    # ----------------------------------------------------------- migration
+
+    @classmethod
+    def from_store(cls, store, mesh: Mesh, name: Optional[str] = None) -> "ShardedVectorStore":
+        """Distribute a single-device store across a mesh — bulk resharding,
+        replacing the reference's per-vector rpc migration loop
+        (src/cluster_manager.erl:370-380)."""
+        out = cls(
+            name or store.name,
+            mesh,
+            dim=store.dim,
+            metric=store.metric,
+            dtype=getattr(store, "dtype", "float32"),
+        )
+        allv = store.get_all_vectors()
+        if allv:
+            ids = [v[0] for v in allv]
+            mat = np.stack([v[1] for v in allv])
+            metas = [v[2] for v in allv]
+            out.insert_batch(ids, mat, metas)
+        return out
+
+    def to_store(self, name: Optional[str] = None):
+        """Collapse back to a single-device store (leave_cluster analogue)."""
+        from erlvectordb_tpu.core.store import VectorStore
+
+        out = VectorStore(
+            name or self.name, dim=self._dim, metric=self.metric, dtype=self.dtype
+        )
+        allv = self.get_all_vectors()
+        if allv:
+            out.insert_batch(
+                [v[0] for v in allv],
+                np.stack([v[1] for v in allv]),
+                [v[2] for v in allv],
+            )
+        return out

@@ -1,0 +1,137 @@
+"""Sharded store tests on a real 8-device (virtual CPU) mesh — exercising
+exactly what the reference's clustering suite could not (it ran single-node,
+test/clustering_SUITE.erl:85-87): multi-shard exact search with all_gather
+merge, replica-split query batches, distribution/migration."""
+
+import jax
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.core import VectorStore
+from erlvectordb_tpu.parallel import ShardedVectorStore, make_mesh, mesh_shape
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(n_data=8, n_replica=1)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return make_mesh(n_data=4, n_replica=2)
+
+
+class TestMesh:
+    def test_shape(self, mesh8, mesh4x2):
+        assert mesh_shape(mesh8) == {"replica": 1, "data": 8, "devices": 8}
+        assert mesh_shape(mesh4x2) == {"replica": 2, "data": 4, "devices": 8}
+
+    def test_bad_factorization(self):
+        with pytest.raises(ValueError):
+            make_mesh(n_data=5, n_replica=3)
+
+
+class TestShardedExactness:
+    def test_matches_single_device_store(self, mesh8, rng):
+        n, d, k, nq = 3000, 32, 10, 16
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        ids = [f"v{i}" for i in range(n)]
+        qs = rng.standard_normal((nq, d)).astype(np.float32)
+
+        ref = VectorStore("ref", metric="cosine")
+        ref.insert_batch(ids, data)
+        sh = ShardedVectorStore("sh", mesh8, metric="cosine")
+        sh.insert_batch(ids, data)
+        assert sh.count == n
+
+        r_ref = ref.search_batch(qs, k=k)
+        r_sh = sh.search_batch(qs, k=k)
+        for a, b in zip(r_ref, r_sh):
+            assert [x[0] for x in a] == [y[0] for y in b]
+            np.testing.assert_allclose(
+                [x[2] for x in a], [y[2] for y in b], atol=1e-4
+            )
+
+    @pytest.mark.parametrize("metric", ["euclidean", "manhattan", "dot"])
+    def test_other_metrics(self, mesh8, rng, metric):
+        n, d, k = 800, 16, 5
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        ids = [f"v{i}" for i in range(n)]
+        ref = VectorStore("ref", metric=metric)
+        ref.insert_batch(ids, data)
+        sh = ShardedVectorStore("sh", mesh8, metric=metric)
+        sh.insert_batch(ids, data)
+        q = rng.standard_normal(d).astype(np.float32)
+        a = ref.search(q, k=k)
+        b = sh.search(q, k=k)
+        assert [x[0] for x in a] == [y[0] for y in b]
+
+    def test_replica_mesh_matches(self, mesh4x2, rng):
+        n, d, k, nq = 1000, 24, 7, 10  # nq not divisible by replicas: pads
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        ids = [f"v{i}" for i in range(n)]
+        ref = VectorStore("ref")
+        ref.insert_batch(ids, data)
+        sh = ShardedVectorStore("sh", mesh4x2)
+        sh.insert_batch(ids, data)
+        qs = rng.standard_normal((nq, d)).astype(np.float32)
+        r_ref = ref.search_batch(qs, k=k)
+        r_sh = sh.search_batch(qs, k=k)
+        for a, b in zip(r_ref, r_sh):
+            assert [x[0] for x in a] == [y[0] for y in b]
+
+    def test_int8_sharded(self, mesh8, rng):
+        n, d = 1000, 32
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        sh = ShardedVectorStore("sh", mesh8, dtype="int8")
+        sh.insert_batch([f"v{i}" for i in range(n)], data)
+        res = sh.search(data[123], k=1)
+        assert res[0][0] == "v123"
+
+
+class TestShardedMutation:
+    def test_delete_and_overwrite(self, mesh8, rng):
+        data = rng.standard_normal((50, 8)).astype(np.float32)
+        sh = ShardedVectorStore("sh", mesh8)
+        sh.insert_batch([f"v{i}" for i in range(50)], data)
+        assert sh.delete("v7")
+        assert not sh.delete("v7")
+        assert sh.count == 49
+        ids = [r[0] for r in sh.search(data[7], k=50)]
+        assert "v7" not in ids
+        sh.insert("v3", np.ones(8, np.float32), {"new": True})
+        vec, meta = sh.get("v3")
+        assert meta == {"new": True}
+        np.testing.assert_allclose(vec, np.ones(8), atol=1e-6)
+        assert sh.count == 49
+
+    def test_growth_across_shards(self, mesh8, rng):
+        # exceed MIN_SHARD_CAPACITY * 8 to force per-shard growth
+        n, d = 3000, 8
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        sh = ShardedVectorStore("sh", mesh8)
+        sh.insert_batch([f"v{i}" for i in range(n)], data)
+        assert sh.count == n
+        assert sh.search(data[2500], k=1)[0][0] == "v2500"
+
+    def test_balance(self, mesh8, rng):
+        data = rng.standard_normal((80, 4)).astype(np.float32)
+        sh = ShardedVectorStore("sh", mesh8)
+        sh.insert_batch([f"v{i}" for i in range(80)], data)
+        counts = sh.get_stats()["per_shard_counts"]
+        assert max(counts) - min(counts) <= 1  # round-robin balance
+
+
+class TestMigration:
+    def test_distribute_and_collapse(self, mesh8, rng):
+        data = rng.standard_normal((300, 16)).astype(np.float32)
+        local = VectorStore("m", metric="euclidean")
+        local.insert_batch([f"v{i}" for i in range(300)], data, [{"i": i} for i in range(300)])
+        sharded = ShardedVectorStore.from_store(local, mesh8)
+        assert sharded.count == 300
+        assert sharded.metric == "euclidean"
+        assert sharded.search(data[42], k=1)[0][0] == "v42"
+        back = sharded.to_store("m2")
+        assert back.count == 300
+        assert back.search(data[42], k=1)[0][0] == "v42"
+        assert back.get("v5")[1] == {"i": 5}
