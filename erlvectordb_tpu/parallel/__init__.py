@@ -7,3 +7,4 @@ from erlvectordb_tpu.parallel.mesh import (  # noqa: F401
     single_device_mesh,
 )
 from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore  # noqa: F401
+from erlvectordb_tpu.parallel.cluster import ClusterError, ClusterManager  # noqa: F401

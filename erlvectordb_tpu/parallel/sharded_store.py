@@ -428,6 +428,32 @@ class ShardedVectorStore:
                 out.append((vid, vec, self._metadata.get(vid, {})))
             return out
 
+    # ----------------------------------------------------------- resharding
+
+    def reshard_to(self, new_mesh: Mesh) -> None:
+        """Move this store onto another mesh with the same data-axis size —
+        one device-to-device resharding transfer.  This is the failover /
+        elastic-recovery primitive: when a replica group dies, the cluster
+        manager rebuilds a smaller mesh and reshards every store onto it
+        (the reference only *logs* under-replication on nodedown,
+        src/cluster_manager.erl:408-425 — it never re-copies data)."""
+        if new_mesh.shape[DATA_AXIS] != self.n_shards:
+            raise ValueError(
+                f"data axis must stay {self.n_shards}, got {new_mesh.shape[DATA_AXIS]}"
+            )
+        with self._lock:
+            self.mesh = new_mesh
+            self.n_replicas = new_mesh.shape[REPLICA_AXIS]
+            if self._vectors is None:
+                return
+            row3 = NamedSharding(new_mesh, P(DATA_AXIS, None, None))
+            row2 = NamedSharding(new_mesh, P(DATA_AXIS, None))
+            self._vectors = jax.device_put(self._vectors, row3)
+            if self._scales is not None:
+                self._scales = jax.device_put(self._scales, row2)
+            self._norms = jax.device_put(self._norms, row2)
+            self._valid = jax.device_put(self._valid, row2)
+
     # ----------------------------------------------------------- migration
 
     @classmethod
