@@ -1,0 +1,306 @@
+#!/usr/bin/env python
+"""Benchmark harness — the five BASELINE.json configs.
+
+Headline (default, printed as ONE JSON line on stdout):
+  config 3 — GloVe-class corpus (1.2M x 100-d), cosine, int8 store searched
+  in the quantized domain on the MXU, recall@10 measured against the f32
+  exact scan.  Metric: QPS/chip at recall@10 >= 0.95.  Baseline target:
+  100k QPS/chip (BASELINE.md).
+
+Other configs via --config N; --quick shrinks sizes for smoke-testing.
+All diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _timeit(fn, iters=5, warmup=2):
+    """Median wall time of fn(). fn MUST force a device->host readback:
+    on the tunneled TPU backend, block_until_ready can return before remote
+    execution finishes, so only a readback gives honest timing."""
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def make_corpus(key, n, d, n_centers=1024, noise=0.35):
+    """Clustered synthetic corpus (GloVe-like anisotropy), built on device."""
+    import jax
+    import jax.numpy as jnp
+
+    kc, ka, kn = jax.random.split(key, 3)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    assign = jax.random.randint(ka, (n,), 0, n_centers)
+    x = centers[assign] + noise * jax.random.normal(kn, (n, d), jnp.float32)
+    return jax.block_until_ready(x)
+
+
+def exact_ground_truth(data, norms, queries, k, chunk=64):
+    """f32 exact cosine top-k (the recall reference), chunked over queries."""
+    import jax.numpy as jnp
+
+    from erlvectordb_tpu.core.search import exact_topk
+
+    valid = jnp.ones((data.shape[0],), bool)
+    rows = []
+    for i in range(0, queries.shape[0], chunk):
+        q = queries[i : i + chunk]
+        _, idx = exact_topk(data, norms, valid, q, metric="cosine", k=k)
+        rows.append(np.asarray(idx))
+    return np.concatenate(rows)
+
+
+def bench_config3(quick: bool) -> dict:
+    """GloVe-1.2M x 100-d cosine: int8 quantized scan + top-k, recall@10."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from erlvectordb_tpu.core.search import int8_distances
+    from erlvectordb_tpu.core.store import VectorStore
+
+    n = 120_000 if quick else 1_200_000
+    d, k, batch = 100, 10, 1024
+    nq = 256
+
+    log(f"[config3] generating corpus n={n} d={d} ...")
+    key = jax.random.PRNGKey(0)
+    data = make_corpus(key, n, d)
+    norms = jnp.linalg.norm(data, axis=1)
+    queries = make_corpus(jax.random.PRNGKey(1), max(nq, batch), d)
+
+    # ---- index build rate (bulk build: quantize + norms + layout) --------
+    float(jnp.sum(norms))  # force corpus completion before timing the build
+    t0 = time.perf_counter()
+    store = VectorStore.from_matrix("glove", data, dtype="int8")
+    float(store._norms[0])  # readback forces completion
+    build_s = time.perf_counter() - t0
+    build_rate = n / build_s
+    log(f"[config3] index build: {build_s*1e3:.1f} ms -> {build_rate/1e6:.2f} M vec/s")
+
+    codes, scales, snorms, valid = (
+        store._vectors, store._scales, store._norms, store._valid,
+    )
+
+    # ---- search path (the QPS measurement) -------------------------------
+    # T batches run inside ONE executable (lax.map) so the tunnel's per-call
+    # round-trip is amortized; the final float() readback forces completion.
+    T = 4 if quick else 16
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def int8_search(codes, scales, snorms, valid, q, kk):
+        dists = int8_distances(codes, scales, snorms, q, "cosine")
+        dists = jnp.where(valid[None, :], dists, jnp.inf)
+        neg, idx = lax.approx_max_k(-dists, kk, recall_target=0.99)
+        return -neg, idx
+
+    @functools.partial(jax.jit, static_argnames=("kk",))
+    def int8_search_many(codes, scales, snorms, valid, qstack, kk):
+        def one(q):
+            dists = int8_distances(codes, scales, snorms, q, "cosine")
+            dists = jnp.where(valid[None, :], dists, jnp.inf)
+            neg, idx = lax.approx_max_k(-dists, kk, recall_target=0.99)
+            return -neg, idx
+        return lax.map(one, qstack)
+
+    rng = np.random.default_rng(7)
+    qstack = jax.device_put(rng.standard_normal((T, batch, d)).astype(np.float32))
+
+    def run():
+        dv, _ = int8_search_many(codes, scales, snorms, valid, qstack, k)
+        float(dv[0, 0, 0])  # force completion
+
+    sec_total = _timeit(run, iters=4, warmup=1)
+    sec_per_batch = sec_total / T
+    qps = batch / sec_per_batch
+    log(f"[config3] {sec_per_batch*1e3:.2f} ms / {batch} queries -> {qps:,.0f} QPS")
+
+    # ---- recall@10 vs f32 exact ------------------------------------------
+    log("[config3] computing exact ground truth ...")
+    gt = exact_ground_truth(data, norms, queries[:nq], k)
+    _, got = int8_search(codes, scales, snorms, valid, queries[:nq], k)
+    got = np.asarray(got)
+    recall = float(
+        np.mean([len(set(gt[i]) & set(got[i])) / k for i in range(nq)])
+    )
+    log(f"[config3] recall@10 vs exact = {recall:.4f}")
+
+    return {
+        "metric": "QPS/chip at recall@10 (GloVe-1.2M-class cosine, int8 store)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(qps / 100_000.0, 3),
+        "recall_at_10": round(recall, 4),
+        "recall_target": 0.95,
+        "index_build_vectors_per_sec": round(build_rate, 1),
+        "build_vs_baseline": round(build_rate / 1_000_000.0, 3),
+        "n": n,
+        "dim": d,
+        "batch": batch,
+        "quick": quick,
+    }
+
+
+def bench_config1(quick: bool) -> dict:
+    """10k x 128 f32 cosine top-5 exact (reference-parity config)."""
+    import jax
+
+    from erlvectordb_tpu.core.store import VectorStore
+
+    n, d, k, batch = 10_000, 128, 5, 256
+    data = np.asarray(make_corpus(jax.random.PRNGKey(0), n, d))
+    store = VectorStore.from_matrix("c1", data)
+    qs = data[:batch]
+    run = lambda: store.search_batch(qs, k=k)
+    sec = _timeit(run, iters=5, warmup=2)
+    qps = batch / sec
+    return {
+        "metric": "QPS exact f32 cosine top-5 (10k x 128)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": None,
+        "n": n,
+    }
+
+
+def bench_config2(quick: bool) -> dict:
+    """100k x 384 int8 store, euclidean top-10."""
+    import jax
+
+    from erlvectordb_tpu.core.store import VectorStore
+
+    n, d, k, batch = (20_000 if quick else 100_000), 384, 10, 512
+    data = np.asarray(make_corpus(jax.random.PRNGKey(0), n, d))
+    store = VectorStore.from_matrix("c2", data, metric="euclidean", dtype="int8")
+    qs = data[:batch]
+    run = lambda: store.search_batch(qs, k=k)
+    sec = _timeit(run, iters=5, warmup=2)
+    return {
+        "metric": "QPS int8 euclidean top-10 (100k x 384)",
+        "value": round(batch / sec, 1),
+        "unit": "qps",
+        "vs_baseline": None,
+        "n": n,
+    }
+
+
+def bench_config4(quick: bool) -> dict:
+    """SIFT1M-class: 1M x 128, PQ 8x8-bit, ADC search + recall@10."""
+    import jax
+    import jax.numpy as jnp
+
+    from erlvectordb_tpu.core.search import exact_topk
+    from erlvectordb_tpu.ops.adc import adc_search
+    from erlvectordb_tpu.quant.pq import PQCodebook
+
+    n = 100_000 if quick else 1_000_000
+    d, k, batch, nq = 128, 10, 512, 256
+    data = make_corpus(jax.random.PRNGKey(0), n, d)
+    queries = make_corpus(jax.random.PRNGKey(1), max(nq, batch), d)
+
+    t0 = time.perf_counter()
+    cb = PQCodebook.fit(data, m=8, k=256, iters=15, max_train=200_000)
+    codes = cb.encode(data)
+    float(codes[0, 0])  # readback forces completion
+    build_s = time.perf_counter() - t0
+    log(f"[config4] PQ train+encode: {build_s:.1f}s ({n/build_s/1e6:.2f} M vec/s)")
+
+    def run():
+        dv, _ = adc_search(codes, cb.codebooks, queries[:batch], k=k)
+        float(dv[0, 0])
+    sec = _timeit(run, iters=5, warmup=2)
+    qps = batch / sec
+    log(f"[config4] {sec*1e3:.2f} ms / {batch} queries -> {qps:,.0f} QPS")
+
+    norms = jnp.linalg.norm(data, axis=1)
+    gt = exact_ground_truth(data, norms, queries[:nq], k)  # cosine gt
+    # ADC is L2; compare against L2 exact instead
+    valid = jnp.ones((n,), bool)
+    _, gt_l2 = exact_topk(data, norms, valid, queries[:nq], metric="euclidean", k=k)
+    gt_l2 = np.asarray(gt_l2)
+    _, got = adc_search(codes, cb.codebooks, queries[:nq], k=k)
+    got = np.asarray(got)
+    recall = float(np.mean([len(set(gt_l2[i]) & set(got[i])) / k for i in range(nq)]))
+    log(f"[config4] recall@10 (L2) = {recall:.4f}")
+    return {
+        "metric": "QPS PQ8x8 ADC euclidean top-10 (SIFT1M-class)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": None,
+        "recall_at_10": round(recall, 4),
+        "pq_build_vectors_per_sec": round(n / build_s, 1),
+        "n": n,
+    }
+
+
+def bench_config5(quick: bool) -> dict:
+    """Sharded store over the available mesh (v5e-16 scaled to what exists)."""
+    import jax
+
+    from erlvectordb_tpu.parallel import ShardedVectorStore, make_mesh
+
+    ndev = len(jax.devices())
+    mesh = make_mesh(n_data=ndev, n_replica=1)
+    n = 50_000 if quick else min(500_000 * ndev, 2_000_000)
+    d, k, batch = 768, 10, 256
+    data = np.asarray(make_corpus(jax.random.PRNGKey(0), n, d))
+    store = ShardedVectorStore("c5", mesh, dtype="int8")
+    t0 = time.perf_counter()
+    store.insert_batch([str(i) for i in range(n)], data)
+    build_s = time.perf_counter() - t0
+    qs = data[:batch]
+    run = lambda: store.search_batch(qs, k=k)
+    sec = _timeit(run, iters=3, warmup=1)
+    return {
+        "metric": f"QPS sharded int8 cosine top-10 ({ndev}-device mesh, {n} x 768)",
+        "value": round(batch / sec, 1),
+        "unit": "qps",
+        "vs_baseline": None,
+        "devices": ndev,
+        "insert_vectors_per_sec": round(n / build_s, 1),
+        "n": n,
+    }
+
+
+CONFIGS = {1: bench_config1, 2: bench_config2, 3: bench_config3,
+           4: bench_config4, 5: bench_config5}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=3, choices=sorted(CONFIGS))
+    ap.add_argument("--quick", action="store_true", help="shrunken sizes")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    result = CONFIGS[args.config](args.quick)
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

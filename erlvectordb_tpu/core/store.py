@@ -79,6 +79,30 @@ def _scatter_delete(valid, rows):
     return valid.at[rows].set(False, mode="drop")
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _bulk_build_f32(arr, cap):
+    n = arr.shape[0]
+    norms = jnp.sqrt(jnp.sum(arr * arr, axis=-1))
+    vecs = jnp.pad(arr, ((0, cap - n), (0, 0)))
+    norms = jnp.pad(norms, ((0, cap - n),))
+    valid = jnp.pad(jnp.ones((n,), bool), ((0, cap - n),))
+    return vecs, norms, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _bulk_build_int8(arr, cap):
+    n = arr.shape[0]
+    absmax = jnp.max(jnp.abs(arr), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    codes = jnp.clip(jnp.round(arr / scale[:, None]), -127, 127).astype(jnp.int8)
+    norms = jnp.sqrt(jnp.sum(arr * arr, axis=-1))
+    codes = jnp.pad(codes, ((0, cap - n), (0, 0)))
+    scales = jnp.pad(scale, ((0, cap - n),), constant_values=1.0)
+    norms = jnp.pad(norms, ((0, cap - n),))
+    valid = jnp.pad(jnp.ones((n,), bool), ((0, cap - n),))
+    return codes, scales, norms, valid
+
+
 class DimensionMismatch(ValueError):
     """Vector dimension does not match the store's dimension."""
 
@@ -133,6 +157,11 @@ class VectorStore:
         self._free_rows: List[int] = []
         self._next_row = 0
 
+        # Bulk-build fast path: when a store is built via from_matrix with
+        # implicit ids, ids are "0".."n-1" and the dicts above stay empty
+        # until the first targeted mutation materializes them.
+        self._contig = 0
+
         # Change tracking for persistence (dirty-flag, like the reference's
         # ETS dirty bit, src/vector_persistence.erl:131-135).
         self.version = 0
@@ -147,7 +176,7 @@ class VectorStore:
 
     @property
     def count(self) -> int:
-        return len(self._id_to_row)
+        return len(self._id_to_row) + self._contig
 
     @property
     def capacity(self) -> int:
@@ -157,7 +186,28 @@ class VectorStore:
         return self.count
 
     def __contains__(self, vector_id: str) -> bool:
+        if self._contig:
+            try:
+                return 0 <= int(vector_id) < self._contig
+            except (TypeError, ValueError):
+                return False
         return vector_id in self._id_to_row
+
+    def _rid(self, row: int) -> Optional[str]:
+        """Row -> id, without materializing implicit contiguous ids."""
+        if self._contig:
+            return str(row) if 0 <= row < self._contig else None
+        return self._row_to_id.get(row)
+
+    def _materialize(self) -> None:
+        """Expand implicit contiguous ids into the dict tables (one-time,
+        triggered by the first targeted mutation after a bulk build)."""
+        if not self._contig:
+            return
+        n = self._contig
+        self._contig = 0
+        self._id_to_row = {str(i): i for i in range(n)}
+        self._row_to_id = {i: str(i) for i in range(n)}
 
     # ------------------------------------------------------------ alloc/grow
 
@@ -245,6 +295,7 @@ class VectorStore:
             metadatas = [{}] * len(ids)
         # Last write wins for duplicate ids within one batch.
         with self._lock:
+            self._materialize()
             self._ensure_allocated(arr.shape[1])
             rows = np.empty(len(ids), np.int64)
             fresh_needed = []
@@ -294,6 +345,7 @@ class VectorStore:
 
     def delete_batch(self, ids: Iterable[str]) -> int:
         with self._lock:
+            self._materialize()
             rows = []
             hit_ids = []
             for vid in ids:
@@ -368,7 +420,7 @@ class VectorStore:
                 d = float(dists_np[b, j])
                 if not np.isfinite(d):
                     break  # ran past the valid rows
-                vid = self._row_to_id.get(int(rows_np[b, j]))
+                vid = self._rid(int(rows_np[b, j]))
                 if vid is None:
                     continue  # row deleted between device scan and host map
                 hits.append((vid, self._metadata.get(vid, {}), d))
@@ -380,6 +432,7 @@ class VectorStore:
     def get(self, vector_id: str) -> Optional[Tuple[np.ndarray, Any]]:
         """Fetch one vector and its metadata (dequantized for int8 stores)."""
         with self._lock:
+            self._materialize()
             row = self._id_to_row.get(str(vector_id))
             if row is None:
                 return None
@@ -392,6 +445,7 @@ class VectorStore:
         """All live (id, vector, metadata) — migration/backup path
         (reference get_all_vectors, src/vector_store.erl:184-190)."""
         with self._lock:
+            self._materialize()
             if self.count == 0:
                 return []
             rows = sorted(self._row_to_id)
@@ -434,6 +488,7 @@ class VectorStore:
 
     def export_state(self) -> dict:
         with self._lock:
+            self._materialize()
             state = {
                 "format": 1,
                 "name": self.name,
@@ -477,6 +532,57 @@ class VectorStore:
         store._id_to_row = {str(k): int(v) for k, v in state.get("id_to_row", {}).items()}
         store._row_to_id = {v: k for k, v in store._id_to_row.items()}
         store._metadata = dict(state.get("metadata", {}))
-        store._next_row = int(state.get("next_row", len(store._id_to_row)))
+        store._contig = int(state.get("contig", 0))
+        store._next_row = int(state.get("next_row", store.count))
         store._free_rows = [int(r) for r in state.get("free_rows", [])]
+        return store
+
+    # ------------------------------------------------------------ bulk build
+
+    @classmethod
+    def from_matrix(
+        cls,
+        name: str,
+        matrix,
+        ids: Optional[Sequence[str]] = None,
+        metric: str = "cosine",
+        dtype: str = "float32",
+        device: Optional[jax.Device] = None,
+    ) -> "VectorStore":
+        """Bulk index build: one device transfer + one jitted program.
+
+        This is the high-throughput path the benchmark's "index build
+        vectors/sec" measures — no per-row host bookkeeping.  With
+        ``ids=None`` row i gets the implicit id ``str(i)`` and the id tables
+        stay virtual until the first targeted mutation.
+        """
+        store = cls(name, metric=metric, dtype=dtype, device=device)
+        arr = matrix if isinstance(matrix, jax.Array) else np.ascontiguousarray(
+            np.asarray(matrix, np.float32)
+        )
+        n, d = arr.shape
+        store._dim = d
+        cap = max(_next_pow2(n), MIN_CAPACITY)
+        store._capacity = cap
+        arr_dev = store._put(arr)
+        if store.dtype == "int8":
+            codes, scales, norms, valid = _bulk_build_int8(arr_dev, cap)
+            store._vectors, store._scales, store._norms, store._valid = (
+                codes, scales, norms, valid,
+            )
+        else:
+            vecs, norms, valid = _bulk_build_f32(arr_dev, cap)
+            store._vectors, store._norms, store._valid = vecs, norms, valid
+        store._next_row = n
+        if ids is None:
+            store._contig = n
+        else:
+            if len(ids) != n:
+                raise ValueError("ids and matrix length mismatch")
+            store._id_to_row = {str(v): i for i, v in enumerate(ids)}
+            store._row_to_id = {i: str(v) for i, v in enumerate(ids)}
+            if len(store._id_to_row) != n:
+                raise ValueError("duplicate ids in bulk build")
+        store.version = 1
+        store.dirty = True
         return store

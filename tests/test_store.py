@@ -236,3 +236,42 @@ class TestAccessors:
         assert clone.search(data[20], k=1)[0][0] == "v20"
         # deleted id stays deleted
         assert clone.get("v10") is None
+
+
+class TestBulkBuild:
+    def test_from_matrix_implicit_ids(self, rng):
+        from erlvectordb_tpu.core.store import VectorStore
+
+        data = rng.standard_normal((2000, 16)).astype(np.float32)
+        store = VectorStore.from_matrix("bulk", data)
+        assert store.count == 2000
+        res = store.search(data[123], k=1)
+        assert res[0][0] == "123"
+        assert "1999" in store and "2000" not in store
+        # first mutation materializes the id tables
+        store.delete("7")
+        assert store.count == 1999
+        assert store.search(data[7], k=1)[0][0] != "7"
+
+    def test_from_matrix_explicit_ids(self, rng):
+        from erlvectordb_tpu.core.store import VectorStore
+
+        data = rng.standard_normal((100, 8)).astype(np.float32)
+        store = VectorStore.from_matrix("bulk", data, ids=[f"x{i}" for i in range(100)])
+        assert store.search(data[5], k=1)[0][0] == "x5"
+
+    def test_from_matrix_int8(self, rng):
+        from erlvectordb_tpu.core.store import VectorStore
+
+        data = rng.standard_normal((500, 32)).astype(np.float32)
+        store = VectorStore.from_matrix("bulk", data, dtype="int8")
+        assert store.search(data[42], k=1)[0][0] == "42"
+
+    def test_from_matrix_export_roundtrip(self, rng):
+        from erlvectordb_tpu.core.store import VectorStore
+
+        data = rng.standard_normal((50, 8)).astype(np.float32)
+        store = VectorStore.from_matrix("bulk", data)
+        clone = VectorStore.from_state(store.export_state())
+        assert clone.count == 50
+        assert clone.search(data[9], k=1)[0][0] == "9"
