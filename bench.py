@@ -88,6 +88,9 @@ def bench_config3(quick: bool) -> dict:
 
     # ---- index build rate (bulk build: quantize + norms + layout) --------
     float(jnp.sum(norms))  # force corpus completion before timing the build
+    warm = VectorStore.from_matrix("warm", data, dtype="int8")  # compile warmup
+    float(warm._norms[0])
+    del warm
     t0 = time.perf_counter()
     store = VectorStore.from_matrix("glove", data, dtype="int8")
     float(store._norms[0])  # readback forces completion
@@ -102,18 +105,28 @@ def bench_config3(quick: bool) -> dict:
     # ---- search path (the QPS measurement) -------------------------------
     # T batches run inside ONE executable (lax.map) so the tunnel's per-call
     # round-trip is amortized; the final float() readback forces completion.
+    # The measured path is the fused Pallas scan (ops/fused_topk.py) — the
+    # same kernel VectorStore.search dispatches to on TPU.
+    from erlvectordb_tpu.ops.fused_topk import (
+        fused_topk,
+        fused_topk_available,
+        n_tiles_for,
+    )
+
     T = 4 if quick else 16
+    nt = n_tiles_for(store._next_row, store.capacity)
+    use_fused = fused_topk_available(n, store.capacity, "cosine",
+                                     jax.default_backend(), k)
+    log(f"[config3] fused kernel: {use_fused} (n_tiles={nt})")
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
-    def int8_search(codes, scales, snorms, valid, q, kk):
-        dists = int8_distances(codes, scales, snorms, q, "cosine")
-        dists = jnp.where(valid[None, :], dists, jnp.inf)
-        neg, idx = lax.approx_max_k(-dists, kk, recall_target=0.99)
-        return -neg, idx
+    width = codes.shape[1]
 
-    @functools.partial(jax.jit, static_argnames=("kk",))
-    def int8_search_many(codes, scales, snorms, valid, qstack, kk):
+    @functools.partial(jax.jit, static_argnames=("kk", "ntl"))
+    def search_many(codes, scales, snorms, valid, qstack, kk, ntl):
         def one(q):
+            if use_fused:
+                return fused_topk(codes, scales, snorms, valid, q,
+                                  metric="cosine", k=kk, n_tiles=ntl)
             dists = int8_distances(codes, scales, snorms, q, "cosine")
             dists = jnp.where(valid[None, :], dists, jnp.inf)
             neg, idx = lax.approx_max_k(-dists, kk, recall_target=0.99)
@@ -121,10 +134,12 @@ def bench_config3(quick: bool) -> dict:
         return lax.map(one, qstack)
 
     rng = np.random.default_rng(7)
-    qstack = jax.device_put(rng.standard_normal((T, batch, d)).astype(np.float32))
+    qpad = np.zeros((T, batch, width), np.float32)
+    qpad[:, :, :d] = rng.standard_normal((T, batch, d)).astype(np.float32)
+    qstack = jax.device_put(qpad)
 
     def run():
-        dv, _ = int8_search_many(codes, scales, snorms, valid, qstack, k)
+        dv, _ = search_many(codes, scales, snorms, valid, qstack, k, nt)
         float(dv[0, 0, 0])  # force completion
 
     sec_total = _timeit(run, iters=4, warmup=1)
@@ -135,8 +150,11 @@ def bench_config3(quick: bool) -> dict:
     # ---- recall@10 vs f32 exact ------------------------------------------
     log("[config3] computing exact ground truth ...")
     gt = exact_ground_truth(data, norms, queries[:nq], k)
-    _, got = int8_search(codes, scales, snorms, valid, queries[:nq], k)
-    got = np.asarray(got)
+    qr = np.zeros((nq, width), np.float32)
+    qr[:, :d] = np.asarray(queries[:nq])
+    dvs, got = search_many(codes, scales, snorms, valid,
+                           jax.device_put(qr)[None], k, nt)
+    got = np.asarray(got)[0]
     recall = float(
         np.mean([len(set(gt[i]) & set(got[i])) / k for i in range(nq)])
     )

@@ -46,6 +46,13 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _pad128(d: int) -> int:
+    """Feature dims are stored padded to the TPU lane width (128): XLA pads
+    internally anyway, and it lets the Pallas kernels assume aligned tiles.
+    The padding columns are zero, so dots/norms/L1 are unaffected."""
+    return ((d + 127) // 128) * 128
+
+
 # --------------------------------------------------------------------------
 # Jitted mutation kernels.  `rows` may contain out-of-range sentinels
 # (= capacity) for padding lanes; mode="drop" makes those writes no-ops,
@@ -77,6 +84,11 @@ def _scatter_insert_int8(codes, scales, norms, valid, rows, new_vecs):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_delete(valid, rows):
     return valid.at[rows].set(False, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("width",))
+def _pad_width(arr, width):
+    return jnp.pad(arr, ((0, 0), (0, width - arr.shape[1])))
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -223,11 +235,12 @@ class VectorStore:
             return
         cap = MIN_CAPACITY
         self._capacity = cap
+        width = _pad128(self._dim)
         if self.dtype == "int8":
-            self._vectors = self._put(np.zeros((cap, self._dim), np.int8))
+            self._vectors = self._put(np.zeros((cap, width), np.int8))
             self._scales = self._put(np.ones((cap,), np.float32))
         else:
-            self._vectors = self._put(np.zeros((cap, self._dim), np.float32))
+            self._vectors = self._put(np.zeros((cap, width), np.float32))
         self._norms = self._put(np.zeros((cap,), np.float32))
         self._valid = self._put(np.zeros((cap,), bool))
 
@@ -313,9 +326,11 @@ class VectorStore:
             # out-of-range row and are dropped on device.
             bucket = _next_pow2(len(ids))
             pad = bucket - len(ids)
-            if pad:
+            width = _pad128(arr.shape[1])
+            if pad or width != arr.shape[1]:
                 rows_dev = np.concatenate([rows, np.full(pad, self._capacity, np.int64)])
-                arr_dev = np.concatenate([arr, np.zeros((pad, arr.shape[1]), np.float32)])
+                arr_dev = np.zeros((bucket, width), np.float32)
+                arr_dev[: len(ids), : arr.shape[1]] = arr
             else:
                 rows_dev, arr_dev = rows, arr
             rows_j = self._put(rows_dev.astype(np.int32))
@@ -400,8 +415,30 @@ class VectorStore:
         if k <= 0:
             return [[] for _ in range(q.shape[0])]
         kb = search_mod.k_bucket(min(k, self.count), self._capacity)
+        width = _pad128(q.shape[1])
+        if width != q.shape[1]:
+            qp = np.zeros((q.shape[0], width), np.float32)
+            qp[:, : q.shape[1]] = q
+            q = qp
         q_j = self._put(q)
-        if self.dtype == "int8":
+        from erlvectordb_tpu.ops import fused_topk as ft
+
+        if ft.fused_topk_available(
+            self.count, self._capacity, metric, jax.default_backend(), kb
+        ):
+            # Pallas fused scan: streams code tiles through VMEM, extracts
+            # per-tile candidates on-chip — never materializes [B, N] in HBM.
+            dists, rows = ft.fused_topk(
+                self._vectors,
+                self._scales if self.dtype == "int8" else None,
+                self._norms,
+                self._valid,
+                q_j,
+                metric=metric,
+                k=kb,
+                n_tiles=ft.n_tiles_for(self._next_row, self._capacity),
+            )
+        elif self.dtype == "int8":
             dists, rows = search_mod.exact_topk_int8(
                 self._vectors, self._scales, self._norms, self._valid, q_j,
                 metric=metric, k=kb,
@@ -436,7 +473,7 @@ class VectorStore:
             row = self._id_to_row.get(str(vector_id))
             if row is None:
                 return None
-            vec = np.asarray(self._vectors[row])
+            vec = np.asarray(self._vectors[row])[: self._dim]
             if self.dtype == "int8":
                 vec = vec.astype(np.float32) * float(self._scales[row])
             return vec, self._metadata.get(str(vector_id), {})
@@ -455,7 +492,7 @@ class VectorStore:
             out = []
             for row in rows:
                 vid = self._row_to_id[row]
-                vec = mat[row]
+                vec = mat[row][: self._dim]
                 if self.dtype == "int8":
                     vec = vec.astype(np.float32) * scales[row]
                 out.append((vid, vec, self._metadata.get(vid, {})))
@@ -564,7 +601,10 @@ class VectorStore:
         store._dim = d
         cap = max(_next_pow2(n), MIN_CAPACITY)
         store._capacity = cap
+        width = _pad128(d)
         arr_dev = store._put(arr)
+        if width != d:
+            arr_dev = _pad_width(arr_dev, width)
         if store.dtype == "int8":
             codes, scales, norms, valid = _bulk_build_int8(arr_dev, cap)
             store._vectors, store._scales, store._norms, store._valid = (
