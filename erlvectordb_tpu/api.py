@@ -1,0 +1,268 @@
+"""Public API facade — the 23-verb surface of the reference's erlvectordb.erl.
+
+One :class:`Database` object wires together the registry, persistence,
+backup, compression, cluster, and OAuth subsystems, exposing the same verbs
+the reference exports (src/erlvectordb.erl:16-44): store CRUD,
+insert/search/delete, sync, backup/restore/export/import, OAuth client ops,
+cluster ops, and compression ops.  The network frontends (serve/) all call
+through this facade.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from pathlib import Path
+from typing import Any, List, Optional, Sequence, Tuple
+
+from erlvectordb_tpu.core import StoreRegistry, VectorStore
+from erlvectordb_tpu.core.registry import StoreNotFound
+from erlvectordb_tpu.infra.config import Config, load_config
+from erlvectordb_tpu.persist import backup as backup_mod
+from erlvectordb_tpu.persist.snapshot import PersistenceManager, list_persisted
+from erlvectordb_tpu.quant import compression as compression_mod
+from erlvectordb_tpu.serve.oauth import OAuthServer
+
+
+class Database:
+    """A running erlvectordb-tpu instance (the `application` analogue)."""
+
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or load_config()
+        self.registry = StoreRegistry()
+        self.persistence: Optional[PersistenceManager] = None
+        if self.config.persistence_enabled:
+            self.persistence = PersistenceManager(
+                self.config.persistence_dir,
+                sync_interval=self.config.sync_interval,
+                compression=(
+                    self.config.compression_algorithm
+                    if self.config.compression_enabled
+                    else None
+                ),
+            )
+        self.oauth = OAuthServer(
+            enabled=self.config.oauth_enabled,
+            access_lifetime=self.config.access_token_lifetime,
+            refresh_lifetime=self.config.refresh_token_lifetime,
+            default_client=(
+                self.config.default_client_id,
+                self.config.default_client_secret,
+                ["read", "write", "admin"],
+            ),
+        )
+        self._cluster = None  # lazy: ClusterManager touches jax devices
+        self._lock = threading.RLock()
+        self._started = False
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> "Database":
+        """Load persisted stores and start the sync loop (the app-start
+        analogue; reference store init reload src/vector_store.erl:63-103)."""
+        with self._lock:
+            if self._started:
+                return self
+            if self.persistence is not None:
+                for name in list_persisted(self.config.persistence_dir):
+                    if not self.registry.exists(name):
+                        store = self.persistence.open_store(name)
+                        if store is not None:
+                            self.registry.adopt(store)
+                self.persistence.start()
+            self._started = True
+            return self
+
+    def stop(self) -> None:
+        with self._lock:
+            if self.persistence is not None:
+                self.persistence.close()
+            self._started = False
+
+    # ------------------------------------------------------------ store ops
+
+    def create_store(self, name: str, dim: Optional[int] = None,
+                     metric: str = "cosine", dtype: str = "float32") -> dict:
+        store = self.registry.create(name, dim=dim, metric=metric, dtype=dtype)
+        if self.persistence is not None:
+            self.persistence.track(store)
+        return store.get_stats()
+
+    def delete_store(self, name: str) -> bool:
+        if self.persistence is not None:
+            self.persistence.untrack(name)
+        return self.registry.drop(name)
+
+    def list_stores(self) -> List[str]:
+        return self.registry.list()
+
+    def get_store(self, name: str) -> VectorStore:
+        return self.registry.get(name)
+
+    def insert(self, store: str, vector_id: str, vector,
+               metadata: Optional[dict] = None) -> None:
+        self.registry.get(store).insert(vector_id, vector, metadata)
+
+    def insert_batch(self, store: str, ids: Sequence[str], vectors,
+                     metadatas: Optional[Sequence[Optional[dict]]] = None) -> None:
+        self.registry.get(store).insert_batch(ids, vectors, metadatas)
+
+    def search(self, store: str, query, k: int = 10,
+               metric: Optional[str] = None) -> List[Tuple[str, Any, float]]:
+        return self.registry.get(store).search(query, k=k, metric=metric)
+
+    def search_batch(self, store: str, queries, k: int = 10,
+                     metric: Optional[str] = None):
+        return self.registry.get(store).search_batch(queries, k=k, metric=metric)
+
+    def delete(self, store: str, vector_id: str) -> bool:
+        return self.registry.get(store).delete(vector_id)
+
+    def get_stats(self, store: str) -> dict:
+        return self.registry.get(store).get_stats()
+
+    def get_all_vectors(self, store: str):
+        return self.registry.get(store).get_all_vectors()
+
+    def sync(self, store: str) -> bool:
+        """Force a persistence sync (reference sync/1)."""
+        self.registry.get(store)  # raises StoreNotFound if absent
+        if self.persistence is None:
+            return False
+        return self.persistence.sync(store)
+
+    # --------------------------------------------------------------- backup
+
+    def backup_store(self, store: str, backup_name: str) -> str:
+        s = self.registry.get(store)
+        return backup_mod.backup_store(s, backup_name, self.config.backup_dir)
+
+    def restore_store(self, backup_file: str, new_name: Optional[str] = None) -> dict:
+        path = Path(self.config.backup_dir) / Path(backup_file).name
+        if not path.exists():
+            path = Path(backup_file)
+        store = backup_mod.restore_store(path, new_name=new_name)
+        self.registry.adopt(store)
+        if self.persistence is not None:
+            self.persistence.track(store)
+        return store.get_stats()
+
+    def list_backups(self) -> List[dict]:
+        return backup_mod.list_backups(self.config.backup_dir)
+
+    def delete_backup(self, backup_file: str) -> bool:
+        return backup_mod.delete_backup(backup_file, self.config.backup_dir)
+
+    def export_store(self, store: str, path: str) -> str:
+        return backup_mod.export_store(self.registry.get(store), path)
+
+    def import_store(self, path: str, new_name: Optional[str] = None) -> dict:
+        store = backup_mod.import_store(path, new_name=new_name)
+        self.registry.adopt(store)
+        if self.persistence is not None:
+            self.persistence.track(store)
+        return store.get_stats()
+
+    # -------------------------------------------------------------- cluster
+
+    @property
+    def cluster(self):
+        if self._cluster is None:
+            from erlvectordb_tpu.parallel.cluster import ClusterManager
+
+            self._cluster = ClusterManager(
+                replication_factor=self.config.replication_factor
+            )
+        return self._cluster
+
+    def create_distributed_store(self, name: str, dim: Optional[int] = None,
+                                 metric: str = "cosine",
+                                 dtype: str = "float32") -> dict:
+        """Create a store sharded across the device mesh
+        (reference create_distributed_store, src/erlvectordb.erl:57-63)."""
+        from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
+
+        sharded = ShardedVectorStore(name, self.cluster.mesh, dim=dim,
+                                     metric=metric, dtype=dtype)
+        self.cluster.distribute_store(sharded)
+        return sharded.get_stats()
+
+    def distribute_store(self, name: str) -> dict:
+        """Move an existing local store onto the mesh."""
+        local = self.registry.get(name)
+        sharded = self.cluster.distribute_store(local)
+        self.registry.drop(name)
+        if self.persistence is not None:
+            self.persistence.untrack(name)
+        return sharded.get_stats()
+
+    def get_store_location(self, name: str):
+        return self.cluster.get_store_location(name)
+
+    def get_cluster_nodes(self):
+        return self.cluster.get_cluster_nodes()
+
+    def get_cluster_stats(self):
+        return self.cluster.get_cluster_stats()
+
+    def join_cluster(self, coordinator_address=None, num_processes=None,
+                     process_id=None):
+        return self.cluster.join_cluster(coordinator_address, num_processes,
+                                         process_id)
+
+    def leave_cluster(self):
+        return self.cluster.leave_cluster()
+
+    # -------------------------------------------------------- store routing
+
+    def any_store(self, name: str):
+        """A store by name, local or distributed (search/insert routing for
+        the network frontends)."""
+        local = self.registry.get_or_none(name)
+        if local is not None:
+            return local
+        if self._cluster is not None:
+            sharded = self._cluster.get_store(name)
+            if sharded is not None:
+                return sharded
+        raise StoreNotFound(f"store {name!r} not found")
+
+    # ----------------------------------------------------------- compression
+
+    def compress_vector(self, vector, algorithm: str, **kw):
+        return compression_mod.compress_vector(vector, algorithm, **kw)
+
+    def decompress_vector(self, compressed, **kw):
+        return compression_mod.decompress_vector(compressed, **kw)
+
+    def get_supported_algorithms(self):
+        return compression_mod.get_supported_algorithms()
+
+    def benchmark_compression(self, vector, algorithm: str, **kw):
+        return compression_mod.benchmark_compression(vector, algorithm, **kw)
+
+    # ---------------------------------------------------------------- oauth
+
+    def register_oauth_client(self, client_id: str, secret: str,
+                              scopes: Optional[List[str]] = None) -> dict:
+        return self.oauth.register_client(client_id, secret, scopes)
+
+    def get_access_token(self, client_id: str, secret: str,
+                         scopes: Optional[List[str]] = None) -> dict:
+        return self.oauth.grant_client_credentials(client_id, secret, scopes)
+
+    def validate_token(self, token: str):
+        return self.oauth.validate_token(token)
+
+
+_default_db: Optional[Database] = None
+_default_lock = threading.Lock()
+
+
+def default_database() -> Database:
+    """Process-wide default instance (the `erlvectordb:start()` analogue)."""
+    global _default_db
+    with _default_lock:
+        if _default_db is None:
+            _default_db = Database().start()
+        return _default_db

@@ -1,0 +1,247 @@
+"""MCP server — JSON-RPC 2.0 over raw TCP, one handler thread per client.
+
+Capability parity with the reference's mcp_server (src/mcp_server.erl):
+  * listens on the port-manager-assigned MCP port (:36-58), accept loop
+    spawning a handler per connection (:79-89) — thread-per-connection here;
+  * request loop: recv -> JSON decode -> auth -> dispatch -> respond (:91-133);
+  * methods: ``initialize`` (protocolVersion 2024-11-05, advertises
+    oauth2.1; :135-155), ``tools/list`` filtered by client scopes
+    (:157-165), ``tools/call`` with scope enforcement (:167-188), plus
+    ``ping`` and ``notifications/initialized`` accepted per MCP spec;
+  * auth: bearer token in the nonstandard top-level ``"auth"`` field the
+    reference uses (:201-218) AND standard ``params.auth`` /
+    ``Authorization``-style fallbacks; ``oauth_enabled=false`` grants all
+    scopes;
+  * framing: newline-delimited JSON, plus tolerant incremental decode of
+    concatenated JSON objects (what the reference's raw recv+jsx amounts to).
+
+The reference's create_store/insert_vector dispatch bug is fixed in
+serve/tools.py (see its module docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import socket
+import threading
+from typing import Optional, Set
+
+from erlvectordb_tpu.api import Database
+from erlvectordb_tpu.serve import tools as tools_mod
+
+logger = logging.getLogger("evdb.mcp")
+
+PROTOCOL_VERSION = "2024-11-05"
+SERVER_NAME = "erlvectordb-tpu"
+SERVER_VERSION = "0.1.0"
+
+# JSON-RPC error codes
+PARSE_ERROR = -32700
+INVALID_REQUEST = -32600
+METHOD_NOT_FOUND = -32601
+INVALID_PARAMS = -32602
+INTERNAL_ERROR = -32603
+AUTH_ERROR = -32001
+PERMISSION_ERROR = -32002
+
+
+def _error(req_id, code, message):
+    return {"jsonrpc": "2.0", "id": req_id, "error": {"code": code, "message": message}}
+
+
+def _result(req_id, result):
+    return {"jsonrpc": "2.0", "id": req_id, "result": result}
+
+
+class MCPServer:
+    def __init__(self, db: Database, host: str = "127.0.0.1", port: int = 8080):
+        self.db = db
+        self.host = host
+        self.port = port
+        self._sock: Optional[socket.socket] = None
+        self._accept_thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._clients: Set[socket.socket] = set()
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ lifecycle
+
+    def start(self) -> "MCPServer":
+        sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        sock.bind((self.host, self.port))
+        sock.listen(64)
+        self._sock = sock
+        self._stop.clear()
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, name="evdb-mcp-accept", daemon=True
+        )
+        self._accept_thread.start()
+        logger.info("MCP server listening on %s:%d", self.host, self.port)
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        with self._lock:
+            for c in list(self._clients):
+                try:
+                    c.close()
+                except OSError:
+                    pass
+            self._clients.clear()
+        if self._accept_thread is not None:
+            self._accept_thread.join(timeout=2)
+            self._accept_thread = None
+
+    def is_alive(self) -> bool:
+        return self._sock is not None and not self._stop.is_set()
+
+    # -------------------------------------------------------------- accept
+
+    def _accept_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                conn, addr = self._sock.accept()
+            except OSError:
+                return
+            with self._lock:
+                self._clients.add(conn)
+            threading.Thread(
+                target=self._handle_client, args=(conn, addr), daemon=True
+            ).start()
+
+    def _handle_client(self, conn: socket.socket, addr) -> None:
+        decoder = json.JSONDecoder()
+        buf = ""
+        try:
+            while not self._stop.is_set():
+                try:
+                    chunk = conn.recv(65536)
+                except OSError:
+                    break
+                if not chunk:
+                    break
+                buf += chunk.decode("utf-8", errors="replace")
+                while buf:
+                    stripped = buf.lstrip()
+                    if not stripped:
+                        buf = ""
+                        break
+                    try:
+                        obj, end = decoder.raw_decode(stripped)
+                    except json.JSONDecodeError:
+                        if "\n" in stripped:
+                            # garbage line: report parse error, drop the line
+                            self._send(conn, _error(None, PARSE_ERROR, "Parse error"))
+                            buf = stripped.split("\n", 1)[1]
+                            continue
+                        buf = stripped  # incomplete: wait for more bytes
+                        break
+                    buf = stripped[end:]
+                    resp = self._process(obj)
+                    if resp is not None:
+                        self._send(conn, resp)
+        finally:
+            with self._lock:
+                self._clients.discard(conn)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _send(conn: socket.socket, obj: dict) -> None:
+        try:
+            conn.sendall((json.dumps(obj) + "\n").encode())
+        except OSError:
+            pass
+
+    # ------------------------------------------------------------- requests
+
+    def _auth_scopes(self, req: dict) -> Optional[Set[str]]:
+        """Bearer token from the reference's top-level "auth" field (or
+        params.auth); None means rejected."""
+        token = None
+        auth = req.get("auth")
+        if isinstance(auth, dict):
+            token = auth.get("token") or auth.get("access_token")
+        elif isinstance(auth, str):
+            token = auth[7:] if auth.lower().startswith("bearer ") else auth
+        if token is None:
+            params = req.get("params") or {}
+            pauth = params.get("auth")
+            if isinstance(pauth, dict):
+                token = pauth.get("token") or pauth.get("access_token")
+            elif isinstance(pauth, str):
+                token = pauth
+        if not self.db.oauth.enabled:
+            return {"read", "write", "admin"}
+        if token is None:
+            return None
+        info = self.db.oauth.validate_token(token)
+        return None if info is None else info["scopes"]
+
+    def _process(self, req: dict) -> Optional[dict]:
+        if not isinstance(req, dict) or req.get("jsonrpc") != "2.0":
+            return _error(None, INVALID_REQUEST, "Invalid Request")
+        req_id = req.get("id")
+        method = req.get("method")
+        params = req.get("params") or {}
+
+        if method == "notifications/initialized":
+            return None  # notification: no response
+        if method == "ping":
+            return _result(req_id, {})
+
+        if method == "initialize":
+            return _result(req_id, {
+                "protocolVersion": PROTOCOL_VERSION,
+                "capabilities": {
+                    "tools": {"listChanged": False},
+                    "authentication": {"type": "oauth2.1"} if self.db.oauth.enabled else {},
+                },
+                "serverInfo": {"name": SERVER_NAME, "version": SERVER_VERSION},
+            })
+
+        # everything below requires auth (reference :157-188)
+        scopes = self._auth_scopes(req)
+        if scopes is None:
+            return _error(req_id, AUTH_ERROR, "Authentication required")
+
+        if method == "tools/list":
+            return _result(req_id, {"tools": tools_mod.list_tools(scopes)})
+
+        if method == "tools/call":
+            name = params.get("name")
+            args = params.get("arguments") or {}
+            if not name:
+                return _error(req_id, INVALID_PARAMS, "Missing tool name")
+            if name not in tools_mod.TOOLS:
+                return _error(req_id, METHOD_NOT_FOUND, f"Unknown tool: {name}")
+            if not tools_mod.check_permission(name, scopes):
+                return _error(
+                    req_id, PERMISSION_ERROR,
+                    f"Insufficient scope for tool {name!r} "
+                    f"(requires {tools_mod.tool_scope(name)})",
+                )
+            try:
+                out = tools_mod.call_tool(self.db, name, args)
+            except tools_mod.ToolError as e:
+                return _error(req_id, INVALID_PARAMS, str(e))
+            except KeyError as e:
+                return _error(req_id, INVALID_PARAMS, str(e))
+            except Exception as e:  # noqa: BLE001 — fault barrier per request
+                logger.exception("tool %s failed", name)
+                return _error(req_id, INTERNAL_ERROR, f"{type(e).__name__}: {e}")
+            return _result(req_id, {
+                "content": [{"type": "text", "text": json.dumps(out)}],
+                "isError": False,
+            })
+
+        return _error(req_id, METHOD_NOT_FOUND, f"Method not found: {method}")

@@ -1,0 +1,213 @@
+"""MCP tool schemas and dispatch — scope-gated, with the reference bug fixed.
+
+The reference advertises 7 tools (src/mcp_server.erl:221-318) but its
+dispatcher is broken: the ``create_store`` clause actually performs an
+*insert* (reads store/id/vector args, :320-332) and there is no
+``insert_vector`` clause at all, so insert_vector falls through to "Unknown
+tool" (:398-399; independently documented in INTEGRATION_TEST_RESULTS.md
+"Parameter Schema Mismatch").  Here each tool does what its schema says.
+
+Scope matrix (reference check_tool_permission :414-427):
+  read  — search_vectors, get_store_stats, list_stores
+  write — create_store, insert_vector, delete_vector, sync_store
+  admin — backup_store, restore_store, list_backups, delete_store
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any, Dict, List, Set
+
+if TYPE_CHECKING:  # avoid circular import: api.py imports serve.oauth
+    from erlvectordb_tpu.api import Database
+
+
+class ToolError(Exception):
+    pass
+
+
+def _schema(name: str, description: str, scope: str, properties: dict,
+            required: List[str]) -> dict:
+    return {
+        "name": name,
+        "description": description,
+        "inputSchema": {
+            "type": "object",
+            "properties": properties,
+            "required": required,
+        },
+        # carried internally for scope checks; stripped before tools/list
+        "x-scope": scope,
+    }
+
+
+TOOLS: Dict[str, dict] = {
+    t["name"]: t
+    for t in [
+        _schema(
+            "create_store",
+            "Create a new vector store",
+            "write",
+            {
+                "name": {"type": "string", "description": "Store name"},
+                "dimension": {"type": "integer", "description": "Optional fixed dimension"},
+                "metric": {"type": "string", "enum": ["cosine", "euclidean", "manhattan", "dot"]},
+                "dtype": {"type": "string", "enum": ["float32", "int8"]},
+            },
+            ["name"],
+        ),
+        _schema(
+            "insert_vector",
+            "Insert (or overwrite) a vector with optional metadata",
+            "write",
+            {
+                "store": {"type": "string"},
+                "id": {"type": "string"},
+                "vector": {"type": "array", "items": {"type": "number"}},
+                "metadata": {"type": "object"},
+            },
+            ["store", "id", "vector"],
+        ),
+        _schema(
+            "search_vectors",
+            "Exact top-k similarity search",
+            "read",
+            {
+                "store": {"type": "string"},
+                "vector": {"type": "array", "items": {"type": "number"}},
+                "k": {"type": "integer", "default": 10},
+                "metric": {"type": "string"},
+            },
+            ["store", "vector"],
+        ),
+        _schema(
+            "delete_vector",
+            "Delete a vector by id",
+            "write",
+            {"store": {"type": "string"}, "id": {"type": "string"}},
+            ["store", "id"],
+        ),
+        _schema(
+            "get_store_stats",
+            "Store statistics (count, dimension, memory)",
+            "read",
+            {"store": {"type": "string"}},
+            ["store"],
+        ),
+        _schema(
+            "list_stores",
+            "List all stores",
+            "read",
+            {},
+            [],
+        ),
+        _schema(
+            "sync_store",
+            "Force a persistence sync of a store",
+            "write",
+            {"store": {"type": "string"}},
+            ["store"],
+        ),
+        _schema(
+            "backup_store",
+            "Write a point-in-time backup",
+            "admin",
+            {"store": {"type": "string"}, "backup_name": {"type": "string"}},
+            ["store", "backup_name"],
+        ),
+        _schema(
+            "restore_store",
+            "Restore a store from a backup file",
+            "admin",
+            {"backup_file": {"type": "string"}, "new_name": {"type": "string"}},
+            ["backup_file"],
+        ),
+        _schema(
+            "list_backups",
+            "List available backups",
+            "admin",
+            {},
+            [],
+        ),
+        _schema(
+            "delete_store",
+            "Delete an entire store",
+            "admin",
+            {"store": {"type": "string"}},
+            ["store"],
+        ),
+    ]
+}
+
+
+def tool_scope(name: str) -> str:
+    return TOOLS[name]["x-scope"]
+
+
+def list_tools(scopes: Set[str]) -> List[dict]:
+    """Tools visible to a client, filtered by its scopes
+    (reference :157-165, :401-412); schemas without internal keys."""
+    out = []
+    for t in TOOLS.values():
+        if t["x-scope"] in scopes:
+            out.append({k: v for k, v in t.items() if not k.startswith("x-")})
+    return out
+
+
+def check_permission(name: str, scopes: Set[str]) -> bool:
+    t = TOOLS.get(name)
+    return t is not None and t["x-scope"] in scopes
+
+
+def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
+    """Execute one tool call against the database facade."""
+    if name not in TOOLS:
+        raise ToolError(f"Unknown tool: {name}")
+    missing = [r for r in TOOLS[name]["inputSchema"]["required"] if r not in args]
+    if missing:
+        raise ToolError(f"{name}: missing required arguments {missing}")
+
+    if name == "create_store":
+        return db.create_store(
+            args["name"],
+            dim=args.get("dimension"),
+            metric=args.get("metric", "cosine"),
+            dtype=args.get("dtype", "float32"),
+        )
+    if name == "insert_vector":
+        db.any_store(args["store"]).insert(
+            args["id"], args["vector"], args.get("metadata") or {}
+        )
+        return {"status": "ok", "store": args["store"], "id": args["id"]}
+    if name == "search_vectors":
+        hits = db.any_store(args["store"]).search(
+            args["vector"], k=int(args.get("k", 10)), metric=args.get("metric")
+        )
+        return {
+            "results": [
+                {"id": vid, "metadata": meta, "distance": dist}
+                for vid, meta, dist in hits
+            ]
+        }
+    if name == "delete_vector":
+        ok = db.any_store(args["store"]).delete(args["id"])
+        if not ok:
+            raise ToolError(f"vector {args['id']!r} not found")
+        return {"status": "ok"}
+    if name == "get_store_stats":
+        return db.any_store(args["store"]).get_stats()
+    if name == "list_stores":
+        return {"stores": db.list_stores()}
+    if name == "sync_store":
+        return {"synced": db.sync(args["store"])}
+    if name == "backup_store":
+        path = db.backup_store(args["store"], args["backup_name"])
+        return {"status": "ok", "backup_file": path.rsplit("/", 1)[-1]}
+    if name == "restore_store":
+        return db.restore_store(args["backup_file"], args.get("new_name"))
+    if name == "list_backups":
+        return {"backups": db.list_backups()}
+    if name == "delete_store":
+        if not db.delete_store(args["store"]):
+            raise ToolError(f"store {args['store']!r} not found")
+        return {"status": "ok"}
+    raise ToolError(f"Unknown tool: {name}")  # unreachable

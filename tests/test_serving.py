@@ -1,0 +1,324 @@
+"""End-to-end serving tests: full Application over real sockets — the
+analogue of the reference's integration tests (test_server.sh curl flow +
+examples/test_integration_basic.py: token, MCP initialize/tools-list/
+tools-call, REST health + CRUD, scope rejection, graceful shutdown)."""
+
+import json
+import socket
+import urllib.request
+import urllib.error
+import urllib.parse
+
+import pytest
+
+from erlvectordb_tpu.app import Application
+from erlvectordb_tpu.infra.config import load_config
+
+BASE = 24100
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serving")
+    cfg = load_config(overrides={
+        "services": {
+            "mcp_server": {"preferred_port": BASE, "range": (BASE, BASE + 9)},
+            "oauth_server": {"preferred_port": BASE + 10, "range": (BASE + 10, BASE + 19)},
+            "rest_api": {"preferred_port": BASE + 20, "range": (BASE + 20, BASE + 29)},
+            "health_check": {"preferred_port": BASE + 30, "range": (BASE + 30, BASE + 39)},
+        },
+        "persistence_dir": str(tmp / "data"),
+        "backup_dir": str(tmp / "backups"),
+        "sync_interval": 9999,
+    }, env={})
+    application = Application(cfg).start()
+    yield application
+    application.stop()
+
+
+def _http(method, url, body=None, token=None, form=False):
+    headers = {}
+    data = None
+    if body is not None:
+        if form:
+            data = urllib.parse.urlencode(body).encode()
+            headers["Content-Type"] = "application/x-www-form-urlencoded"
+        else:
+            data = json.dumps(body).encode()
+            headers["Content-Type"] = "application/json"
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
+    req = urllib.request.Request(url, data=data, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            return resp.status, json.loads(resp.read() or b"{}")
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read() or b"{}")
+
+
+class MCPClient:
+    def __init__(self, port, token=None):
+        self.sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+        self.buf = b""
+        self.token = token
+        self._id = 0
+
+    def call(self, method, params=None, auth=True):
+        self._id += 1
+        req = {"jsonrpc": "2.0", "id": self._id, "method": method,
+               "params": params or {}}
+        if auth and self.token:
+            req["auth"] = {"token": self.token}
+        self.sock.sendall((json.dumps(req) + "\n").encode())
+        while b"\n" not in self.buf:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed")
+            self.buf += chunk
+        line, self.buf = self.buf.split(b"\n", 1)
+        return json.loads(line)
+
+    def close(self):
+        self.sock.close()
+
+
+@pytest.fixture(scope="module")
+def token(app):
+    port = app.service_port("oauth_server")
+    status, tok = _http("POST", f"http://127.0.0.1:{port}/oauth/token", {
+        "grant_type": "client_credentials",
+        "client_id": "erlvectordb_client",
+        "client_secret": "erlvectordb_secret",
+    }, form=True)
+    assert status == 200, tok
+    return tok
+
+
+class TestOAuthHTTP:
+    def test_token_flow(self, token):
+        assert token["token_type"] == "Bearer"
+        assert "access_token" in token and "refresh_token" in token
+
+    def test_bad_credentials(self, app):
+        port = app.service_port("oauth_server")
+        status, err = _http("POST", f"http://127.0.0.1:{port}/oauth/token", {
+            "grant_type": "client_credentials",
+            "client_id": "erlvectordb_client",
+            "client_secret": "wrong",
+        }, form=True)
+        assert status == 401
+        assert err["error"] == "invalid_client"
+
+    def test_plus_in_form_value_decodes_as_space(self, app):
+        # the reference's form parser bug ("Bug #1"): '+' must decode to space
+        port = app.service_port("oauth_server")
+        status, err = _http("POST", f"http://127.0.0.1:{port}/oauth/token", {
+            "grant_type": "client_credentials",
+            "client_id": "erlvectordb_client",
+            "client_secret": "erlvectordb_secret",
+            "scope": "read write",  # urlencode turns the space into '+'
+        }, form=True)
+        assert status == 200
+        assert set(err["scope"].split()) == {"read", "write"}
+
+    def test_client_info(self, app, token):
+        port = app.service_port("oauth_server")
+        status, info = _http(
+            "GET", f"http://127.0.0.1:{port}/oauth/client_info",
+            token=token["access_token"],
+        )
+        assert status == 200
+        assert info["client_id"] == "erlvectordb_client"
+
+    def test_refresh_rotation(self, app, token):
+        port = app.service_port("oauth_server")
+        status, t2 = _http("POST", f"http://127.0.0.1:{port}/oauth/token", {
+            "grant_type": "refresh_token",
+            "refresh_token": token["refresh_token"],
+        }, form=True)
+        assert status == 200
+        status, _ = _http("POST", f"http://127.0.0.1:{port}/oauth/token", {
+            "grant_type": "refresh_token",
+            "refresh_token": token["refresh_token"],
+        }, form=True)
+        assert status == 401  # rotated away
+        token["access_token"] = t2["access_token"]  # keep later tests working
+        token["refresh_token"] = t2["refresh_token"]
+
+
+class TestMCP:
+    def test_initialize_and_tools(self, app, token):
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            r = c.call("initialize")
+            assert r["result"]["protocolVersion"] == "2024-11-05"
+            assert r["result"]["serverInfo"]["name"] == "erlvectordb-tpu"
+            r = c.call("tools/list")
+            names = {t["name"] for t in r["result"]["tools"]}
+            assert {"create_store", "insert_vector", "search_vectors",
+                    "backup_store"} <= names
+        finally:
+            c.close()
+
+    def test_tool_call_crud_flow(self, app, token):
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            r = c.call("tools/call", {"name": "create_store",
+                                      "arguments": {"name": "mcp_store"}})
+            assert not r["result"]["isError"]
+            # the reference's bug: create_store inserted instead; verify ours
+            # actually created an empty store
+            stats = json.loads(r["result"]["content"][0]["text"])
+            assert stats["count"] == 0
+
+            r = c.call("tools/call", {"name": "insert_vector", "arguments": {
+                "store": "mcp_store", "id": "a", "vector": [1.0, 0.0],
+                "metadata": {"tag": "x"}}})
+            assert not r["result"]["isError"]
+
+            r = c.call("tools/call", {"name": "search_vectors", "arguments": {
+                "store": "mcp_store", "vector": [1.0, 0.0], "k": 1}})
+            hits = json.loads(r["result"]["content"][0]["text"])["results"]
+            assert hits[0]["id"] == "a"
+            assert hits[0]["metadata"] == {"tag": "x"}
+
+            r = c.call("tools/call", {"name": "sync_store",
+                                      "arguments": {"store": "mcp_store"}})
+            assert not r["result"]["isError"]
+
+            r = c.call("tools/call", {"name": "backup_store", "arguments": {
+                "store": "mcp_store", "backup_name": "t1"}})
+            backup_file = json.loads(r["result"]["content"][0]["text"])["backup_file"]
+
+            r = c.call("tools/call", {"name": "list_backups", "arguments": {}})
+            files = [b["file"] for b in
+                     json.loads(r["result"]["content"][0]["text"])["backups"]]
+            assert backup_file in files
+
+            r = c.call("tools/call", {"name": "restore_store", "arguments": {
+                "backup_file": backup_file, "new_name": "mcp_restored"}})
+            stats = json.loads(r["result"]["content"][0]["text"])
+            assert stats["count"] == 1
+        finally:
+            c.close()
+
+    def test_unauthenticated_rejected(self, app):
+        c = MCPClient(app.service_port("mcp_server"), token=None)
+        try:
+            r = c.call("tools/list", auth=False)
+            assert r["error"]["code"] == -32001
+        finally:
+            c.close()
+
+    def test_scope_enforcement(self, app):
+        # read-only client cannot call write tools
+        app.db.oauth.register_client("ro_client", "s3", ["read"])
+        tok = app.db.oauth.grant_client_credentials("ro_client", "s3")
+        c = MCPClient(app.service_port("mcp_server"), tok["access_token"])
+        try:
+            r = c.call("tools/call", {"name": "create_store",
+                                      "arguments": {"name": "nope"}})
+            assert r["error"]["code"] == -32002
+            r = c.call("tools/list")
+            names = {t["name"] for t in r["result"]["tools"]}
+            assert "create_store" not in names
+            assert "search_vectors" in names
+        finally:
+            c.close()
+
+    def test_unknown_tool_and_method(self, app, token):
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            r = c.call("tools/call", {"name": "explode", "arguments": {}})
+            assert r["error"]["code"] == -32601
+            r = c.call("no/such/method")
+            assert r["error"]["code"] == -32601
+        finally:
+            c.close()
+
+    def test_parse_error(self, app):
+        s = socket.create_connection(("127.0.0.1", app.service_port("mcp_server")),
+                                     timeout=5)
+        try:
+            s.sendall(b"this is not json\n")
+            data = s.recv(65536)
+            assert json.loads(data)["error"]["code"] == -32700
+        finally:
+            s.close()
+
+
+class TestREST:
+    def test_health_unauthenticated(self, app):
+        port = app.service_port("rest_api")
+        status, body = _http("GET", f"http://127.0.0.1:{port}/health")
+        assert status == 200
+        assert body["status"] in ("healthy", "degraded")
+        status, body = _http("GET", f"http://127.0.0.1:{port}/health/detailed")
+        assert "checks" in body
+        status, body = _http("GET", f"http://127.0.0.1:{port}/ready")
+        assert body["ready"] is True
+
+    def test_store_crud_flow(self, app, token):
+        port = app.service_port("rest_api")
+        tok = token["access_token"]
+        status, body = _http("POST", f"http://127.0.0.1:{port}/api/v1/stores",
+                             {"name": "rest_store", "metric": "euclidean"}, tok)
+        assert status == 201, body
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest_store/vectors",
+            {"id": "v1", "vector": [1.0, 2.0], "metadata": {"k": 1}}, tok)
+        assert status == 201
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest_store/vectors",
+            {"vectors": [{"id": "v2", "vector": [3.0, 4.0]},
+                         {"id": "v3", "vector": [5.0, 6.0]}]}, tok)
+        assert body["inserted"] == 2
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest_store/search",
+            {"vector": [1.0, 2.0], "k": 2}, tok)
+        assert status == 200
+        assert body["results"][0]["id"] == "v1"
+        status, body = _http(
+            "GET", f"http://127.0.0.1:{port}/api/v1/stores/rest_store/stats",
+            token=tok)
+        assert body["count"] == 3
+        status, body = _http(
+            "DELETE", f"http://127.0.0.1:{port}/api/v1/stores/rest_store/vectors/v2",
+            token=tok)
+        assert status == 200
+        status, body = _http("GET", f"http://127.0.0.1:{port}/api/v1/stores",
+                             token=tok)
+        assert "rest_store" in body["stores"]
+        status, body = _http(
+            "DELETE", f"http://127.0.0.1:{port}/api/v1/stores/rest_store",
+            token=tok)
+        assert status == 200
+
+    def test_auth_required(self, app):
+        port = app.service_port("rest_api")
+        status, _ = _http("GET", f"http://127.0.0.1:{port}/api/v1/stores")
+        assert status == 401
+
+    def test_ports_status(self, app, token):
+        port = app.service_port("rest_api")
+        status, body = _http("GET", f"http://127.0.0.1:{port}/api/v1/ports/status",
+                             token=token["access_token"])
+        assert status == 200
+        assert body["mcp_server"]["status"] == "allocated"
+
+    def test_errors(self, app, token):
+        port = app.service_port("rest_api")
+        tok = token["access_token"]
+        status, _ = _http("GET", f"http://127.0.0.1:{port}/api/v1/stores/ghost/stats",
+                          token=tok)
+        assert status == 404
+        status, _ = _http("POST", f"http://127.0.0.1:{port}/api/v1/stores",
+                          {"name": "dup1"}, tok)
+        status, _ = _http("POST", f"http://127.0.0.1:{port}/api/v1/stores",
+                          {"name": "dup1"}, tok)
+        assert status == 409
+
+    def test_app_status(self, app):
+        st = app.status()
+        assert st["running"]
+        assert st["services"]["mcp_server"]["running"]
