@@ -51,6 +51,9 @@ class Database:
                 ["read", "write", "admin"],
             ),
         )
+        from erlvectordb_tpu.core.index_manager import IndexManager
+
+        self.indexes = IndexManager(self.registry)
         self._cluster = None  # lazy: ClusterManager touches jax devices
         self._lock = threading.RLock()
         self._started = False
@@ -226,6 +229,27 @@ class Database:
             if sharded is not None:
                 return sharded
         raise StoreNotFound(f"store {name!r} not found")
+
+    # --------------------------------------------------------------- indexes
+
+    def create_index(self, name: str, store: str, index_type: str,
+                     parameters: Optional[dict] = None) -> dict:
+        return self.indexes.create_index(name, store, index_type, parameters)
+
+    def build_index(self, name: str, wait: bool = True) -> dict:
+        return self.indexes.build_index(name, wait=wait)
+
+    def list_indexes(self) -> List[dict]:
+        return self.indexes.list_indexes()
+
+    def get_index_info(self, name: str):
+        return self.indexes.get_index_info(name)
+
+    def drop_index(self, name: str) -> bool:
+        return self.indexes.drop_index(name)
+
+    def search_index(self, name: str, query, k: int = 10):
+        return self.indexes.search(name, query, k=k)
 
     # ----------------------------------------------------------- compression
 

@@ -1,0 +1,138 @@
+"""Index manager tests — the reference's index_manager is simulated
+(sleep + fake stats, src/vector_index_manager.erl:58-66); these verify OURS
+actually builds and that search consults the built artifact."""
+
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.core import StoreRegistry
+from erlvectordb_tpu.core.index_manager import IndexError_, IndexManager
+from erlvectordb_tpu.core.store import VectorStore
+
+
+@pytest.fixture
+def setup(rng):
+    registry = StoreRegistry()
+    store = registry.create("s", metric="euclidean")
+    data = rng.standard_normal((600, 32)).astype(np.float32)
+    store.insert_batch([f"v{i}" for i in range(600)], data)
+    return registry, IndexManager(registry), data
+
+
+class TestRegistry:
+    def test_create_and_list(self, setup):
+        _, im, _ = setup
+        info = im.create_index("i1", "s", "flat")
+        assert info["built"]  # flat needs no build
+        assert [i["name"] for i in im.list_indexes()] == ["i1"]
+
+    def test_duplicate_rejected(self, setup):
+        _, im, _ = setup
+        im.create_index("i1", "s", "flat")
+        with pytest.raises(IndexError_):
+            im.create_index("i1", "s", "flat")
+
+    def test_unknown_type(self, setup):
+        _, im, _ = setup
+        with pytest.raises(IndexError_):
+            im.create_index("i1", "s", "hnsw")
+
+    def test_unknown_store(self, setup):
+        _, im, _ = setup
+        with pytest.raises(Exception):
+            im.create_index("i1", "ghost", "flat")
+
+    def test_drop(self, setup):
+        _, im, _ = setup
+        im.create_index("i1", "s", "flat")
+        assert im.drop_index("i1")
+        assert not im.drop_index("i1")
+
+
+class TestBuilds:
+    def test_int8_build_and_search(self, setup):
+        _, im, data = setup
+        im.create_index("q8", "s", "int8")
+        info = im.build_index("q8")
+        assert info["built"] and not info["error"]
+        assert info["build_seconds"] is not None
+        assert info["stats"]["kind"] == "int8"
+        hits = im.search("q8", data[42], k=1)
+        assert hits[0][0] == "v42"
+
+    def test_pq_build_and_search(self, setup):
+        _, im, data = setup
+        im.create_index("pq1", "s", "pq", {"m": 8, "iters": 8})
+        info = im.build_index("pq1")
+        assert info["built"], info["error"]
+        assert info["stats"]["code_bytes_per_vector"] == 8
+        hits = im.search("pq1", data[7], k=10)
+        assert "v7" in [h[0] for h in hits[:3]]  # PQ is approximate
+
+    def test_pq_recall(self, setup):
+        registry, im, data = setup
+        im.create_index("pq1", "s", "pq", {"m": 8, "iters": 10})
+        im.build_index("pq1")
+        store = registry.get("s")
+        recalls = []
+        for i in range(10):
+            exact = {h[0] for h in store.search(data[i], k=10)}
+            approx = {h[0] for h in im.search("pq1", data[i], k=10)}
+            recalls.append(len(exact & approx) / 10)
+        assert np.mean(recalls) >= 0.5  # small random corpus, modest bar
+
+    def test_async_build(self, setup):
+        import time
+
+        _, im, data = setup
+        im.create_index("q8", "s", "int8")
+        info = im.build_index("q8", wait=False)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            info = im.get_index_info("q8")
+            if info["built"] or info["error"]:
+                break
+            time.sleep(0.02)
+        assert info["built"]
+
+    def test_staleness(self, setup):
+        registry, im, data = setup
+        im.create_index("q8", "s", "int8")
+        im.build_index("q8")
+        assert not im.is_stale("q8")
+        registry.get("s").insert("new", np.ones(32, np.float32))
+        assert im.is_stale("q8")
+        im.build_index("q8")  # rebuild clears staleness
+        assert not im.is_stale("q8")
+
+    def test_build_empty_store_fails(self, setup):
+        registry, im, _ = setup
+        registry.create("empty", dim=4)
+        im.create_index("e1", "empty", "int8")
+        info = im.build_index("e1")
+        assert not info["built"]
+        assert "empty" in info["error"]
+
+    def test_search_unbuilt_fails(self, setup):
+        _, im, data = setup
+        im.create_index("q8", "s", "int8")
+        with pytest.raises(IndexError_):
+            im.search("q8", data[0], k=1)
+
+
+class TestDatabaseIntegration:
+    def test_facade_verbs(self, rng, tmp_path):
+        from erlvectordb_tpu.api import Database
+        from erlvectordb_tpu.infra.config import load_config
+
+        db = Database(load_config(overrides={
+            "persistence_enabled": False}, env={}))
+        db.create_store("s1")
+        data = rng.standard_normal((300, 16)).astype(np.float32)
+        db.insert_batch("s1", [f"v{i}" for i in range(300)], data)
+        db.create_index("idx", "s1", "int8")
+        db.build_index("idx")
+        hits = db.search_index("idx", data[5], k=1)
+        assert hits[0][0] == "v5"
+        assert db.get_index_info("idx")["built"]
+        assert db.drop_index("idx")
