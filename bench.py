@@ -40,15 +40,26 @@ def _timeit(fn, iters=5, warmup=2):
     return float(np.median(times))
 
 
-def make_corpus(key, n, d, n_centers=1024, noise=0.35):
-    """Clustered synthetic corpus (GloVe-like anisotropy), built on device."""
+def make_corpus(key, n, d, n_centers=1024, noise=0.35, intrinsic_dim=None):
+    """Clustered synthetic corpus (GloVe-like anisotropy), built on device.
+
+    With ``intrinsic_dim`` the points live near a low-dimensional manifold
+    embedded in R^d (SIFT-like) — isotropic high-d Gaussians have no
+    meaningful nearest neighbors (concentration of measure), so quantizer
+    recall numbers on them are not representative.
+    """
     import jax
     import jax.numpy as jnp
 
-    kc, ka, kn = jax.random.split(key, 3)
-    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+    kc, ka, kn, kp, km = jax.random.split(key, 5)
+    latent = intrinsic_dim or d
+    centers = jax.random.normal(kc, (n_centers, latent), jnp.float32)
     assign = jax.random.randint(ka, (n,), 0, n_centers)
-    x = centers[assign] + noise * jax.random.normal(kn, (n, d), jnp.float32)
+    z = centers[assign] + noise * jax.random.normal(kn, (n, latent), jnp.float32)
+    if intrinsic_dim is None:
+        return jax.block_until_ready(z)
+    proj = jax.random.normal(kp, (latent, d), jnp.float32) / jnp.sqrt(latent)
+    x = jnp.dot(z, proj) + 0.05 * jax.random.normal(km, (n, d), jnp.float32)
     return jax.block_until_ready(x)
 
 
@@ -220,50 +231,74 @@ def bench_config2(quick: bool) -> dict:
 
 
 def bench_config4(quick: bool) -> dict:
-    """SIFT1M-class: 1M x 128, PQ 8x8-bit, ADC search + recall@10."""
+    """SIFT1M-class: 1M x 128, PQ 8x8-bit ADC retrieval + exact int8 rerank.
+
+    Raw PQ distances cannot rank neighbors whose separation is below the
+    quantization error, so (as real ADC systems do) the PQ scan retrieves
+    top-256 candidates and an int8 exact pass re-ranks them; the memory
+    footprint stays int8 + 8 PQ bytes per vector.
+    """
     import jax
     import jax.numpy as jnp
 
     from erlvectordb_tpu.core.search import exact_topk
-    from erlvectordb_tpu.ops.adc import adc_search
+    from erlvectordb_tpu.ops.adc import adc_search_rerank
     from erlvectordb_tpu.quant.pq import PQCodebook
 
     n = 100_000 if quick else 1_000_000
-    d, k, batch, nq = 128, 10, 512, 256
-    data = make_corpus(jax.random.PRNGKey(0), n, d)
-    queries = make_corpus(jax.random.PRNGKey(1), max(nq, batch), d)
+    d, k, batch, nq, c = 128, 10, 512, 256, 256
+    # corpus and queries drawn from ONE low-intrinsic-dim manifold (SIFT-like)
+    nq_all = max(nq, batch)
+    allpts = make_corpus(jax.random.PRNGKey(0), n + nq_all, d, intrinsic_dim=20)
+    data, queries = allpts[:n], allpts[n:]
 
+    # int8 rerank codes
+    absmax = jnp.max(jnp.abs(data), axis=-1)
+    i8_scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    i8_codes = jnp.clip(jnp.round(data / i8_scales[:, None]), -127, 127).astype(jnp.int8)
+
+    iters = 8 if quick else 15
     t0 = time.perf_counter()
-    cb = PQCodebook.fit(data, m=8, k=256, iters=15, max_train=200_000)
+    cb = PQCodebook.fit(data, m=8, k=256, iters=iters, max_train=200_000)
     codes = cb.encode(data)
     float(codes[0, 0])  # readback forces completion
-    build_s = time.perf_counter() - t0
-    log(f"[config4] PQ train+encode: {build_s:.1f}s ({n/build_s/1e6:.2f} M vec/s)")
+    build_s = time.perf_counter() - t0  # includes XLA compile on first run
+    log(f"[config4] PQ train+encode (incl. compile): {build_s:.1f}s")
+    # warm re-run isolates the actual device build time
+    t0 = time.perf_counter()
+    cb2 = PQCodebook.fit(data, m=8, k=256, iters=iters, max_train=200_000, seed=0)
+    codes = cb2.encode(data)
+    float(codes[0, 0])
+    build_warm_s = time.perf_counter() - t0
+    cb = cb2
+    log(f"[config4] PQ train+encode (warm): {build_warm_s:.1f}s "
+        f"({n/build_warm_s/1e6:.2f} M vec/s)")
 
     def run():
-        dv, _ = adc_search(codes, cb.codebooks, queries[:batch], k=k)
+        dv, _ = adc_search_rerank(codes, cb.codebooks, i8_codes, i8_scales,
+                                  queries[:batch], k=k, c=c)
         float(dv[0, 0])
     sec = _timeit(run, iters=5, warmup=2)
     qps = batch / sec
     log(f"[config4] {sec*1e3:.2f} ms / {batch} queries -> {qps:,.0f} QPS")
 
     norms = jnp.linalg.norm(data, axis=1)
-    gt = exact_ground_truth(data, norms, queries[:nq], k)  # cosine gt
-    # ADC is L2; compare against L2 exact instead
     valid = jnp.ones((n,), bool)
     _, gt_l2 = exact_topk(data, norms, valid, queries[:nq], metric="euclidean", k=k)
     gt_l2 = np.asarray(gt_l2)
-    _, got = adc_search(codes, cb.codebooks, queries[:nq], k=k)
+    _, got = adc_search_rerank(codes, cb.codebooks, i8_codes, i8_scales,
+                               queries[:nq], k=k, c=c)
     got = np.asarray(got)
     recall = float(np.mean([len(set(gt_l2[i]) & set(got[i])) / k for i in range(nq)]))
-    log(f"[config4] recall@10 (L2) = {recall:.4f}")
+    log(f"[config4] recall@10 (L2, ADC+rerank) = {recall:.4f}")
     return {
-        "metric": "QPS PQ8x8 ADC euclidean top-10 (SIFT1M-class)",
+        "metric": "QPS PQ8x8 ADC + int8 rerank, euclidean top-10 (SIFT1M-class)",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": None,
         "recall_at_10": round(recall, 4),
-        "pq_build_vectors_per_sec": round(n / build_s, 1),
+        "rerank_candidates": c,
+        "pq_build_vectors_per_sec": round(n / build_warm_s, 1),
         "n": n,
     }
 
@@ -314,6 +349,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import jax
+
+    # Persistent compilation cache: first-compile of the big scan programs
+    # costs minutes via the remote compiler; cache them across runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/evdb_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     result = CONFIGS[args.config](args.quick)
