@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from erlvectordb_tpu.core import search as search_mod
+from erlvectordb_tpu.utils.metrics import metrics
 from erlvectordb_tpu.core.search import VALID_METRICS
 
 MIN_CAPACITY = 1024
@@ -307,7 +308,7 @@ class VectorStore:
         if metadatas is None:
             metadatas = [{}] * len(ids)
         # Last write wins for duplicate ids within one batch.
-        with self._lock:
+        with self._lock, metrics.timed("store.insert"):
             self._materialize()
             self._ensure_allocated(arr.shape[1])
             rows = np.empty(len(ids), np.int64)
@@ -409,6 +410,7 @@ class VectorStore:
         metric = metric or self.metric
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+        t0 = __import__("time").perf_counter()
         q = self._validate_batch(queries)
         if self._vectors is None or self.count == 0:
             return [[] for _ in range(q.shape[0])]
@@ -449,6 +451,9 @@ class VectorStore:
             )
         dists_np = np.asarray(dists)
         rows_np = np.asarray(rows)
+        metrics.observe("store.search", __import__("time").perf_counter() - t0)
+        metrics.inc("store.search_total")
+        metrics.inc("store.queries_total", q.shape[0])
         out: List[List[Tuple[str, Any, float]]] = []
         kk = min(k, self.count)
         for b in range(q.shape[0]):

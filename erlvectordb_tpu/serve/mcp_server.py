@@ -29,6 +29,7 @@ from typing import Optional, Set
 
 from erlvectordb_tpu.api import Database
 from erlvectordb_tpu.serve import tools as tools_mod
+from erlvectordb_tpu.utils.metrics import metrics
 
 logger = logging.getLogger("evdb.mcp")
 
@@ -144,7 +145,9 @@ class MCPServer:
                         buf = stripped  # incomplete: wait for more bytes
                         break
                     buf = stripped[end:]
-                    resp = self._process(obj)
+                    method = obj.get("method", "?") if isinstance(obj, dict) else "?"
+                    with metrics.timed(f"mcp.{method.replace('/', '_')}"):
+                        resp = self._process(obj)
                     if resp is not None:
                         self._send(conn, resp)
         finally:

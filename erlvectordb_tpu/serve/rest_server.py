@@ -136,9 +136,24 @@ class RestServer:
                     if self.path == "/ready":
                         ok = outer.health.ready() if outer.health else True
                         return self._reply(200 if ok else 503, {"ready": ok})
+                    if self.path == "/metrics":
+                        from erlvectordb_tpu.utils.metrics import metrics
+
+                        body = metrics.prometheus().encode()
+                        self.send_response(200)
+                        self.send_header("Content-Type",
+                                         "text/plain; version=0.0.4")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
 
                     if self._require("read") is None:
                         return
+                    if parts == ["api", "v1", "metrics"]:
+                        from erlvectordb_tpu.utils.metrics import metrics
+
+                        return self._reply(200, metrics.snapshot())
                     if parts == ["api", "v1", "stores"]:
                         return self._reply(200, {"stores": outer.db.list_stores()})
                     if (len(parts) == 5 and parts[:3] == ["api", "v1", "stores"]
