@@ -246,7 +246,11 @@ def bench_config4(quick: bool) -> dict:
     from erlvectordb_tpu.quant.pq import PQCodebook
 
     n = 100_000 if quick else 1_000_000
-    d, k, batch, nq, c = 128, 10, 512, 256, 256
+    # rerank pool must cover the corpus's natural cluster size (~n/1024):
+    # within a cluster the coarse PQ ordering is noise, so the true top-k
+    # can sit anywhere inside the cluster's coarse ranks.
+    c = 256 if quick else 2048
+    d, k, batch, nq = 128, 10, 512, 256
     # corpus and queries drawn from ONE low-intrinsic-dim manifold (SIFT-like)
     nq_all = max(nq, batch)
     allpts = make_corpus(jax.random.PRNGKey(0), n + nq_all, d, intrinsic_dim=20)

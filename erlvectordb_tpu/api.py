@@ -67,11 +67,19 @@ class Database:
             if self._started:
                 return self
             if self.persistence is not None:
+                from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
+                from erlvectordb_tpu.persist.snapshot import get_store_info
+
                 for name in list_persisted(self.config.persistence_dir):
-                    if not self.registry.exists(name):
-                        store = self.persistence.open_store(name)
-                        if store is not None:
-                            self.registry.adopt(store)
+                    if self.registry.exists(name):
+                        continue
+                    info = get_store_info(name, self.config.persistence_dir) or {}
+                    mesh = self.cluster.mesh if info.get("sharded") else None
+                    store = self.persistence.open_store(name, mesh=mesh)
+                    if isinstance(store, ShardedVectorStore):
+                        self.cluster.distribute_store(store)
+                    elif store is not None:
+                        self.registry.adopt(store)
                 self.persistence.start()
             self._started = True
             return self
@@ -188,6 +196,8 @@ class Database:
         sharded = ShardedVectorStore(name, self.cluster.mesh, dim=dim,
                                      metric=metric, dtype=dtype)
         self.cluster.distribute_store(sharded)
+        if self.persistence is not None:
+            self.persistence.track(sharded)
         return sharded.get_stats()
 
     def distribute_store(self, name: str) -> dict:
@@ -197,6 +207,7 @@ class Database:
         self.registry.drop(name)
         if self.persistence is not None:
             self.persistence.untrack(name)
+            self.persistence.track(sharded)
         return sharded.get_stats()
 
     def get_store_location(self, name: str):

@@ -428,6 +428,87 @@ class ShardedVectorStore:
                 out.append((vid, vec, self._metadata.get(vid, {})))
             return out
 
+    # ------------------------------------------------------ state export
+
+    def export_state(self) -> dict:
+        """Snapshot-compatible state (persist/snapshot.py handles it like a
+        local store's; arrays land on host as [S, cap, ...])."""
+        with self._lock:
+            state = {
+                "format": 1,
+                "sharded": True,
+                "name": self.name,
+                "dim": self._dim,
+                "metric": self.metric,
+                "dtype": self.dtype,
+                "created_at": self.created_at,
+                "version": self.version,
+                "n_shards": self.n_shards,
+                "id_to_slot": {k: list(v) for k, v in self._id_to_slot.items()},
+                "metadata": dict(self._metadata),
+                "next_local": list(self._next_local),
+                "free": [list(f) for f in self._free],
+            }
+            if self._vectors is not None:
+                state["vectors"] = np.asarray(self._vectors)
+                state["norms"] = np.asarray(self._norms)
+                state["valid"] = np.asarray(self._valid)
+                if self._scales is not None:
+                    state["scales"] = np.asarray(self._scales)
+            return state
+
+    @classmethod
+    def from_state(cls, state: dict, mesh: Mesh) -> "ShardedVectorStore":
+        """Re-hydrate onto a mesh.  If the mesh's data-axis size differs from
+        the snapshot's shard count, the rows are re-sharded by rebuilding."""
+        store = cls(
+            state["name"], mesh,
+            dim=state.get("dim"), metric=state.get("metric", "cosine"),
+            dtype=state.get("dtype", "float32"),
+        )
+        store.created_at = state.get("created_at", time.time())
+        store.version = state.get("version", 0)
+        snap_shards = int(state.get("n_shards", 1))
+        if snap_shards != store.n_shards and "vectors" in state:
+            # topology changed since snapshot: bulk re-insert path
+            vecs = np.asarray(state["vectors"])
+            valid = np.asarray(state["valid"])
+            scales = np.asarray(state.get("scales")) if "scales" in state else None
+            ids, mats, metas = [], [], []
+            meta_map = state.get("metadata", {})
+            for vid, (s, l) in state.get("id_to_slot", {}).items():
+                row = vecs[s, l]
+                if scales is not None:
+                    row = row.astype(np.float32) * scales[s, l]
+                ids.append(vid)
+                mats.append(row[: state.get("dim") or row.shape[0]])
+                metas.append(meta_map.get(vid, {}))
+            if ids:
+                store.insert_batch(ids, np.stack(mats), metas)
+            return store
+        if "vectors" in state and state["vectors"] is not None:
+            vecs = np.asarray(state["vectors"])
+            store._cap = vecs.shape[1]
+            row3 = store._sharding(P(DATA_AXIS, None, None))
+            row2 = store._sharding(P(DATA_AXIS, None))
+            store._vectors = jax.device_put(vecs, row3)
+            store._norms = jax.device_put(np.asarray(state["norms"], np.float32), row2)
+            store._valid = jax.device_put(np.asarray(state["valid"], bool), row2)
+            if "scales" in state and state["scales"] is not None:
+                store._scales = jax.device_put(
+                    np.asarray(state["scales"], np.float32), row2)
+        store._id_to_slot = {
+            str(k): (int(v[0]), int(v[1]))
+            for k, v in state.get("id_to_slot", {}).items()
+        }
+        store._slot_to_id = {v: k for k, v in store._id_to_slot.items()}
+        store._metadata = dict(state.get("metadata", {}))
+        store._next_local = [int(x) for x in state.get("next_local",
+                                                       [0] * store.n_shards)]
+        store._free = [[int(x) for x in f] for f in state.get("free",
+                       [[] for _ in range(store.n_shards)])]
+        return store
+
     # ----------------------------------------------------------- resharding
 
     def reshard_to(self, new_mesh: Mesh) -> None:

@@ -74,8 +74,9 @@ def save_store(store: VectorStore, root: str | os.PathLike, compression: Optiona
     return str(sdir)
 
 
-def load_store(name: str, root: str | os.PathLike) -> Optional[VectorStore]:
-    """Re-hydrate a store from its snapshot; None if no snapshot exists."""
+def load_store(name: str, root: str | os.PathLike, mesh=None):
+    """Re-hydrate a store from its snapshot; None if no snapshot exists.
+    Sharded snapshots re-hydrate onto ``mesh`` (default: all devices)."""
     sdir = _store_dir(Path(root), name)
     meta_path = sdir / "meta.json"
     npz_path = sdir / "state.npz"
@@ -86,6 +87,11 @@ def load_store(name: str, root: str | os.PathLike) -> Optional[VectorStore]:
         with np.load(npz_path) as z:
             for k in z.files:
                 state[k] = z[k]
+    if state.get("sharded"):
+        from erlvectordb_tpu.parallel.mesh import make_mesh
+        from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
+
+        return ShardedVectorStore.from_state(state, mesh or make_mesh())
     return VectorStore.from_state(state)
 
 
@@ -116,9 +122,11 @@ def get_store_info(name: str, root: str | os.PathLike) -> Optional[dict]:
     return {
         "name": meta.get("name", name),
         "dimension": meta.get("dim"),
-        "count": len(meta.get("id_to_row", {})),
+        "count": len(meta.get("id_to_row") or meta.get("id_to_slot") or {})
+        + int(meta.get("contig", 0)),
         "metric": meta.get("metric"),
         "dtype": meta.get("dtype"),
+        "sharded": bool(meta.get("sharded", False)),
         "saved_at": meta.get("saved_at"),
         "compression": meta.get("compression", "none"),
     }
@@ -183,9 +191,9 @@ class PersistenceManager:
             self._tracked.pop(name, None)
             self._synced_version.pop(name, None)
 
-    def open_store(self, name: str) -> Optional[VectorStore]:
+    def open_store(self, name: str, mesh=None):
         """Load a snapshot if present and start tracking the store."""
-        store = load_store(name, self.root)
+        store = load_store(name, self.root, mesh=mesh)
         if store is not None:
             self.track(store)
             with self._lock:

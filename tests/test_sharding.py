@@ -135,3 +135,45 @@ class TestMigration:
         assert back.count == 300
         assert back.search(data[42], k=1)[0][0] == "v42"
         assert back.get("v5")[1] == {"i": 5}
+
+
+class TestShardedPersistence:
+    def test_snapshot_roundtrip_same_mesh(self, mesh8, rng, tmp_path):
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        data = rng.standard_normal((200, 16)).astype(np.float32)
+        sh = ShardedVectorStore("shp", mesh8, metric="euclidean")
+        sh.insert_batch([f"v{i}" for i in range(200)], data,
+                        [{"i": i} for i in range(200)])
+        sh.delete("v5")
+        save_store(sh, tmp_path)
+        loaded = load_store("shp", tmp_path, mesh=mesh8)
+        assert isinstance(loaded, ShardedVectorStore)
+        assert loaded.count == 199
+        assert loaded.metric == "euclidean"
+        assert loaded.search(data[42], k=1)[0][0] == "v42"
+        assert loaded.get("v5") is None
+        assert loaded.get("v7")[1] == {"i": 7}
+
+    def test_snapshot_reshards_onto_different_mesh(self, mesh8, mesh4x2, rng, tmp_path):
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        data = rng.standard_normal((100, 8)).astype(np.float32)
+        sh = ShardedVectorStore("shp2", mesh8)  # 8 data shards
+        sh.insert_batch([f"v{i}" for i in range(100)], data)
+        save_store(sh, tmp_path)
+        loaded = load_store("shp2", tmp_path, mesh=mesh4x2)  # 4 data shards
+        assert loaded.n_shards == 4
+        assert loaded.count == 100
+        assert loaded.search(data[3], k=1)[0][0] == "v3"
+
+    def test_int8_sharded_snapshot(self, mesh8, rng, tmp_path):
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        data = rng.standard_normal((150, 16)).astype(np.float32)
+        sh = ShardedVectorStore("shq", mesh8, dtype="int8")
+        sh.insert_batch([f"v{i}" for i in range(150)], data)
+        save_store(sh, tmp_path)
+        loaded = load_store("shq", tmp_path, mesh=mesh8)
+        assert loaded.dtype == "int8"
+        assert loaded.search(data[9], k=1)[0][0] == "v9"
