@@ -278,9 +278,18 @@ def bench_config4(quick: bool) -> dict:
     log(f"[config4] PQ train+encode (warm): {build_warm_s:.1f}s "
         f"({n/build_warm_s/1e6:.2f} M vec/s)")
 
+    # Pallas ADC scan path: pad code/rerank arrays to a whole tile count
+    from erlvectordb_tpu.ops.adc_pallas import ADC_TILE_N, adc_search_fused
+
+    nt = -(-n // ADC_TILE_N)
+    pad_rows = nt * ADC_TILE_N - n
+    codes_p = jnp.pad(codes, ((0, pad_rows), (0, 0)))
+    i8_codes_p = jnp.pad(i8_codes, ((0, pad_rows), (0, 0)))
+    i8_scales_p = jnp.pad(i8_scales, ((0, pad_rows),), constant_values=1.0)
+
     def run():
-        dv, _ = adc_search_rerank(codes, cb.codebooks, i8_codes, i8_scales,
-                                  queries[:batch], k=k, c=c)
+        dv, _ = adc_search_fused(codes_p, cb.codebooks, i8_codes_p, i8_scales_p,
+                                 queries[:batch], n, k=k, c=c, n_tiles=nt)
         float(dv[0, 0])
     sec = _timeit(run, iters=5, warmup=2)
     qps = batch / sec
@@ -290,8 +299,8 @@ def bench_config4(quick: bool) -> dict:
     valid = jnp.ones((n,), bool)
     _, gt_l2 = exact_topk(data, norms, valid, queries[:nq], metric="euclidean", k=k)
     gt_l2 = np.asarray(gt_l2)
-    _, got = adc_search_rerank(codes, cb.codebooks, i8_codes, i8_scales,
-                               queries[:nq], k=k, c=c)
+    _, got = adc_search_fused(codes_p, cb.codebooks, i8_codes_p, i8_scales_p,
+                              queries[:nq], n, k=k, c=c, n_tiles=nt)
     got = np.asarray(got)
     recall = float(np.mean([len(set(gt_l2[i]) & set(got[i])) / k for i in range(nq)]))
     log(f"[config4] recall@10 (L2, ADC+rerank) = {recall:.4f}")

@@ -1,0 +1,171 @@
+"""Fused ADC scan Pallas kernel — PQ search on the MXU.
+
+The XLA ADC path (ops/adc.py) evaluates ``dist[b,n] = sum_m LUT[b,m,code]``
+with 8 VPU gathers over [B, N] and materializes the distance matrix —
+measured ~1.3k QPS at N=1M on v5e.  TPUs hate gathers and love matmuls, so
+this kernel reformulates the table lookup as a one-hot contraction:
+
+  per 1024-row code tile (streamed through VMEM, 8 bytes/row of HBM traffic):
+    onehot[TILE_N, M*K] = (codes[:, m] == iota(K))        (VPU, one pass)
+    dists[B_T, TILE_N]  = LUT_flat @ onehot^T             (MXU, bf16)
+    per-tile top-T candidates                             (VPU reductions)
+
+One-hot entries are exactly representable in bf16 and each output is a sum
+of M=8 LUT entries, so the bf16 contraction loses ~2^-8 relative precision —
+irrelevant for candidate selection, and the int8 rerank stage restores exact
+distances.  Grid is (b_tiles, n_tiles) with the LUT tile resident across the
+inner sweep, so HBM traffic is ~codes only (8 MB per 1M rows).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from erlvectordb_tpu.quant.pq import _adc_l2_tables
+
+ADC_TILE_N = 1024
+
+_NEG = -1e30
+
+
+def _make_adc_kernel(m: int, k: int, t_per_tile: int, tile_n: int):
+    def kernel(codes_ref, lut_ref, vals_ref, rows_ref):
+        j = pl.program_id(1)  # code-tile index (inner grid dim)
+
+        codes = codes_ref[:].astype(jnp.int32)                  # [TILE_N, M]
+        lane = lax.broadcasted_iota(jnp.int32, (tile_n, k), 1)  # [TILE_N, K]
+        parts = [
+            (lane == codes[:, mm : mm + 1]).astype(jnp.bfloat16)
+            for mm in range(m)
+        ]
+        onehot = jnp.concatenate(parts, axis=1)                 # [TILE_N, M*K]
+
+        lut = lut_ref[:].astype(jnp.bfloat16)                   # [B_T, M*K]
+        dists = lax.dot_general(
+            lut, onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                       # [B_T, TILE_N]
+        sims = -dists  # bigger = closer, for shared top-T extraction
+
+        lane_n = lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        big = jnp.int32(tile_n)
+        vals, idxs = [], []
+        cur = sims
+        for _ in range(t_per_tile):
+            mx = jnp.max(cur, axis=1, keepdims=True)
+            ix = jnp.min(jnp.where(cur == mx, lane_n, big), axis=1, keepdims=True)
+            vals.append(mx)
+            idxs.append(ix)
+            cur = jnp.where(lane_n == ix, _NEG, cur)
+
+        base = j * tile_n
+        vals_ref[0] = jnp.concatenate(vals, axis=1)             # [B_T, T]
+        rows_ref[0] = jnp.concatenate(idxs, axis=1) + base
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "t_per_tile"))
+def adc_pallas_scan(
+    codes: jax.Array,     # [N_cap, M] uint8 PQ codes
+    lut_flat: jax.Array,  # [B, M*K] f32 flattened per-query tables
+    *,
+    n_tiles: int,
+    t_per_tile: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-tile candidate scan. Returns (neg-dist vals [B, T*n_tiles], rows)."""
+    b, mk = lut_flat.shape
+    n_cap, m = codes.shape
+    k = mk // m
+    bt = min(256, b) if b >= 256 else max(8, 1 << (b - 1).bit_length())
+    pad_b = (-b) % bt
+    if pad_b:
+        lut_flat = jnp.pad(lut_flat, ((0, pad_b), (0, 0)))
+    nb = lut_flat.shape[0] // bt
+    t = t_per_tile
+    tile_n = ADC_TILE_N
+
+    grid = (nb, n_tiles)  # LUT-outer: the code sweep reuses the resident LUT
+
+    vals, rows = pl.pallas_call(
+        _make_adc_kernel(m, k, t, tile_n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, mk), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bt, t), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, t), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, lut_flat.shape[0], t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, lut_flat.shape[0], t), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lut_flat.shape[0] * mk * n_tiles * tile_n,
+            bytes_accessed=n_tiles * tile_n * m + lut_flat.size * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(codes, lut_flat)
+    vals = vals.transpose(1, 0, 2).reshape(lut_flat.shape[0], t * n_tiles)
+    rows = rows.transpose(1, 0, 2).reshape(lut_flat.shape[0], t * n_tiles)
+    if pad_b:
+        vals, rows = vals[:b], rows[:b]
+    return vals, rows
+
+
+@functools.partial(jax.jit, static_argnames=("k", "c", "n_tiles"))
+def adc_search_fused(
+    pq_codes: jax.Array,   # [N_cap, M] uint8
+    codebooks: jax.Array,  # [M, K, Dsub] f32
+    i8_codes: jax.Array,   # [N_cap, D] int8 rerank rows
+    i8_scales: jax.Array,  # [N_cap] f32
+    queries: jax.Array,    # [B, D] f32 (D == M * Dsub)
+    n_valid,               # scalar: rows >= n_valid are padding, never returned
+    *,
+    k: int,
+    c: int = 2048,         # rerank pool size
+    n_tiles: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Pallas ADC scan -> candidate pool -> exact int8 rerank -> top-k.
+
+    ``pq_codes``/``i8_codes`` must have >= n_tiles*ADC_TILE_N rows (pad with
+    anything); candidates in the padded range are masked out at rerank.
+    """
+    b = queries.shape[0]
+    lut = _adc_l2_tables(queries, codebooks)          # [B, M, K]
+    lut_flat = lut.reshape(b, -1)
+    # deepen per-tile extraction when tiles are scarce so the candidate
+    # pool can actually reach c (or at least well past k)
+    t = 4
+    while t < 8 and t * n_tiles < min(c, 512):
+        t *= 2
+    vals, rows = adc_pallas_scan(pq_codes, lut_flat, n_tiles=n_tiles,
+                                 t_per_tile=t)
+
+    cc = min(c, vals.shape[1])
+    _, sel = lax.top_k(vals, cc)                      # best (least-distance)
+    cand = jnp.take_along_axis(rows, sel, axis=1)     # [B, cc]
+
+    x = i8_codes[cand].astype(jnp.float32) * i8_scales[cand][:, :, None]
+    dots = jnp.einsum("bcd,bd->bc", x, queries, preferred_element_type=jnp.float32)
+    xn2 = jnp.sum(x * x, axis=-1)
+    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    d2 = qsq - 2.0 * dots + xn2
+    d2 = jnp.where(cand < jnp.int32(n_valid), d2, jnp.inf)  # mask padded rows
+    neg, ksel = lax.top_k(-d2, min(k, cc))
+    rows_out = jnp.take_along_axis(cand, ksel, axis=1)
+    return jnp.sqrt(jnp.maximum(-neg, 0.0)), rows_out
+
+
+def adc_n_tiles(count: int) -> int:
+    return -(-max(count, 1) // ADC_TILE_N)

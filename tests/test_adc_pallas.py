@@ -1,0 +1,98 @@
+"""Pallas ADC kernel vs the XLA gather path (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.ops.adc import adc_search_exact_topk
+from erlvectordb_tpu.ops.adc_pallas import (
+    ADC_TILE_N,
+    adc_n_tiles,
+    adc_pallas_scan,
+    adc_search_fused,
+)
+from erlvectordb_tpu.quant.pq import PQCodebook, _adc_l2_tables
+
+
+@pytest.fixture(scope="module")
+def pq_setup():
+    rng = np.random.default_rng(0)
+    n_cap = 2 * ADC_TILE_N
+    n, d, m = n_cap, 64, 8
+    # low intrinsic dim so neighbors are meaningful
+    z = rng.standard_normal((n, 8)).astype(np.float32)
+    proj = rng.standard_normal((8, d)).astype(np.float32) / np.sqrt(8)
+    data = z @ proj + 0.05 * rng.standard_normal((n, d)).astype(np.float32)
+    cb = PQCodebook.fit(data, m=m, k=64, iters=10)
+    codes = np.asarray(cb.encode(data))
+    absmax = np.abs(data).max(axis=1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    i8 = np.clip(np.round(data / scales[:, None]), -127, 127).astype(np.int8)
+    queries = (rng.standard_normal((20, 8)).astype(np.float32) @ proj)
+    return data, cb, codes, i8, scales, queries.astype(np.float32)
+
+
+def test_scan_matches_gather_path(pq_setup):
+    data, cb, codes, i8, scales, queries = pq_setup
+    nt = adc_n_tiles(codes.shape[0])
+    lut = _adc_l2_tables(jnp.asarray(queries), cb.codebooks)
+    vals, rows = adc_pallas_scan(
+        jnp.asarray(codes), lut.reshape(queries.shape[0], -1), n_tiles=nt
+    )
+    vals, rows = np.asarray(vals), np.asarray(rows)
+    # the gather path's exact top-k must be covered by per-tile candidates
+    d_x, r_x = adc_search_exact_topk(
+        jnp.asarray(codes), cb.codebooks, jnp.asarray(queries), k=4
+    )
+    d_x, r_x = np.asarray(d_x), np.asarray(r_x)
+    for b in range(queries.shape[0]):
+        cand = set(rows[b])
+        hits = sum(1 for r in r_x[b] if r in cand)
+        assert hits >= 3, (b, r_x[b], sorted(cand)[:10])
+        # distances agree where rows match (bf16 contraction tolerance)
+        best = r_x[b][0]
+        if best in cand:
+            idx = list(rows[b]).index(best)
+            np.testing.assert_allclose(-vals[b][idx], d_x[b][0],
+                                       rtol=2e-2, atol=2e-2)
+
+
+def test_fused_adc_recall_vs_exact(pq_setup):
+    data, cb, codes, i8, scales, queries = pq_setup
+    from erlvectordb_tpu.core.search import exact_topk
+
+    n = data.shape[0]
+    norms = jnp.linalg.norm(jnp.asarray(data), axis=1)
+    valid = jnp.ones((n,), bool)
+    # only 2 tiles in this corpus -> 16 candidates max; keep k well below
+    k = 4
+    _, gt = exact_topk(jnp.asarray(data), norms, valid, jnp.asarray(queries),
+                       metric="euclidean", k=k)
+    gt = np.asarray(gt)
+    nt = adc_n_tiles(n)
+    dists, got = adc_search_fused(
+        jnp.asarray(codes), cb.codebooks, jnp.asarray(i8), jnp.asarray(scales),
+        jnp.asarray(queries), n, k=k, c=256, n_tiles=nt,
+    )
+    got = np.asarray(got)
+    recall = np.mean([len(set(gt[i]) & set(got[i])) / k
+                      for i in range(queries.shape[0])])
+    assert recall >= 0.8, recall
+    # rerank distances are exact int8-domain euclidean: monotone nondecreasing
+    d0 = np.asarray(dists)
+    assert np.all(np.diff(d0, axis=1) >= -1e-4)
+
+
+def test_odd_batch_padding(pq_setup):
+    data, cb, codes, i8, scales, queries = pq_setup
+    nt = adc_n_tiles(codes.shape[0])
+    d1, r1 = adc_search_fused(
+        jnp.asarray(codes), cb.codebooks, jnp.asarray(i8), jnp.asarray(scales),
+        jnp.asarray(queries[:3]), codes.shape[0], k=5, c=64, n_tiles=nt,
+    )
+    assert d1.shape == (3, 5)
+    d20, r20 = adc_search_fused(
+        jnp.asarray(codes), cb.codebooks, jnp.asarray(i8), jnp.asarray(scales),
+        jnp.asarray(queries), codes.shape[0], k=5, c=64, n_tiles=nt,
+    )
+    np.testing.assert_array_equal(np.asarray(r1)[0], np.asarray(r20)[0])
