@@ -1,0 +1,139 @@
+"""Database facade tests — the 23-verb public API (erlvectordb.erl parity:
+store CRUD, insert/search/delete, sync, backup/restore/export/import,
+compression ops, OAuth client ops, cluster/distributed ops)."""
+
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.api import Database
+from erlvectordb_tpu.core.registry import StoreNotFound
+from erlvectordb_tpu.infra.config import load_config
+
+
+@pytest.fixture
+def db(tmp_path):
+    cfg = load_config(overrides={
+        "persistence_dir": str(tmp_path / "data"),
+        "backup_dir": str(tmp_path / "backups"),
+        "sync_interval": 9999,
+    }, env={})
+    database = Database(cfg).start()
+    yield database
+    database.stop()
+
+
+class TestStoreVerbs:
+    def test_crud(self, db, rng):
+        stats = db.create_store("s1", metric="euclidean")
+        assert stats["count"] == 0
+        db.insert("s1", "a", [1.0, 2.0], {"m": 1})
+        data = rng.standard_normal((20, 2)).astype(np.float32)
+        db.insert_batch("s1", [f"v{i}" for i in range(20)], data)
+        assert db.get_stats("s1")["count"] == 21
+        hits = db.search("s1", [1.0, 2.0], k=1)
+        assert hits[0][0] == "a"
+        assert db.delete("s1", "a")
+        assert len(db.get_all_vectors("s1")) == 20
+        assert db.list_stores() == ["s1"]
+        assert db.delete_store("s1")
+        assert not db.delete_store("s1")
+
+    def test_sync_and_restart_durability(self, db, rng, tmp_path):
+        db.create_store("dur")
+        db.insert("dur", "x", [1.0, 0.0, 0.0])
+        assert db.sync("dur")
+        # a brand-new Database over the same dirs reloads the store
+        db2 = Database(db.config).start()
+        try:
+            assert "dur" in db2.list_stores()
+            assert db2.search("dur", [1.0, 0.0, 0.0], k=1)[0][0] == "x"
+        finally:
+            db2.persistence.close()
+
+    def test_sync_unknown_store(self, db):
+        with pytest.raises(StoreNotFound):
+            db.sync("ghost")
+
+
+class TestBackupVerbs:
+    def test_backup_restore_cycle(self, db, rng):
+        db.create_store("b1")
+        data = rng.standard_normal((10, 4)).astype(np.float32)
+        db.insert_batch("b1", [f"v{i}" for i in range(10)], data)
+        path = db.backup_store("b1", "snap")
+        fname = path.rsplit("/", 1)[-1]
+        assert any(b["file"] == fname for b in db.list_backups())
+        stats = db.restore_store(fname, new_name="b1_restored")
+        assert stats["count"] == 10
+        assert db.search("b1_restored", data[3], k=1)[0][0] == "v3"
+        assert db.delete_backup(fname)
+
+    def test_export_import(self, db, rng, tmp_path):
+        db.create_store("e1")
+        data = rng.standard_normal((5, 3)).astype(np.float32)
+        db.insert_batch("e1", [f"v{i}" for i in range(5)], data)
+        path = str(tmp_path / "out.json")
+        db.export_store("e1", path)
+        stats = db.import_store(path, new_name="e2")
+        assert stats["count"] == 5
+        assert db.search("e2", data[2], k=1)[0][0] == "v2"
+
+
+class TestCompressionVerbs:
+    def test_passthrough(self, db, rng):
+        v = rng.standard_normal(64).astype(np.float32)
+        cv = db.compress_vector(v, "8bit")
+        recon = db.decompress_vector(cv)
+        assert np.max(np.abs(recon - v)) < 0.05
+        assert "8bit" in db.get_supported_algorithms()
+        out = db.benchmark_compression(v, "4bit", iterations=1)
+        assert out["compression_ratio"] == pytest.approx(8.0)
+
+
+class TestOAuthVerbs:
+    def test_register_and_token(self, db):
+        db.register_oauth_client("c9", "s9", ["read"])
+        tok = db.get_access_token("c9", "s9")
+        info = db.validate_token(tok["access_token"])
+        assert info["client_id"] == "c9"
+        assert info["scopes"] == {"read"}
+
+
+class TestDistributedVerbs:
+    def test_create_distributed_and_search(self, db, rng):
+        stats = db.create_distributed_store("dist1", dtype="int8")
+        assert stats["shards"] >= 1
+        data = rng.standard_normal((100, 16)).astype(np.float32)
+        store = db.any_store("dist1")
+        store.insert_batch([f"v{i}" for i in range(100)], data)
+        assert store.search(data[7], k=1)[0][0] == "v7"
+        loc = db.get_store_location("dist1")
+        assert loc["shards"] == stats["shards"]
+        assert db.get_cluster_stats()["stores"]["dist1"] == 100
+        assert len(db.get_cluster_nodes()) >= 1
+
+    def test_distribute_existing_store(self, db, rng):
+        db.create_store("local1")
+        data = rng.standard_normal((50, 8)).astype(np.float32)
+        db.insert_batch("local1", [f"v{i}" for i in range(50)], data)
+        stats = db.distribute_store("local1")
+        assert stats["count"] == 50
+        assert "local1" not in db.list_stores()  # moved out of local registry
+        assert db.any_store("local1").search(data[3], k=1)[0][0] == "v3"
+
+    def test_distributed_persistence_roundtrip(self, db, rng):
+        db.create_distributed_store("dist2")
+        data = rng.standard_normal((30, 8)).astype(np.float32)
+        db.any_store("dist2").insert_batch([f"v{i}" for i in range(30)], data)
+        assert db.persistence.sync("dist2")
+        db2 = Database(db.config).start()
+        try:
+            sh = db2.any_store("dist2")
+            assert sh.count == 30
+            assert sh.search(data[9], k=1)[0][0] == "v9"
+        finally:
+            db2.persistence.close()
+
+    def test_any_store_missing(self, db):
+        with pytest.raises(StoreNotFound):
+            db.any_store("nope")
