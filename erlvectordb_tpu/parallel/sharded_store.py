@@ -286,18 +286,41 @@ class ShardedVectorStore:
             metadatas = [{}] * len(ids)
         with self._lock:
             self._ensure_allocated(arr.shape[1])
-            shard_idx = np.empty(len(ids), np.int32)
-            local_idx = np.empty(len(ids), np.int32)
-            fresh = []
-            for i, vid in enumerate(ids):
-                vid = str(vid)
-                slot = self._id_to_slot.get(vid)
-                if slot is not None:
+            n = len(ids)
+            s_count = self.n_shards
+            # Bulk fast path: fresh ids into an append-only store — compute
+            # the round-robin slot assignment vectorized (the per-id loop is
+            # the host bottleneck at 100k+ rows).
+            fast = (
+                n >= 1024
+                and not self._id_to_slot
+                and all(not f for f in self._free)
+                and len(set(map(str, ids))) == n
+            )
+            if fast:
+                pos = np.arange(n, dtype=np.int64)
+                shard_idx = ((self._rr + pos) % s_count).astype(np.int32)
+                base = np.asarray(self._next_local, np.int64)
+                local_idx = (base[shard_idx] + pos // s_count).astype(np.int32)
+                per_shard = np.bincount(shard_idx, minlength=s_count)
+                new_next = base + per_shard
+                if int(new_next.max()) > self._cap:
+                    self._grow_to(int(new_next.max()))
+                self._next_local = [int(x) for x in new_next]
+                self._rr = int((self._rr + n) % s_count)
+            else:
+                shard_idx = np.empty(n, np.int32)
+                local_idx = np.empty(n, np.int32)
+                fresh = []
+                for i, vid in enumerate(ids):
+                    vid = str(vid)
+                    slot = self._id_to_slot.get(vid)
+                    if slot is not None:
+                        shard_idx[i], local_idx[i] = slot
+                    else:
+                        fresh.append(i)
+                for i, slot in zip(fresh, self._alloc_slots(len(fresh))):
                     shard_idx[i], local_idx[i] = slot
-                else:
-                    fresh.append(i)
-            for i, slot in zip(fresh, self._alloc_slots(len(fresh))):
-                shard_idx[i], local_idx[i] = slot
             bucket = _next_pow2(len(ids))
             pad = bucket - len(ids)
             if pad:
@@ -317,12 +340,23 @@ class ShardedVectorStore:
                     self._vectors, self._norms, self._valid,
                     jnp.asarray(shard_idx), jnp.asarray(local_idx), jnp.asarray(arr_d),
                 )
-            for i, vid in enumerate(ids):
-                vid = str(vid)
-                slot = (int(shard_idx[i]), int(local_idx[i]))
-                self._id_to_slot[vid] = slot
-                self._slot_to_id[slot] = vid
-                self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
+            if fast:
+                sids = [str(v) for v in ids]
+                slots = list(zip(shard_idx[:n].tolist(), local_idx[:n].tolist()))
+                self._id_to_slot.update(zip(sids, slots))
+                self._slot_to_id.update(zip(slots, sids))
+                if any(m for m in metadatas):
+                    self._metadata.update(
+                        (v, m if m is not None else {})
+                        for v, m in zip(sids, metadatas)
+                    )
+            else:
+                for i, vid in enumerate(ids):
+                    vid = str(vid)
+                    slot = (int(shard_idx[i]), int(local_idx[i]))
+                    self._id_to_slot[vid] = slot
+                    self._slot_to_id[slot] = vid
+                    self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
             self.version += 1
             self.dirty = True
 
