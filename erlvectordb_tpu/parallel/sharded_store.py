@@ -54,17 +54,31 @@ _INF = jnp.float32(jnp.inf)
 # --------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=None)
-def _build_search(mesh: Mesh, metric: str, k: int, is_int8: bool):
+def _build_search(mesh: Mesh, metric: str, k: int, is_int8: bool,
+                  fused_n_tiles: int = 0):
+    """Compiled sharded search.  With ``fused_n_tiles > 0`` each device runs
+    the fused Pallas scan kernel over its local shard (ops/fused_topk.py);
+    otherwise the XLA distance path."""
+
     def local_scan(vecs, aux, nrm, vld, q):
         # block shapes: vecs [1, cap, D], aux/nrm/vld [1, cap], q [B_r, D]
         vecs, aux, nrm, vld = vecs[0], aux[0], nrm[0], vld[0]
-        if is_int8:
-            dists = int8_distances(vecs, aux, nrm, q, metric)
-        else:
-            dists = pairwise_distances(vecs, nrm, q, metric)
-        dists = jnp.where(vld[None, :], dists, _INF)
         kk = min(k, vecs.shape[0])
-        neg, loc = lax.top_k(-dists, kk)
+        if fused_n_tiles > 0:
+            from erlvectordb_tpu.ops.fused_topk import fused_topk
+
+            neg_d, loc = fused_topk(
+                vecs, aux if is_int8 else None, nrm, vld, q,
+                metric=metric, k=kk, n_tiles=fused_n_tiles,
+            )
+            neg = -neg_d  # fused returns distances; merge works on -dist
+        else:
+            if is_int8:
+                dists = int8_distances(vecs, aux, nrm, q, metric)
+            else:
+                dists = pairwise_distances(vecs, nrm, q, metric)
+            dists = jnp.where(vld[None, :], dists, _INF)
+            neg, loc = lax.top_k(-dists, kk)
         shard = lax.axis_index(DATA_AXIS)
         glob = loc + shard * vecs.shape[0]
         # Merge: gather the k candidates (not the N-length rows) over ICI.
@@ -397,7 +411,14 @@ class ShardedVectorStore:
         if pad_b:
             q = np.concatenate([q, np.zeros((pad_b, q.shape[1]), np.float32)])
         kb = _next_pow2(min(k, max(self.count, 1)))
-        fn = _build_search(self.mesh, metric, kb, self.dtype == "int8")
+        from erlvectordb_tpu.ops import fused_topk as ft
+
+        fused_nt = 0
+        if ft.fused_topk_available(
+            self.count, self._cap, metric, jax.default_backend(), kb
+        ):
+            fused_nt = ft.n_tiles_for(max(self._next_local), self._cap)
+        fn = _build_search(self.mesh, metric, kb, self.dtype == "int8", fused_nt)
         aux = self._scales if self.dtype == "int8" else self._norms  # dummy for f32
         q_dev = jax.device_put(q, self._sharding(P(REPLICA_AXIS, None)))
         dists, rows = fn(self._vectors, aux, self._norms, self._valid, q_dev)

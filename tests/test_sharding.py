@@ -177,3 +177,86 @@ class TestShardedPersistence:
         loaded = load_store("shq", tmp_path, mesh=mesh8)
         assert loaded.dtype == "int8"
         assert loaded.search(data[9], k=1)[0][0] == "v9"
+
+
+class TestFusedInShardMap:
+    def test_fused_local_scan_matches_xla(self, mesh8, rng):
+        """The Pallas kernel inside shard_map (interpret mode on CPU) must
+        agree with the XLA sharded path."""
+        import jax.numpy as jnp
+        from erlvectordb_tpu.ops.fused_topk import TILE_N
+        from erlvectordb_tpu.parallel.sharded_store import _build_search
+
+        cap, d, b, k = TILE_N, 128, 8, 8
+        n_live = TILE_N - 100
+        vecs = np.zeros((8, cap, d), np.float32)
+        valid = np.zeros((8, cap), bool)
+        for s in range(8):
+            vecs[s, :n_live] = rng.standard_normal((n_live, d))
+            valid[s, :n_live] = True
+        norms = np.linalg.norm(vecs, axis=2).astype(np.float32)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        import jax as _jax
+
+        def put(x, spec):
+            return _jax.device_put(x, NamedSharding(mesh8, spec))
+
+        v = put(vecs, P("data", None, None))
+        nm = put(norms, P("data", None))
+        vl = put(valid, P("data", None))
+        qd = put(q, P("replica", None))
+
+        fn_xla = _build_search(mesh8, "cosine", k, False, 0)
+        fn_fused = _build_search(mesh8, "cosine", k, False, 1)
+        d_x, r_x = fn_xla(v, nm, nm, vl, qd)
+        d_f, r_f = fn_fused(v, nm, nm, vl, qd)
+        d_x, r_x, d_f, r_f = map(np.asarray, (d_x, r_x, d_f, r_f))
+        for i in range(b):
+            assert len(set(r_x[i]) & set(r_f[i])) >= k - 1
+        np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], atol=1e-4)
+
+
+class TestDimSharded:
+    """Feature-dimension (tensor-parallel) sharding: partial dots + psum."""
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot", "manhattan"])
+    def test_matches_exact(self, rng, metric):
+        from erlvectordb_tpu.core.search import exact_topk
+        from erlvectordb_tpu.parallel.dim_sharded import (
+            dim_sharded_topk,
+            make_dim_mesh,
+        )
+        import jax.numpy as jnp
+
+        n, d, b, k = 600, 64, 6, 7  # d split 8 ways -> 8 dims per device
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        norms = np.linalg.norm(data, axis=1).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[10] = False
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        mesh = make_dim_mesh(8)
+        d_s, r_s = dim_sharded_topk(
+            mesh, jnp.asarray(data), jnp.asarray(norms), jnp.asarray(valid),
+            jnp.asarray(q), metric=metric, k=k,
+        )
+        d_x, r_x = exact_topk(jnp.asarray(data), jnp.asarray(norms),
+                              jnp.asarray(valid), jnp.asarray(q),
+                              metric=metric, k=k)
+        np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_x))
+        np.testing.assert_allclose(np.asarray(d_s), np.asarray(d_x),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_indivisible_dim_rejected(self, rng):
+        from erlvectordb_tpu.parallel.dim_sharded import (
+            dim_sharded_topk,
+            make_dim_mesh,
+        )
+        import jax.numpy as jnp
+
+        mesh = make_dim_mesh(8)
+        data = jnp.zeros((10, 12))
+        with pytest.raises(ValueError):
+            dim_sharded_topk(mesh, data, jnp.zeros(10), jnp.ones(10, bool),
+                             jnp.zeros((1, 12)))
