@@ -10,7 +10,6 @@ through this facade.
 
 from __future__ import annotations
 
-import os
 import threading
 from pathlib import Path
 from typing import Any, List, Optional, Sequence, Tuple

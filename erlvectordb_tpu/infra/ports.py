@@ -23,7 +23,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
-from erlvectordb_tpu.infra.config import Config, ServiceConfig, startup_sequence
+from erlvectordb_tpu.infra.config import Config, startup_sequence
 
 logger = logging.getLogger("evdb.ports")
 

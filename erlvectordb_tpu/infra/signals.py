@@ -14,7 +14,7 @@ import logging
 import signal
 import threading
 import time
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Tuple
 
 logger = logging.getLogger("evdb.signals")
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import logging
 import socket
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 from erlvectordb_tpu.infra.config import Config, startup_sequence
 from erlvectordb_tpu.infra.ports import PortAllocationError, PortManager

@@ -34,7 +34,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
-from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS, make_mesh
+from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
 from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
 
 

@@ -29,7 +29,6 @@ import time
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
 
-import jax
 import numpy as np
 
 from erlvectordb_tpu.quant import affine, codecs

@@ -17,8 +17,6 @@ src/vector_compression.erl:256-290, :342-352).  This is the real thing:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
