@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from erlvectordb_tpu.core import search as search_mod
+from erlvectordb_tpu.utils.locks import RWLock
 from erlvectordb_tpu.utils.metrics import metrics
 from erlvectordb_tpu.core.search import VALID_METRICS
 
@@ -155,7 +156,7 @@ class VectorStore:
         self._device = device
         self._dim: Optional[int] = dim
         self._capacity = 0
-        self._lock = threading.RLock()
+        self._lock = RWLock()
 
         # Device state (allocated lazily once dim is known).
         self._vectors: Optional[jax.Array] = None   # f32 rows or int8 codes
@@ -308,7 +309,7 @@ class VectorStore:
         if metadatas is None:
             metadatas = [{}] * len(ids)
         # Last write wins for duplicate ids within one batch.
-        with self._lock, metrics.timed("store.insert"):
+        with self._lock.write(), metrics.timed("store.insert"):
             self._materialize()
             self._ensure_allocated(arr.shape[1])
             # Fast path for bulk loading: an empty (or append-only) store
@@ -388,7 +389,7 @@ class VectorStore:
         return self.delete_batch([vector_id]) == 1
 
     def delete_batch(self, ids: Iterable[str]) -> int:
-        with self._lock:
+        with self._lock.write():
             self._materialize()
             rows = []
             hit_ids = []
@@ -440,6 +441,12 @@ class VectorStore:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
         t0 = __import__("time").perf_counter()
         q = self._validate_batch(queries)
+        # read-side of the store lock: concurrent searches proceed in
+        # parallel, but never against a buffer an insert is donating away
+        with self._lock.read():
+            return self._search_locked(q, k, metric, t0)
+
+    def _search_locked(self, q, k, metric, t0):
         if self._vectors is None or self.count == 0:
             return [[] for _ in range(q.shape[0])]
         if k <= 0:
@@ -501,7 +508,7 @@ class VectorStore:
 
     def get(self, vector_id: str) -> Optional[Tuple[np.ndarray, Any]]:
         """Fetch one vector and its metadata (dequantized for int8 stores)."""
-        with self._lock:
+        with self._lock.read():
             self._materialize()
             row = self._id_to_row.get(str(vector_id))
             if row is None:
@@ -514,7 +521,7 @@ class VectorStore:
     def get_all_vectors(self) -> List[Tuple[str, np.ndarray, Any]]:
         """All live (id, vector, metadata) — migration/backup path
         (reference get_all_vectors, src/vector_store.erl:184-190)."""
-        with self._lock:
+        with self._lock.read():
             self._materialize()
             if self.count == 0:
                 return []
@@ -557,7 +564,7 @@ class VectorStore:
     # Used by persist/ for snapshots; arrays come back as host numpy.
 
     def export_state(self) -> dict:
-        with self._lock:
+        with self._lock.read():
             self._materialize()
             state = {
                 "format": 1,

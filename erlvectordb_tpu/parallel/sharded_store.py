@@ -41,6 +41,7 @@ from erlvectordb_tpu.core.search import (
     pairwise_distances,
 )
 from erlvectordb_tpu.core.store import _next_pow2
+from erlvectordb_tpu.utils.locks import RWLock
 from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
 
 MIN_SHARD_CAPACITY = 256
@@ -165,7 +166,7 @@ class ShardedVectorStore:
         self.n_shards = mesh.shape[DATA_AXIS]
         self.n_replicas = mesh.shape[REPLICA_AXIS]
         self._cap = 0  # per-shard capacity
-        self._lock = threading.RLock()
+        self._lock = RWLock()
 
         self._vectors: Optional[jax.Array] = None  # [S, cap, D]
         self._scales: Optional[jax.Array] = None   # [S, cap] (int8 only)
@@ -298,7 +299,7 @@ class ShardedVectorStore:
             raise ValueError("ids and vectors length mismatch")
         if metadatas is None:
             metadatas = [{}] * len(ids)
-        with self._lock:
+        with self._lock.write():
             self._ensure_allocated(arr.shape[1])
             n = len(ids)
             s_count = self.n_shards
@@ -377,7 +378,7 @@ class ShardedVectorStore:
     # --------------------------------------------------------------- delete
 
     def delete(self, vector_id: str) -> bool:
-        with self._lock:
+        with self._lock.write():
             slot = self._id_to_slot.pop(str(vector_id), None)
             if slot is None:
                 return False
@@ -405,6 +406,10 @@ class ShardedVectorStore:
         nq = q.shape[0]
         if self._vectors is None or self.count == 0 or k <= 0:
             return [[] for _ in range(nq)]
+        with self._lock.read():
+            return self._search_locked(q, nq, k, metric)
+
+    def _search_locked(self, q, nq, k, metric):
         # Pad the batch so it splits evenly across replicas.
         r = self.n_replicas
         pad_b = (-nq) % r
@@ -443,7 +448,7 @@ class ShardedVectorStore:
     # ------------------------------------------------------------ accessors
 
     def get(self, vector_id: str):
-        with self._lock:
+        with self._lock.read():
             slot = self._id_to_slot.get(str(vector_id))
             if slot is None:
                 return None
@@ -470,7 +475,7 @@ class ShardedVectorStore:
         }
 
     def get_all_vectors(self):
-        with self._lock:
+        with self._lock.read():
             if self.count == 0:
                 return []
             mat = np.asarray(self._vectors)
@@ -488,7 +493,7 @@ class ShardedVectorStore:
     def export_state(self) -> dict:
         """Snapshot-compatible state (persist/snapshot.py handles it like a
         local store's; arrays land on host as [S, cap, ...])."""
-        with self._lock:
+        with self._lock.read():
             state = {
                 "format": 1,
                 "sharded": True,
@@ -577,7 +582,7 @@ class ShardedVectorStore:
             raise ValueError(
                 f"data axis must stay {self.n_shards}, got {new_mesh.shape[DATA_AXIS]}"
             )
-        with self._lock:
+        with self._lock.write():
             self.mesh = new_mesh
             self.n_replicas = new_mesh.shape[REPLICA_AXIS]
             if self._vectors is None:
