@@ -138,6 +138,37 @@ def int8_distances(
     raise ValueError(f"unknown metric {metric!r}")
 
 
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[N, W/2] uint8 (two signed nibbles per byte, first value in the high
+    nibble) -> [N, W] int8 codes in [-8, 7]."""
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    return jnp.stack([hi, lo], axis=-1).reshape(packed.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def exact_topk_int4(
+    packed: jax.Array,   # [N_cap, W/2] uint8 packed signed nibbles
+    scales: jax.Array,   # [N_cap] f32 per-row scale (x ~= scale * code4)
+    norms: jax.Array,    # [N_cap] f32 norms of the ORIGINAL f32 rows
+    valid: jax.Array,    # [N_cap] bool
+    queries: jax.Array,  # [B, W] f32
+    *,
+    metric: Metric,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k over a packed int4 store: unpack nibbles to int8 on device and
+    run the quantized-domain scan.  Memory at rest is half of int8; the
+    unpacked codes are a transient (fused-away where possible)."""
+    codes = unpack_int4(packed)
+    dists = int8_distances(codes, scales, norms, queries, metric)
+    dists = jnp.where(valid[None, :], dists, _INF)
+    neg, rows = lax.top_k(-dists, k)
+    return -neg, rows
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
 def exact_topk_int8(
     codes: jax.Array,    # [N_cap, D] int8 symmetric-quantized rows

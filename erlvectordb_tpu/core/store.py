@@ -48,6 +48,14 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _unpack_int4_np(packed: np.ndarray) -> np.ndarray:
+    hi = (packed >> 4).astype(np.int8)
+    lo = (packed & 0xF).astype(np.int8)
+    hi = np.where(hi > 7, hi - 16, hi)
+    lo = np.where(lo > 7, lo - 16, lo)
+    return np.stack([hi, lo], axis=-1).reshape(packed.shape[0], -1)
+
+
 def _pad128(d: int) -> int:
     """Feature dims are stored padded to the TPU lane width (128): XLA pads
     internally anyway, and it lets the Pallas kernels assume aligned tiles.
@@ -81,6 +89,25 @@ def _scatter_insert_int8(codes, scales, norms, valid, rows, new_vecs):
     norms = norms.at[rows].set(new_norms, mode="drop")
     valid = valid.at[rows].set(True, mode="drop")
     return codes, scales, norms, valid
+
+
+def _pack_int4(q):
+    """int8 codes in [-7, 7] -> packed uint8, first value in the high nibble."""
+    nib = (q & 0xF).astype(jnp.uint8)
+    return (nib[:, 0::2] << 4) | nib[:, 1::2]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_insert_int4(packed, scales, norms, valid, rows, new_vecs):
+    absmax = jnp.max(jnp.abs(new_vecs), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(new_vecs / scale[:, None]), -7, 7).astype(jnp.int8)
+    packed = packed.at[rows].set(_pack_int4(q), mode="drop")
+    scales = scales.at[rows].set(scale, mode="drop")
+    new_norms = jnp.sqrt(jnp.sum(new_vecs * new_vecs, axis=-1))
+    norms = norms.at[rows].set(new_norms, mode="drop")
+    valid = valid.at[rows].set(True, mode="drop")
+    return packed, scales, norms, valid
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -117,6 +144,19 @@ def _bulk_build_int8(arr, cap):
     return codes, scales, norms, valid
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _bulk_build_int4(arr, cap):
+    n = arr.shape[0]
+    absmax = jnp.max(jnp.abs(arr), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 7.0, 1.0)
+    q = jnp.clip(jnp.round(arr / scale[:, None]), -7, 7).astype(jnp.int8)
+    packed = jnp.pad(_pack_int4(q), ((0, cap - n), (0, 0)))
+    scales = jnp.pad(scale, ((0, cap - n),), constant_values=1.0)
+    norms = jnp.pad(jnp.sqrt(jnp.sum(arr * arr, axis=-1)), ((0, cap - n),))
+    valid = jnp.pad(jnp.ones((n,), bool), ((0, cap - n),))
+    return packed, scales, norms, valid
+
+
 class DimensionMismatch(ValueError):
     """Vector dimension does not match the store's dimension."""
 
@@ -148,8 +188,10 @@ class VectorStore:
     ):
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
-        if dtype not in ("float32", "int8"):
-            raise ValueError(f"dtype must be 'float32' or 'int8', got {dtype!r}")
+        if dtype not in ("float32", "int8", "int4"):
+            raise ValueError(
+                f"dtype must be 'float32', 'int8' or 'int4', got {dtype!r}"
+            )
         self.name = name
         self.metric = metric
         self.dtype = dtype
@@ -240,6 +282,9 @@ class VectorStore:
         width = _pad128(self._dim)
         if self.dtype == "int8":
             self._vectors = self._put(np.zeros((cap, width), np.int8))
+            self._scales = self._put(np.ones((cap,), np.float32))
+        elif self.dtype == "int4":
+            self._vectors = self._put(np.zeros((cap, width // 2), np.uint8))
             self._scales = self._put(np.ones((cap,), np.float32))
         else:
             self._vectors = self._put(np.zeros((cap, width), np.float32))
@@ -358,6 +403,10 @@ class VectorStore:
                 (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int8(
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
                 )
+            elif self.dtype == "int4":
+                (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int4(
+                    self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
+                )
             else:
                 (self._vectors, self._norms, self._valid) = _scatter_insert_f32(
                     self._vectors, self._norms, self._valid, rows_j, vecs_j
@@ -460,7 +509,7 @@ class VectorStore:
         q_j = self._put(q)
         from erlvectordb_tpu.ops import fused_topk as ft
 
-        if ft.fused_topk_available(
+        if self.dtype != "int4" and ft.fused_topk_available(
             self.count, self._capacity, metric, jax.default_backend(), kb
         ):
             # Pallas fused scan: streams code tiles through VMEM, extracts
@@ -477,6 +526,11 @@ class VectorStore:
             )
         elif self.dtype == "int8":
             dists, rows = search_mod.exact_topk_int8(
+                self._vectors, self._scales, self._norms, self._valid, q_j,
+                metric=metric, k=kb,
+            )
+        elif self.dtype == "int4":
+            dists, rows = search_mod.exact_topk_int4(
                 self._vectors, self._scales, self._norms, self._valid, q_j,
                 metric=metric, k=kb,
             )
@@ -513,9 +567,13 @@ class VectorStore:
             row = self._id_to_row.get(str(vector_id))
             if row is None:
                 return None
-            vec = np.asarray(self._vectors[row])[: self._dim]
-            if self.dtype == "int8":
-                vec = vec.astype(np.float32) * float(self._scales[row])
+            if self.dtype == "int4":
+                vec = _unpack_int4_np(np.asarray(self._vectors[row])[None, :])[0]
+                vec = vec[: self._dim].astype(np.float32) * float(self._scales[row])
+            else:
+                vec = np.asarray(self._vectors[row])[: self._dim]
+                if self.dtype == "int8":
+                    vec = vec.astype(np.float32) * float(self._scales[row])
             return vec, self._metadata.get(str(vector_id), {})
 
     def get_all_vectors(self) -> List[Tuple[str, np.ndarray, Any]]:
@@ -527,13 +585,15 @@ class VectorStore:
                 return []
             rows = sorted(self._row_to_id)
             mat = np.asarray(self._vectors)  # one transfer
-            if self.dtype == "int8":
+            if self.dtype == "int4":
+                mat = _unpack_int4_np(mat)
+            if self.dtype in ("int8", "int4"):
                 scales = np.asarray(self._scales)
             out = []
             for row in rows:
                 vid = self._row_to_id[row]
                 vec = mat[row][: self._dim]
-                if self.dtype == "int8":
+                if self.dtype in ("int8", "int4"):
                     vec = vec.astype(np.float32) * scales[row]
                 out.append((vid, vec, self._metadata.get(vid, {})))
             return out
@@ -649,6 +709,11 @@ class VectorStore:
             codes, scales, norms, valid = _bulk_build_int8(arr_dev, cap)
             store._vectors, store._scales, store._norms, store._valid = (
                 codes, scales, norms, valid,
+            )
+        elif store.dtype == "int4":
+            packed, scales, norms, valid = _bulk_build_int4(arr_dev, cap)
+            store._vectors, store._scales, store._norms, store._valid = (
+                packed, scales, norms, valid,
             )
         else:
             vecs, norms, valid = _bulk_build_f32(arr_dev, cap)

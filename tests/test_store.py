@@ -275,3 +275,48 @@ class TestBulkBuild:
         clone = VectorStore.from_state(store.export_state())
         assert clone.count == 50
         assert clone.search(data[9], k=1)[0][0] == "9"
+
+
+class TestInt4Store:
+    def test_int4_roundtrip_and_search(self, rng):
+        n, d = 400, 64
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore("t4", dtype="int4")
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        vec, _ = store.get("v7")
+        # int4 symmetric bound: absmax/7 per element
+        assert np.max(np.abs(vec - data[7])) <= np.abs(data[7]).max() / 7 + 1e-6
+        assert store.search(data[42], k=1)[0][0] == "v42"
+
+    def test_int4_from_matrix(self, rng):
+        data = rng.standard_normal((600, 32)).astype(np.float32)
+        store = VectorStore.from_matrix("b4", data, dtype="int4")
+        assert store.search(data[123], k=1)[0][0] == "123"
+        # packed storage is half-width
+        assert store._vectors.shape[1] == 64  # 32 -> pad 128 -> packed 64
+        allv = store.get_all_vectors()
+        assert len(allv) == 600
+
+    def test_int4_recall_vs_exact(self, rng):
+        n, d, k, nq = 800, 32, 10, 15
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        ids = [f"v{i}" for i in range(n)]
+        exact = VectorStore("f32x")
+        exact.insert_batch(ids, data)
+        quant = VectorStore("q4", dtype="int4")
+        quant.insert_batch(ids, data)
+        qs = rng.standard_normal((nq, d)).astype(np.float32)
+        r_exact = exact.search_batch(qs, k=k)
+        r_quant = quant.search_batch(qs, k=k)
+        recalls = [
+            len({x[0] for x in a} & {x[0] for x in b}) / k
+            for a, b in zip(r_exact, r_quant)
+        ]
+        assert np.mean(recalls) >= 0.6  # 4-bit is coarse; sanity bound
+
+    def test_int4_export_roundtrip(self, rng):
+        data = rng.standard_normal((50, 16)).astype(np.float32)
+        store = VectorStore.from_matrix("e4", data, dtype="int4")
+        clone = VectorStore.from_state(store.export_state())
+        assert clone.dtype == "int4"
+        assert clone.search(data[9], k=1)[0][0] == "9"
