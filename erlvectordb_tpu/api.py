@@ -51,8 +51,10 @@ class Database:
             ),
         )
         from erlvectordb_tpu.core.index_manager import IndexManager
+        from erlvectordb_tpu.serve.batcher import QueryBatcher
 
         self.indexes = IndexManager(self.registry)
+        self.batcher = QueryBatcher(self.any_store)
         self._cluster = None  # lazy: ClusterManager touches jax devices
         self._lock = threading.RLock()
         self._started = False
@@ -80,11 +82,13 @@ class Database:
                     elif store is not None:
                         self.registry.adopt(store)
                 self.persistence.start()
+            self.batcher.start()
             self._started = True
             return self
 
     def stop(self) -> None:
         with self._lock:
+            self.batcher.stop()
             if self.persistence is not None:
                 self.persistence.close()
             self._started = False

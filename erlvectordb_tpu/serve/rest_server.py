@@ -218,9 +218,9 @@ class RestServer:
                             and parts[4] == "search"):
                         if self._require("read") is None:
                             return
-                        store = outer.db.any_store(parts[3])
-                        hits = store.search(
-                            body["vector"], k=int(body.get("k", 10)),
+                        outer.db.any_store(parts[3])  # 404 before batching
+                        hits = outer.db.batcher.search(
+                            parts[3], body["vector"], k=int(body.get("k", 10)),
                             metric=body.get("metric"),
                         )
                         return self._reply(200, {"results": [

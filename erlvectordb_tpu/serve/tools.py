@@ -179,8 +179,10 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         )
         return {"status": "ok", "store": args["store"], "id": args["id"]}
     if name == "search_vectors":
-        hits = db.any_store(args["store"]).search(
-            args["vector"], k=int(args.get("k", 10)), metric=args.get("metric")
+        # concurrent protocol requests coalesce into one device batch
+        hits = db.batcher.search(
+            args["store"], args["vector"], k=int(args.get("k", 10)),
+            metric=args.get("metric"),
         )
         return {
             "results": [

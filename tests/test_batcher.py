@@ -1,0 +1,92 @@
+"""Micro-batcher tests: coalescing, correctness, error isolation."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.core import StoreRegistry
+from erlvectordb_tpu.serve.batcher import QueryBatcher
+from erlvectordb_tpu.utils.metrics import metrics
+
+
+@pytest.fixture
+def setup(rng):
+    registry = StoreRegistry()
+    store = registry.create("b", metric="euclidean")
+    data = rng.standard_normal((300, 16)).astype(np.float32)
+    store.insert_batch([f"v{i}" for i in range(300)], data)
+    batcher = QueryBatcher(lambda name: registry.get(name), max_wait=0.005).start()
+    yield registry, batcher, data
+    batcher.stop()
+
+
+def test_single_query(setup):
+    _, batcher, data = setup
+    hits = batcher.search("b", data[7], k=1)
+    assert hits[0][0] == "v7"
+
+
+def test_concurrent_queries_coalesce(setup):
+    _, batcher, data = setup
+    before = metrics.snapshot()["counters"].get("batcher.batched_queries", 0)
+    results = {}
+    errors = []
+
+    def worker(i):
+        try:
+            results[i] = batcher.search("b", data[i], k=1)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(32)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for i in range(32):
+        assert results[i][0][0] == f"v{i}"
+    snap = metrics.snapshot()
+    assert snap["counters"]["batcher.batched_queries"] >= before + 32
+    # at least one multi-query batch happened
+    assert snap["latencies"]["batcher.batch_size"]["count"] >= 1
+
+
+def test_error_delivery(setup):
+    registry, batcher, data = setup
+    with pytest.raises(Exception):
+        batcher.search("nonexistent", data[0], k=1)
+
+
+def test_bad_dim_does_not_poison_batch(setup):
+    _, batcher, data = setup
+    results = {}
+    errors = {}
+
+    def good(i):
+        results[i] = batcher.search("b", data[i], k=1)
+
+    def bad():
+        try:
+            batcher.search("b", np.zeros(3, np.float32), k=1)
+        except Exception as e:  # noqa: BLE001
+            errors["bad"] = e
+
+    threads = [threading.Thread(target=good, args=(i,)) for i in range(4)]
+    threads.append(threading.Thread(target=bad))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert "bad" in errors  # dimension mismatch surfaced to its caller
+    for i in range(4):
+        assert results[i][0][0] == f"v{i}"  # others unaffected
+
+
+def test_stop_fails_pending(setup):
+    _, batcher, data = setup
+    batcher.stop()
+    # degraded direct path still works after stop
+    hits = batcher.search("b", data[5], k=1)
+    assert hits[0][0] == "v5"
