@@ -9,7 +9,9 @@ sleep(1000) and writes fake stats; no index is ever consulted by search
                 path (built from a float32 store's rows);
   * ``pq``    — product quantization: k-means codebooks trained on device
                 (ops/kmeans.py), rows encoded to uint8 codes, searched with
-                the ADC scan (ops/adc.py).
+                the ADC scan (ops/adc.py);
+  * ``opq``   — PQ with a learned orthogonal rotation (quant/opq.py) for
+                lower quantization error on anisotropic data.
 
 Builds run on a background thread (the reference's async-build capability),
 record real build time and memory stats, and are stamped with the store
@@ -29,7 +31,7 @@ import numpy as np
 
 from erlvectordb_tpu.core.store import VectorStore
 
-INDEX_TYPES = ("flat", "int8", "pq")
+INDEX_TYPES = ("flat", "int8", "pq", "opq")
 
 
 class IndexError_(ValueError):
@@ -147,8 +149,9 @@ class IndexManager:
             artifact, stats = None, {"kind": "exact-scan"}
         elif info.type == "int8":
             artifact, stats = self._build_int8(store)
-        elif info.type == "pq":
-            artifact, stats = self._build_pq(store, info.parameters)
+        elif info.type in ("pq", "opq"):
+            artifact, stats = self._build_pq(store, info.parameters,
+                                             rotated=info.type == "opq")
         else:  # pragma: no cover
             raise IndexError_(f"unknown type {info.type}")
         dt = time.perf_counter() - t0
@@ -175,7 +178,8 @@ class IndexManager:
             "memory_bytes": int(codes.size + scale.size * 4),
         }
 
-    def _build_pq(self, store: VectorStore, params: dict):
+    def _build_pq(self, store: VectorStore, params: dict, rotated: bool = False):
+        from erlvectordb_tpu.quant.opq import OPQCodebook
         from erlvectordb_tpu.quant.pq import PQCodebook
 
         if store.count == 0:
@@ -189,17 +193,21 @@ class IndexManager:
         d = mat.shape[1]
         if d % m:  # pad dims so D % M == 0
             mat = np.pad(mat, ((0, 0), (0, m - d % m)))
-        cb = PQCodebook.fit(mat, m=m, k=min(k, max(16, mat.shape[0] // 4)),
-                            iters=iters)
+        kk = min(k, max(16, mat.shape[0] // 4))
+        if rotated:
+            cb = OPQCodebook.fit(mat, m=m, k=kk, iters=iters,
+                                 opq_iters=int(params.get("opq_iters", 4)))
+        else:
+            cb = PQCodebook.fit(mat, m=m, k=kk, iters=iters)
         codes = np.asarray(cb.encode(mat))
         artifact = {"codebook": cb, "codes": jnp.asarray(codes),
                     "rows": rows, "pad_dim": mat.shape[1]}
         return artifact, {
-            "kind": "pq",
+            "kind": "opq" if rotated else "pq",
             "m": cb.m,
             "k": cb.k,
             "code_bytes_per_vector": cb.m,
-            "memory_bytes": int(codes.size + cb.codebooks.size * 4),
+            "memory_bytes": int(codes.size + np.asarray(cb.codebooks).size * 4),
         }
 
     # --------------------------------------------------------------- search
@@ -235,15 +243,19 @@ class IndexManager:
                 jnp.asarray(qp), metric=store.metric, k=min(k, store.count),
             )
             return self._rows_to_hits(store, np.asarray(dists)[0], np.asarray(rows)[0])
-        # pq: ADC scan over codes; artifact rows map code index -> store row
+        # pq/opq: ADC scan over codes; artifact rows map code index -> row
         from erlvectordb_tpu.ops.adc import adc_search_exact_topk
 
         a = info.artifact
         qp = np.zeros(a["pad_dim"], np.float32)
         qp[: q.shape[0]] = q
+        qj = jnp.asarray(qp)[None, :]
+        cbk = a["codebook"]
+        if hasattr(cbk, "rotate"):  # OPQ: search in the rotated space
+            qj = cbk.rotate(qj)
         kk = min(k, a["codes"].shape[0])
         dists, idx = adc_search_exact_topk(
-            a["codes"], a["codebook"].codebooks, jnp.asarray(qp)[None, :], k=kk
+            a["codes"], cbk.codebooks, qj, k=kk
         )
         dists = np.sqrt(np.maximum(np.asarray(dists)[0], 0.0))
         rows = a["rows"][np.asarray(idx)[0]]

@@ -11,4 +11,5 @@ from erlvectordb_tpu.quant.compression import (  # noqa: F401
 )
 from erlvectordb_tpu.quant.pca import PCAModel  # noqa: F401
 from erlvectordb_tpu.quant.pq import PQCodebook  # noqa: F401
+from erlvectordb_tpu.quant.opq import OPQCodebook  # noqa: F401
 from erlvectordb_tpu.quant import affine, codecs  # noqa: F401

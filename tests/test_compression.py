@@ -178,3 +178,36 @@ class TestApiSurface:
             "mse",
         }
         assert out["mse"] >= 0
+
+
+class TestOPQ:
+    def test_opq_beats_pq_on_anisotropic_data(self, rng):
+        from erlvectordb_tpu.quant.opq import OPQCodebook
+
+        # anisotropic: a few dominant directions NOT axis-aligned
+        basis = rng.standard_normal((32, 32)).astype(np.float32)
+        scales = np.logspace(0, -2, 32).astype(np.float32)
+        data = (rng.standard_normal((3000, 32)).astype(np.float32) * scales) @ basis
+        pq = PQCodebook.fit(data, m=8, k=64, iters=10)
+        opq = OPQCodebook.fit(data, m=8, k=64, iters=10, opq_iters=4)
+        mse_pq = float(np.mean((np.asarray(pq.decode(pq.encode(data))) - data) ** 2))
+        mse_opq = opq.reconstruction_mse(data)
+        assert mse_opq < mse_pq * 0.9, (mse_opq, mse_pq)
+
+    def test_opq_rotation_is_orthogonal(self, rng):
+        from erlvectordb_tpu.quant.opq import OPQCodebook
+
+        data = rng.standard_normal((1000, 16)).astype(np.float32)
+        opq = OPQCodebook.fit(data, m=4, k=16, iters=5, opq_iters=2)
+        r = np.asarray(opq.rotation)
+        np.testing.assert_allclose(r @ r.T, np.eye(16), atol=1e-4)
+
+    def test_opq_serialization(self, rng):
+        from erlvectordb_tpu.quant.opq import OPQCodebook
+
+        data = rng.standard_normal((500, 16)).astype(np.float32)
+        opq = OPQCodebook.fit(data, m=4, k=16, iters=5, opq_iters=2)
+        clone = OPQCodebook.from_arrays(opq.to_arrays())
+        np.testing.assert_array_equal(
+            np.asarray(opq.encode(data[:10])), np.asarray(clone.encode(data[:10]))
+        )

@@ -136,3 +136,14 @@ class TestDatabaseIntegration:
         assert hits[0][0] == "v5"
         assert db.get_index_info("idx")["built"]
         assert db.drop_index("idx")
+
+
+class TestOPQIndex:
+    def test_opq_build_and_search(self, setup):
+        _, im, data = setup
+        im.create_index("opq1", "s", "opq", {"m": 8, "iters": 8, "opq_iters": 2})
+        info = im.build_index("opq1")
+        assert info["built"], info["error"]
+        assert info["stats"]["kind"] == "opq"
+        hits = im.search("opq1", data[7], k=10)
+        assert "v7" in [h[0] for h in hits[:3]]
