@@ -63,7 +63,10 @@ def test_search_invariants(n, d, k, seed):
     assert len(set(ids)) == len(ids)
     dists = [r[2] for r in res]
     assert dists == sorted(dists)
-    assert res[0][2] <= 1e-3  # the query itself (distance ~0) ranks first
+    # the query itself ranks (near-)first; the matmul expansion
+    # |q|^2 - 2q.x + |x|^2 loses ~sqrt(eps)*|x| to cancellation in f32
+    norm = float(np.linalg.norm(data[0]))
+    assert res[0][2] <= max(1e-2, 2e-3 * norm)
 
 
 @settings(max_examples=20, deadline=None)
