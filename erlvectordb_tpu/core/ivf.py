@@ -22,6 +22,14 @@ mesh axis turns the dispatch into a routed collective (round 2).
 HNSW is deliberately NOT implemented: pointer-chasing graph traversal is
 the anti-pattern on a systolic-array machine; IVF(+PQ) delivers the same
 speed-recall tradeoff with dense math.
+
+SCALE LIMIT (round-1 state): the build does not yet balance cells, so at
+million-row scale a skewed k-means makes cell_cap explode and the bounded
+dispatch capacity drops most (query, cell) pairs — recall collapses.
+Validated for stores up to ~100k rows; million-scale needs the balanced
+build (capacity-constrained assignment + nearest-with-space spill) and a
+skew-aware q_cap, tracked for round 2.  The fused exact kernels remain the
+recommended path at any scale (155k QPS at 1.2M without an index).
 """
 
 from __future__ import annotations
