@@ -5,37 +5,42 @@ but implements none of them (simulated builds, never consulted by search —
 src/vector_index_manager.erl:25-31, :58-66).  This is a real IVF, built
 TPU-first:
 
-  * build: k-means coarse centroids (ops/kmeans.py); rows grouped by cell
-    into a PADDED [n_cells, cell_cap, D] block layout (static shapes —
-    overflow rows spill into their next-nearest cell with free capacity);
+  * build: coarse centroids from k-means on a sample (ops/kmeans.py), then
+    a BALANCED assignment: every row gets its nearest centroid among its
+    top-J choices subject to a per-cell capacity (closest-first greedy,
+    vectorized) — balance is what keeps the padded [n_cells, cell_cap, D]
+    block layout tight and the dispatch skew bounded;
   * search: queries pick their top-``nprobe`` cells from a tiny
-    [B, n_cells] centroid matmul, then are DISPATCHED to those cells
-    exactly like MoE tokens to experts: per cell, up to ``q_cap`` probing
-    queries are gathered, one batched [n_cells, q_cap, cell_cap] matmul
-    scores every (query, cell) pair, and results scatter back per query.
+    [B, n_cells] centroid matmul; (query, cell) pairs are sorted by cell
+    and scattered into per-cell query buckets (sort-based MoE dispatch — no
+    [B, C, q_cap] tensor), one batched [C, q_cap, cell_cap] matmul scores
+    every pair, and results merge back per query.
 
-FLOPs ~ nprobe/n_cells of the exact scan (e.g. 8/256 = 32x less); recall is
-the classic IVF tradeoff, controlled by nprobe.  This is also the
-expert-parallel (EP) blueprint: cells are experts; sharding cells across a
-mesh axis turns the dispatch into a routed collective (round 2).
+FLOPs ~ (beta * nprobe / n_cells) of the exact scan; recall is the classic
+IVF tradeoff, controlled by nprobe.  Cells are experts: sharding them
+across a mesh axis turns the dispatch into a routed collective — the
+expert-parallel axis of the design (round 2).
 
 HNSW is deliberately NOT implemented: pointer-chasing graph traversal is
-the anti-pattern on a systolic-array machine; IVF(+PQ) delivers the same
-speed-recall tradeoff with dense math.
+the anti-pattern on a systolic-array machine; IVF(+PQ) covers the same
+speed/recall space with dense math.
 
-SCALE LIMIT (round-1 state): the build does not yet balance cells, so at
-million-row scale a skewed k-means makes cell_cap explode and the bounded
-dispatch capacity drops most (query, cell) pairs — recall collapses.
-Validated for stores up to ~100k rows; million-scale needs the balanced
-build (capacity-constrained assignment + nearest-with-space spill) and a
-skew-aware q_cap, tracked for round 2.  The fused exact kernels remain the
-recommended path at any scale (155k QPS at 1.2M without an index).
+WHEN TO USE (measured, v5e single chip): at 1.2M x 100-d the fused exact
+scan (ops/fused_topk.py) runs the whole corpus in ~6.5 ms per 1024-query
+batch — the routed dispatch here (sorts + scatters + bucketed matmuls)
+costs ~120 ms, i.e. IVF is ~18x SLOWER than brute force at that scale even
+before its recall loss.  The MXU makes exhaustive scanning absurdly cheap;
+selective indexes only pay off when the corpus cannot be scanned at all
+(hundreds of millions of rows, or cells sharded across a mesh as experts —
+the round-2 EP design).  IVF is kept as a correct, tested index type and
+the routing substrate for that work; for anything that fits on a chip,
+prefer the fused scan or PQ+rerank.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +52,82 @@ from erlvectordb_tpu.ops.kmeans import kmeans_fit
 _NEG = -1e30
 
 
+@functools.partial(jax.jit, static_argnames=("j",))
+def _top_choices(chunk, centroids, *, j):
+    """Nearest-j centroids for a row chunk: ([chunk, j] dists², ids)."""
+    dots = jnp.dot(chunk, centroids.T, preferred_element_type=jnp.float32)
+    cn = jnp.sum(centroids * centroids, axis=-1)
+    d2 = cn[None, :] - 2.0 * dots  # +|x|² is row-constant
+    neg, ids = lax.top_k(-d2, j)
+    return -neg, ids
+
+
+def _balanced_assign(data: np.ndarray, centroids: np.ndarray, cap: int,
+                     j: int = 32, chunk: int = 131072) -> np.ndarray:
+    """owner[i] = cell of row i; closest-first greedy over J choice rounds
+    with per-cell capacity.
+
+    Placement quality is what routing recall lives or dies by: a row parked
+    far from its natural cell is findable only by luck.  So bumped rows walk
+    DOWN THEIR OWN preference list (J deep), and the rare stragglers get a
+    genuine nearest-cell-with-space pass — never an arbitrary dump."""
+    n = data.shape[0]
+    c = centroids.shape[0]
+    j = min(j, c)
+    ch_d = np.empty((n, j), np.float32)
+    ch_i = np.empty((n, j), np.int32)
+    cj = jnp.asarray(centroids)
+    for s in range(0, n, chunk):
+        d, i = _top_choices(jnp.asarray(data[s : s + chunk]), cj, j=j)
+        ch_d[s : s + chunk] = np.asarray(d)
+        ch_i[s : s + chunk] = np.asarray(i)
+
+    owner = np.full(n, -1, np.int64)
+    fill = np.zeros(c, np.int64)
+    remaining = np.arange(n)
+    for round_j in range(j):
+        if remaining.size == 0:
+            break
+        cells = ch_i[remaining, round_j].astype(np.int64)
+        dists = ch_d[remaining, round_j]
+        by_dist = np.argsort(dists, kind="stable")       # closest first
+        rr, cc = remaining[by_dist], cells[by_dist]
+        by_cell = np.argsort(cc, kind="stable")          # keeps dist order
+        rr, cc = rr[by_cell], cc[by_cell]
+        starts = np.searchsorted(cc, np.arange(c))
+        rank = np.arange(rr.size) - starts[cc]
+        accept = rank < (cap - fill[cc])
+        owner[rr[accept]] = cc[accept]
+        fill += np.bincount(cc[accept], minlength=c)
+        remaining = rr[~accept]
+    if remaining.size:
+        # stragglers: nearest cell WITH SPACE (full distance row, masked)
+        open_cells = np.where(fill < cap)[0]
+        dists_all = np.asarray(
+            jnp.dot(jnp.asarray(data[remaining]),
+                    cj[open_cells].T, preferred_element_type=jnp.float32)
+        )
+        cn = (centroids[open_cells] ** 2).sum(axis=1)
+        d2 = cn[None, :] - 2.0 * dists_all
+        order = np.argsort(d2.min(axis=1), kind="stable")
+        for ri in order:  # small set: per-row greedy is fine
+            row = remaining[ri]
+            for oc in np.argsort(d2[ri], kind="stable"):
+                cell = open_cells[oc]
+                if fill[cell] < cap:
+                    owner[row] = cell
+                    fill[cell] += 1
+                    break
+        # anything still unplaced (cap exhausted in open set) -> emptiest
+        left = remaining[owner[remaining] < 0]
+        if left.size:
+            space_cells = np.repeat(np.arange(c), np.maximum(cap - fill, 0))
+            owner[left] = space_cells[: left.size]
+    return owner
+
+
 class IVFIndex:
-    """Cell-grouped rows + coarse centroids."""
+    """Cell-grouped rows + coarse centroids (balanced cells)."""
 
     def __init__(self, centroids, cells, cell_rows, cell_norms, cell_valid,
                  row_map):
@@ -70,34 +149,36 @@ class IVFIndex:
         rows: np.ndarray,          # [N] original store row ids
         norms: np.ndarray,         # [N]
         n_cells: int = 64,
-        iters: int = 15,
+        iters: int = 20,
         seed: int = 0,
+        beta: float = 1.3,         # capacity factor over perfect balance
+        max_train: int = 200_000,
     ) -> "IVFIndex":
         n, d = data.shape
         n_cells = min(n_cells, max(1, n // 4))
-        cents, assign = kmeans_fit(jnp.asarray(data), jnp.uint32(seed),
-                                   k=n_cells, iters=iters)
+        train = data
+        if n > max_train:
+            idx = np.random.default_rng(seed).choice(n, max_train, replace=False)
+            train = data[idx]
+        cents, _ = kmeans_fit(jnp.asarray(train), jnp.uint32(seed),
+                              k=n_cells, iters=iters, init="kpp")
         cents = np.asarray(cents)
-        assign = np.asarray(assign)
 
-        counts = np.bincount(assign, minlength=n_cells)
-        cell_cap = max(8, int(-(-counts.max() // 8) * 8))  # pad to x8 rows
+        cell_cap = int(-(-beta * n / n_cells // 8) * 8)
+        cell_cap = max(8, min(cell_cap, n))
+        owner = _balanced_assign(data, cents, cell_cap)
 
-        # overflow spill: rows beyond a cell's capacity go to the emptiest
-        # cell (keeps shapes static; recall impact negligible at sane caps)
-        order = np.argsort(assign, kind="stable")
+        order = np.argsort(owner, kind="stable")
+        oc = owner[order]
+        starts = np.searchsorted(oc, np.arange(n_cells))
+        slot = np.arange(n) - starts[oc]
+
         cells = np.zeros((n_cells, cell_cap, d), np.float32)
         cell_rows = np.full((n_cells, cell_cap), -1, np.int32)
         cell_norms = np.zeros((n_cells, cell_cap), np.float32)
-        fill = np.zeros(n_cells, np.int64)
-        for idx in order:
-            c = assign[idx]
-            if fill[c] >= cell_cap:
-                c = int(np.argmin(fill))
-            cells[c, fill[c]] = data[idx]
-            cell_rows[c, fill[c]] = rows[idx]
-            cell_norms[c, fill[c]] = norms[idx]
-            fill[c] += 1
+        cells[oc, slot] = data[order]
+        cell_rows[oc, slot] = rows[order]
+        cell_norms[oc, slot] = norms[order]
         cell_valid = cell_rows >= 0
         return cls(cents, jnp.asarray(cells), jnp.asarray(cell_rows),
                    jnp.asarray(cell_norms), jnp.asarray(cell_valid),
@@ -113,9 +194,10 @@ class IVFIndex:
             q = q[None, :]
         nprobe = min(nprobe, self.n_cells)
         b = q.shape[0]
-        # q_cap: how many queries one cell serves per batch (MoE capacity)
-        q_cap = max(8, int(-(-b * nprobe * 2 // self.n_cells) // 8 * 8 + 8))
-        q_cap = min(q_cap, b)
+        # per-cell query bucket size: 4x the uniform share absorbs routing
+        # skew (balanced cells keep it bounded); pairs past it are dropped
+        q_cap = int(-(-4 * b * nprobe / self.n_cells // 8) * 8 + 8)
+        q_cap = max(8, min(q_cap, b))
         d, r = _ivf_search(
             self.cells, self.cell_rows, self.cell_norms, self.cell_valid,
             self.centroids, q, k=min(k, self.cell_cap * nprobe),
@@ -140,29 +222,32 @@ def _ivf_search(cells, cell_rows, cell_norms, cell_valid, centroids, q,
                 *, k, nprobe, q_cap, metric):
     b, d = q.shape
     n_cells, cap, _ = cells.shape
+    p = b * nprobe
 
     # 1. route: top-nprobe cells per query (tiny matmul)
     cdots = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
     cn = jnp.sum(centroids * centroids, axis=-1)
-    cdist = cn[None, :] - 2.0 * cdots                      # [B, C] (+|q|² const)
+    cdist = cn[None, :] - 2.0 * cdots
     _, probe = lax.top_k(-cdist, nprobe)                   # [B, nprobe]
 
-    # 2. dispatch: per cell, gather up to q_cap probing queries (MoE-style)
-    onehot = jax.nn.one_hot(probe, n_cells, dtype=jnp.int32).sum(axis=1)  # [B, C]
-    position = jnp.cumsum(onehot, axis=0) - 1              # [B, C] slot per query
-    keep = (onehot > 0) & (position < q_cap)
-    # dispatch mask [B, C, q_cap]
-    disp = keep[:, :, None] & (
-        position[:, :, None] == jnp.arange(q_cap)[None, None, :]
-    )
-    disp_f = disp.astype(jnp.float32)
-    q_per_cell = jnp.einsum("bcq,bd->cqd", disp_f, q)      # [C, q_cap, D]
+    # 2. sort-based dispatch: (query, cell) pairs bucketed per cell
+    pair_cell = probe.reshape(-1)                          # [P]
+    pair_query = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
+    order = jnp.argsort(pair_cell, stable=True)
+    pc = pair_cell[order]
+    pq = pair_query[order]
+    starts = jnp.searchsorted(pc, jnp.arange(n_cells))
+    rank = jnp.arange(p, dtype=jnp.int32) - starts[pc].astype(jnp.int32)
+    keep = rank < q_cap
+    q_per_cell = jnp.zeros((n_cells, q_cap, d), jnp.float32).at[
+        pc, rank
+    ].set(q[pq], mode="drop")                              # [C, q_cap, D]
 
-    # 3. expert compute: one batched matmul scores every (cell, slot, row)
+    # 3. expert compute: one batched matmul scores every bucketed pair
     dots = jnp.einsum("cqd,crd->cqr", q_per_cell, cells,
                       preferred_element_type=jnp.float32)  # [C, q_cap, cap]
     if metric in ("euclidean", "l2"):
-        qsq = jnp.sum(q_per_cell * q_per_cell, axis=-1)    # [C, q_cap]
+        qsq = jnp.sum(q_per_cell * q_per_cell, axis=-1)
         sc = -(qsq[:, :, None] - 2.0 * dots + (cell_norms**2)[:, None, :])
     elif metric == "dot":
         sc = dots
@@ -174,26 +259,26 @@ def _ivf_search(cells, cell_rows, cell_norms, cell_valid, centroids, q,
         raise ValueError(metric)
     sc = jnp.where(cell_valid[:, None, :], sc, _NEG)       # mask padding rows
 
-    # 4. per-(query, probed cell) top-k', then combine across cells
+    # 4. per-(cell, slot) top-k', gathered back per pair, merged per query
     kk = min(k, cap)
     top_sc, top_i = lax.top_k(sc, kk)                      # [C, q_cap, kk]
     top_rows = jnp.take_along_axis(
         jnp.broadcast_to(cell_rows[:, None, :], sc.shape), top_i, axis=2
     )
-    # combine: route each cell-slot's results back to its query
-    # cand score [B, C, kk]: for each query, its slot's results in cell c
-    cand_sc = jnp.einsum("bcq,cqk->bck", disp_f, top_sc)
-    cand_sc = jnp.where(keep[:, :, None], cand_sc, _NEG)
-    cand_rows = jnp.einsum("bcq,cqk->bck", disp_f, top_rows.astype(jnp.float32))
-    cand_sc = cand_sc.reshape(b, n_cells * kk)
-    cand_rows = cand_rows.reshape(b, n_cells * kk).astype(jnp.int32)
+    rank_c = jnp.minimum(rank, q_cap - 1)
+    pair_sc = jnp.where(keep[:, None], top_sc[pc, rank_c], _NEG)   # [P, kk]
+    pair_rows = jnp.where(keep[:, None], top_rows[pc, rank_c], -1)
+    # un-sort: back to (query-major, probe-slot) order
+    cand_sc = jnp.zeros((p, kk), jnp.float32).at[order].set(pair_sc)
+    cand_rows = jnp.full((p, kk), -1, jnp.int32).at[order].set(pair_rows)
+    cand_sc = cand_sc.reshape(b, nprobe * kk)
+    cand_rows = cand_rows.reshape(b, nprobe * kk)
 
     kf = min(k, cand_sc.shape[1])
     best, sel = lax.top_k(cand_sc, kf)
     rows_out = jnp.take_along_axis(cand_rows, sel, axis=1)
     rows_out = jnp.where(best > _NEG / 2, rows_out, -1)
 
-    # scores back to distances
     if metric in ("euclidean", "l2"):
         dist = jnp.sqrt(jnp.maximum(-best, 0.0))
     elif metric == "dot":

@@ -39,19 +39,49 @@ def _update(x: jax.Array, assign: jax.Array, k: int) -> Tuple[jax.Array, jax.Arr
     return cents, counts
 
 
-@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def _kpp_init(x: jax.Array, key: jax.Array, k: int) -> jax.Array:
+    """k-means++ seeding: each next centroid drawn with probability
+    proportional to its squared distance from the chosen set.  Sequential by
+    nature, but each step is one [N] distance update — the whole loop is one
+    compiled fori_loop.  Dramatically reduces orphaned clusters vs random
+    init (which routinely double-covers some modes and misses others)."""
+    n = x.shape[0]
+    key, sub = jax.random.split(key)
+    first = x[jax.random.randint(sub, (), 0, n)]
+    cents0 = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(first)
+    mind2 = jnp.sum((x - first) ** 2, axis=1)
+
+    def body(i, carry):
+        cents, mind2, key = carry
+        key, sub = jax.random.split(key)
+        logits = jnp.log(jnp.maximum(mind2, 1e-20))
+        idx = jax.random.categorical(sub, logits)
+        newc = x[idx]
+        cents = cents.at[i].set(newc)
+        d2 = jnp.sum((x - newc) ** 2, axis=1)
+        return cents, jnp.minimum(mind2, d2), key
+
+    cents, _, _ = lax.fori_loop(1, k, body, (cents0, mind2, key))
+    return cents
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "init"))
 def kmeans_fit(
     x: jax.Array,          # [N, D] float32 training points
     seed: jax.Array,       # scalar uint32 PRNG key seed
     *,
     k: int,
     iters: int = 25,
+    init: str = "random",  # "random" | "kpp"
 ) -> Tuple[jax.Array, jax.Array]:
     """Lloyd k-means. Returns (centroids [k, D], assignments [N])."""
     n = x.shape[0]
     key = jax.random.PRNGKey(seed)
-    init_idx = jax.random.choice(key, n, shape=(k,), replace=n < k)
-    cents0 = x[init_idx]
+    if init == "kpp":
+        cents0 = _kpp_init(x, key, k)
+    else:
+        init_idx = jax.random.choice(key, n, shape=(k,), replace=n < k)
+        cents0 = x[init_idx]
 
     def body(_, cents):
         assign = _assign(x, cents)
