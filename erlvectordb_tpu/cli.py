@@ -116,6 +116,42 @@ def cmd_kill_existing(args) -> int:
     return 0
 
 
+def cmd_force_restart(args) -> int:
+    """Dev-mode: stop the .evdb.pid instance (SIGTERM -> graceful shutdown),
+    then start a fresh detached one (dev_cli force-restart analogue)."""
+    import os
+    import subprocess
+    import time as _time
+
+    cfg = load_config(config_file=args.config)
+    if not cfg.development_mode:
+        print(json.dumps({"error": "force-restart requires dev mode "
+                                   "(set EVDB_DEV_MODE=1)"}))
+        return 1
+    pid_file = ".evdb.pid"
+    if os.path.exists(pid_file):
+        try:
+            pid = int(open(pid_file).read().strip())
+            os.kill(pid, signal.SIGTERM)
+            for _ in range(30):
+                try:
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    break
+                _time.sleep(0.5)
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass
+        os.remove(pid_file)
+    log = open(".evdb.log", "ab")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "erlvectordb_tpu.cli", "serve"],
+        stdout=log, stderr=log, start_new_session=True,
+    )
+    open(pid_file, "w").write(str(proc.pid))
+    print(json.dumps({"restarted": True, "pid": proc.pid}))
+    return 0
+
+
 def cmd_bridge(args) -> int:
     from erlvectordb_tpu.serve.stdio_bridge import main as bridge_main
 
@@ -163,6 +199,7 @@ def main(argv=None) -> int:
     sub.add_parser("status")
     sub.add_parser("check")
     sub.add_parser("kill-existing")
+    sub.add_parser("force-restart")
     sub.add_parser("bridge")
     b = sub.add_parser("bench")
     b.add_argument("--bench-config", type=int, default=3)
@@ -178,6 +215,8 @@ def main(argv=None) -> int:
         return cmd_check(args)
     if args.command == "kill-existing":
         return cmd_kill_existing(args)
+    if args.command == "force-restart":
+        return cmd_force_restart(args)
     if args.command == "bridge":
         return cmd_bridge(args)
     if args.command == "bench":
