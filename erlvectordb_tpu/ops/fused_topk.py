@@ -59,41 +59,52 @@ def _pick_bt(b: int) -> int:
     return bt
 
 
-def _make_scan_kernel(t_per_tile: int):
+def _make_scan_kernel(t_per_tile: int, sub: int):
+    """``sub`` sub-tiles of TILE_N rows are processed per grid step: the
+    scores buffer stays [B_T, TILE_N] (VMEM-friendly) while the grid has
+    ``sub``x fewer steps — measured ~7% on v5e (per-step overhead)."""
+
     def _scan_kernel(q_ref, qmult_ref, codes_ref, rowmult_ref, rowbias_ref,
                      vals_ref, rows_ref):
-        j = pl.program_id(0)  # code-tile index
+        j = pl.program_id(0)  # big-tile index (sub * TILE_N rows)
 
         q = q_ref[:]            # [B_T, W] int8 (or f32)
-        c = codes_ref[:]        # [TILE_N, W]
-        if q.dtype == jnp.int8:
-            dots = lax.dot_general(
-                q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-            ).astype(jnp.float32)
-        else:
-            dots = lax.dot_general(
-                q, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-        # [B_T, TILE_N] affine-scored similarities (bigger = closer)
-        sims = dots * qmult_ref[:] * rowmult_ref[:] + rowbias_ref[:]
+        for t in range(sub):
+            sl = slice(t * TILE_N, (t + 1) * TILE_N)
+            c = codes_ref[sl, :]                           # [TILE_N, W]
+            if q.dtype == jnp.int8:
+                dots = lax.dot_general(
+                    q, c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                dots = lax.dot_general(
+                    q, c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            # [B_T, TILE_N] affine-scored similarities (bigger = closer)
+            sims = (dots * qmult_ref[:] * rowmult_ref[:, sl]
+                    + rowbias_ref[:, sl])
 
-        lane = lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-        big = jnp.int32(TILE_N)
+            lane = lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+            big = jnp.int32(TILE_N)
 
-        # iterative top-T extraction: max, locate, mask, repeat (VPU lane
-        # reductions; T is static so this unrolls)
-        vals, idxs = [], []
-        cur = sims
-        for _ in range(t_per_tile):
-            m = jnp.max(cur, axis=1, keepdims=True)                # [B_T, 1]
-            i = jnp.min(jnp.where(cur == m, lane, big), axis=1, keepdims=True)
-            vals.append(m)
-            idxs.append(i)
-            cur = jnp.where(lane == i, _NEG, cur)
+            # iterative top-T extraction: max, locate, mask, repeat (VPU
+            # lane reductions; T is static so this unrolls)
+            vals, idxs = [], []
+            cur = sims
+            for _ in range(t_per_tile):
+                m = jnp.max(cur, axis=1, keepdims=True)    # [B_T, 1]
+                i = jnp.min(jnp.where(cur == m, lane, big), axis=1,
+                            keepdims=True)
+                vals.append(m)
+                idxs.append(i)
+                cur = jnp.where(lane == i, _NEG, cur)
 
-        base = j * TILE_N
-        vals_ref[0] = jnp.concatenate(vals, axis=1)                # [B_T, T]
-        rows_ref[0] = jnp.concatenate(idxs, axis=1) + base
+            base = (j * sub + t) * TILE_N
+            osl = slice(t * t_per_tile, (t + 1) * t_per_tile)
+            vals_ref[0, :, osl] = jnp.concatenate(vals, axis=1)  # [B_T, T]
+            rows_ref[0, :, osl] = jnp.concatenate(idxs, axis=1) + base
 
     return _scan_kernel
 
@@ -104,46 +115,55 @@ MAX_T_PER_TILE = 8
 @functools.partial(jax.jit, static_argnames=("n_tiles", "t_per_tile"))
 def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
     """Run the scan kernel. codes [N, W]; q [B, W]; qmult [B, 1];
-    rowmult/rowbias [1, N].  Returns (vals [B, T*n_tiles], rows)."""
+    rowmult/rowbias [1, N].  Returns (vals [B, T*sub*n_big], rows) —
+    candidates covering at least n_tiles*TILE_N rows."""
     b, w = q.shape
     bt = _pick_bt(b)
     nb = b // bt
-    grid = (n_tiles, nb)  # codes-tile outer, so each code tile is DMA'd once
     t = t_per_tile
+    # two TILE_N sub-tiles per grid step when capacity allows (fewer grid
+    # steps, same peak VMEM; covered rows round up to a multiple of sub)
+    n_cap = codes.shape[0]
+    sub = 2 if n_cap % (2 * TILE_N) == 0 and n_tiles > 1 else 1
+    n_big = -(-n_tiles // sub)
+    big_n = sub * TILE_N
+    grid = (n_big, nb)  # codes-tile outer, so each code tile is DMA'd once
 
-    flops = 2 * b * w * n_tiles * TILE_N
+    flops = 2 * b * w * n_big * big_n
     bytes_accessed = (
-        n_tiles * TILE_N * w * codes.dtype.itemsize + b * w + b * n_tiles * t * 8
+        n_big * big_n * w * codes.dtype.itemsize + b * w + b * n_big * t * sub * 8
     )
 
     vals, rows = pl.pallas_call(
-        _make_scan_kernel(t),
+        _make_scan_kernel(t, sub),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, w), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, w), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, w), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
-        # Outputs are [n_tiles, B, T] so each block's trailing dims equal the
-        # array dims (a Mosaic layout requirement); flattened to [B, T*nt]
-        # by the caller's merge.
+        # Outputs are [n_big, B, T*sub] so each block's trailing dims equal
+        # the array dims (a Mosaic layout requirement); flattened for the
+        # caller's merge.
         out_specs=[
-            pl.BlockSpec((1, bt, t), lambda j, i: (j, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, t), lambda j, i: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, t * sub), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, t * sub), lambda j, i: (j, i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, b, t), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, b, t), jnp.int32),
+            jax.ShapeDtypeStruct((n_big, b, t * sub), jnp.float32),
+            jax.ShapeDtypeStruct((n_big, b, t * sub), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=jax.default_backend() != "tpu",  # CPU CI runs interpreted
     )(q, qmult, codes, rowmult, rowbias)
-    vals = vals.transpose(1, 0, 2).reshape(b, t * n_tiles)
-    rows = rows.transpose(1, 0, 2).reshape(b, t * n_tiles)
+    vals = vals.transpose(1, 0, 2).reshape(b, t * sub * n_big)
+    rows = rows.transpose(1, 0, 2).reshape(b, t * sub * n_big)
     return vals, rows
 
 
