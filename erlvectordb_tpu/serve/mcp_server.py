@@ -235,9 +235,9 @@ class MCPServer:
                 )
             try:
                 out = tools_mod.call_tool(self.db, name, args)
-            except tools_mod.ToolError as e:
-                return _error(req_id, INVALID_PARAMS, str(e))
-            except KeyError as e:
+            except (tools_mod.ToolError, KeyError, ValueError) as e:
+                # ValueError covers domain errors (bad index type, dimension
+                # mismatch, duplicate names) — caller errors, not crashes
                 return _error(req_id, INVALID_PARAMS, str(e))
             except Exception as e:  # noqa: BLE001 — fault barrier per request
                 logger.exception("tool %s failed", name)

@@ -135,6 +135,53 @@ TOOLS: Dict[str, dict] = {
             {"store": {"type": "string"}},
             ["store"],
         ),
+        _schema(
+            "create_index",
+            "Create an index descriptor over a store "
+            "(flat | int8 | pq | opq | ivf)",
+            "write",
+            {
+                "name": {"type": "string"},
+                "store": {"type": "string"},
+                "type": {"type": "string",
+                         "enum": ["flat", "int8", "pq", "opq", "ivf"]},
+                "parameters": {"type": "object"},
+            },
+            ["name", "store", "type"],
+        ),
+        _schema(
+            "build_index",
+            "Build (or rebuild) an index; real k-means/quantization on device",
+            "write",
+            {"name": {"type": "string"},
+             "wait": {"type": "boolean", "default": True}},
+            ["name"],
+        ),
+        _schema(
+            "list_indexes",
+            "List index descriptors and build stats",
+            "read",
+            {},
+            [],
+        ),
+        _schema(
+            "search_index",
+            "Top-k search through a built index",
+            "read",
+            {
+                "name": {"type": "string"},
+                "vector": {"type": "array", "items": {"type": "number"}},
+                "k": {"type": "integer", "default": 10},
+            },
+            ["name", "vector"],
+        ),
+        _schema(
+            "drop_index",
+            "Drop an index descriptor and its artifact",
+            "admin",
+            {"name": {"type": "string"}},
+            ["name"],
+        ),
     ]
 }
 
@@ -211,5 +258,23 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
     if name == "delete_store":
         if not db.delete_store(args["store"]):
             raise ToolError(f"store {args['store']!r} not found")
+        return {"status": "ok"}
+    if name == "create_index":
+        return db.create_index(args["name"], args["store"], args["type"],
+                               args.get("parameters"))
+    if name == "build_index":
+        return db.build_index(args["name"], wait=bool(args.get("wait", True)))
+    if name == "list_indexes":
+        return {"indexes": db.list_indexes()}
+    if name == "search_index":
+        hits = db.search_index(args["name"], args["vector"],
+                               k=int(args.get("k", 10)))
+        return {"results": [
+            {"id": vid, "metadata": meta, "distance": dist}
+            for vid, meta, dist in hits
+        ]}
+    if name == "drop_index":
+        if not db.drop_index(args["name"]):
+            raise ToolError(f"index {args['name']!r} not found")
         return {"status": "ok"}
     raise ToolError(f"Unknown tool: {name}")  # unreachable

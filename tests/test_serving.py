@@ -322,3 +322,48 @@ class TestREST:
         st = app.status()
         assert st["running"]
         assert st["services"]["mcp_server"]["running"]
+
+
+class TestIndexTools:
+    def test_index_lifecycle_over_mcp(self, app, token):
+        import numpy as np
+
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            c.call("tools/call", {"name": "create_store",
+                                  "arguments": {"name": "idx_store"}})
+            rng = np.random.default_rng(0)
+            data = rng.standard_normal((300, 16)).astype(np.float32)
+            app.db.insert_batch("idx_store",
+                                [f"v{i}" for i in range(300)], data)
+            r = c.call("tools/call", {"name": "create_index", "arguments": {
+                "name": "i8", "store": "idx_store", "type": "int8"}})
+            assert not r["result"]["isError"]
+            r = c.call("tools/call", {"name": "build_index",
+                                      "arguments": {"name": "i8"}})
+            info = json.loads(r["result"]["content"][0]["text"])
+            assert info["built"], info
+            r = c.call("tools/call", {"name": "search_index", "arguments": {
+                "name": "i8", "vector": data[7].tolist(), "k": 1}})
+            hits = json.loads(r["result"]["content"][0]["text"])["results"]
+            assert hits[0]["id"] == "v7"
+            r = c.call("tools/call", {"name": "list_indexes", "arguments": {}})
+            names = [i["name"] for i in
+                     json.loads(r["result"]["content"][0]["text"])["indexes"]]
+            assert "i8" in names
+            r = c.call("tools/call", {"name": "drop_index",
+                                      "arguments": {"name": "i8"}})
+            assert not r["result"]["isError"]
+        finally:
+            c.close()
+
+    def test_bad_index_type_is_invalid_params(self, app, token):
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            c.call("tools/call", {"name": "create_store",
+                                  "arguments": {"name": "idx_store2"}})
+            r = c.call("tools/call", {"name": "create_index", "arguments": {
+                "name": "bad", "store": "idx_store2", "type": "hnsw"}})
+            assert r["error"]["code"] == -32602
+        finally:
+            c.close()
