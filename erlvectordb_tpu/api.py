@@ -82,6 +82,8 @@ class Database:
                     elif store is not None:
                         self.registry.adopt(store)
                 self.persistence.start()
+                self.indexes.load_indexes(
+                    Path(self.config.persistence_dir) / "indexes")
             self.batcher.start()
             self._started = True
             return self
@@ -91,6 +93,8 @@ class Database:
             self.batcher.stop()
             if self.persistence is not None:
                 self.persistence.close()
+                self.indexes.save_all(
+                    Path(self.config.persistence_dir) / "indexes")
             self._started = False
 
     # ------------------------------------------------------------ store ops
@@ -251,7 +255,12 @@ class Database:
         return self.indexes.create_index(name, store, index_type, parameters)
 
     def build_index(self, name: str, wait: bool = True) -> dict:
-        return self.indexes.build_index(name, wait=wait)
+        info = self.indexes.build_index(name, wait=wait)
+        if (self.persistence is not None and info.get("built")
+                and info.get("type") != "flat"):
+            self.indexes.save_index(
+                name, Path(self.config.persistence_dir) / "indexes")
+        return info
 
     def list_indexes(self) -> List[dict]:
         return self.indexes.list_indexes()
@@ -260,7 +269,13 @@ class Database:
         return self.indexes.get_index_info(name)
 
     def drop_index(self, name: str) -> bool:
-        return self.indexes.drop_index(name)
+        hit = self.indexes.drop_index(name)
+        if hit and self.persistence is not None:
+            import shutil
+
+            idir = Path(self.config.persistence_dir) / "indexes" / f"idx_{name}"
+            shutil.rmtree(idir, ignore_errors=True)
+        return hit
 
     def search_index(self, name: str, query, k: int = 10):
         return self.indexes.search(name, query, k=k)

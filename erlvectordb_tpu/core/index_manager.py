@@ -293,6 +293,109 @@ class IndexManager:
         rows = a["rows"][np.asarray(idx)[0]]
         return self._rows_to_hits(store, dists, rows)
 
+    # ----------------------------------------------------------- persistence
+
+    def save_index(self, name: str, root) -> str:
+        """Persist one built index (meta.json + arrays.npz) under
+        ``root/idx_<name>/`` — atomic like store snapshots."""
+        import json
+        import os
+        from pathlib import Path
+
+        with self._lock:
+            info = self._indexes.get(name)
+            if info is None or not info.built:
+                raise IndexError_(f"index {name!r} not found or not built")
+            meta = info.to_dict()
+            a = info.artifact
+        arrays = {}
+        if info.type == "int8" and a is not None:
+            arrays = {"codes": np.asarray(a["codes"]),
+                      "scales": np.asarray(a["scales"])}
+        elif info.type in ("pq", "opq") and a is not None:
+            arrays = dict(a["codebook"].to_arrays())
+            arrays["codes"] = np.asarray(a["codes"])
+            arrays["rows"] = np.asarray(a["rows"])
+            meta["pad_dim"] = int(a["pad_dim"])
+        elif info.type == "ivf" and a is not None:
+            arrays = a["ivf"].to_arrays()
+            meta["nprobe"] = int(a["nprobe"])
+        idir = Path(root) / f"idx_{name}"
+        idir.mkdir(parents=True, exist_ok=True)
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        (idir / ".arrays.npz.tmp").write_bytes(buf.getvalue())
+        (idir / ".meta.json.tmp").write_text(json.dumps(meta))
+        os.replace(idir / ".arrays.npz.tmp", idir / "arrays.npz")
+        os.replace(idir / ".meta.json.tmp", idir / "meta.json")
+        return str(idir)
+
+    def load_indexes(self, root) -> List[str]:
+        """Re-hydrate every persisted index whose store exists."""
+        import json
+        from pathlib import Path
+
+        root = Path(root)
+        loaded = []
+        if not root.exists():
+            return loaded
+        for idir in sorted(root.glob("idx_*")):
+            meta_path = idir / "meta.json"
+            if not meta_path.exists():
+                continue
+            meta = json.loads(meta_path.read_text())
+            if self._registry.get_or_none(meta["store"]) is None:
+                continue
+            arrays = {}
+            if (idir / "arrays.npz").exists():
+                with np.load(idir / "arrays.npz") as z:
+                    arrays = {k: z[k] for k in z.files}
+            info = IndexInfo(meta["name"], meta["store"], meta["type"],
+                             meta.get("parameters") or {})
+            info.built = bool(meta.get("built"))
+            info.built_at = meta.get("built_at")
+            info.build_seconds = meta.get("build_seconds")
+            info.stats = meta.get("stats") or {}
+            if info.type == "int8" and arrays:
+                info.artifact = {"codes": jnp.asarray(arrays["codes"]),
+                                 "scales": jnp.asarray(arrays["scales"])}
+            elif info.type in ("pq", "opq") and arrays:
+                if info.type == "opq":
+                    from erlvectordb_tpu.quant.opq import OPQCodebook
+
+                    cb = OPQCodebook.from_arrays(arrays)
+                else:
+                    from erlvectordb_tpu.quant.pq import PQCodebook
+
+                    cb = PQCodebook.from_arrays(arrays)
+                info.artifact = {
+                    "codebook": cb,
+                    "codes": jnp.asarray(arrays["codes"]),
+                    "rows": np.asarray(arrays["rows"]),
+                    "pad_dim": int(meta["pad_dim"]),
+                }
+            elif info.type == "ivf" and arrays:
+                from erlvectordb_tpu.core.ivf import IVFIndex
+
+                info.artifact = {"ivf": IVFIndex.from_arrays(arrays),
+                                 "nprobe": int(meta.get("nprobe", 8))}
+            with self._lock:
+                self._indexes.setdefault(meta["name"], info)
+            loaded.append(meta["name"])
+        return loaded
+
+    def save_all(self, root) -> int:
+        n = 0
+        with self._lock:
+            names = [i.name for i in self._indexes.values()
+                     if i.built and i.type != "flat"]
+        for name in names:
+            self.save_index(name, root)
+            n += 1
+        return n
+
     @staticmethod
     def _rows_to_hits(store: VectorStore, dists, rows):
         hits = []

@@ -216,6 +216,26 @@ class IVFIndex:
             "max_cell": int(fill.max()),
         }
 
+    def to_arrays(self) -> dict:
+        return {
+            "centroids": np.asarray(self.centroids),
+            "cells": np.asarray(self.cells),
+            "cell_rows": np.asarray(self.cell_rows),
+            "cell_norms": np.asarray(self.cell_norms),
+        }
+
+    @classmethod
+    def from_arrays(cls, d: dict) -> "IVFIndex":
+        cell_rows = np.asarray(d["cell_rows"])
+        return cls(
+            jnp.asarray(d["centroids"]),
+            jnp.asarray(d["cells"]),
+            jnp.asarray(cell_rows),
+            jnp.asarray(d["cell_norms"]),
+            jnp.asarray(cell_rows >= 0),
+            cell_rows,
+        )
+
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "q_cap", "metric"))
 def _ivf_search(cells, cell_rows, cell_norms, cell_valid, centroids, q,

@@ -147,3 +147,53 @@ class TestOPQIndex:
         assert info["stats"]["kind"] == "opq"
         hits = im.search("opq1", data[7], k=10)
         assert "v7" in [h[0] for h in hits[:3]]
+
+
+class TestIndexPersistence:
+    def test_save_load_roundtrip(self, setup, tmp_path):
+        registry, im, data = setup
+        im.create_index("p8", "s", "int8")
+        im.build_index("p8")
+        im.create_index("ppq", "s", "pq", {"m": 8, "iters": 6})
+        im.build_index("ppq")
+        im.save_all(tmp_path)
+        im2 = IndexManager(registry)
+        loaded = im2.load_indexes(tmp_path)
+        assert set(loaded) == {"p8", "ppq"}
+        assert im2.search("p8", data[42], k=1)[0][0] == "v42"
+        hits = im2.search("ppq", data[7], k=5)
+        assert "v7" in [h[0] for h in hits]
+
+    def test_load_skips_missing_store(self, setup, tmp_path):
+        registry, im, _ = setup
+        im.create_index("p8", "s", "int8")
+        im.build_index("p8")
+        im.save_all(tmp_path)
+        from erlvectordb_tpu.core import StoreRegistry
+
+        im2 = IndexManager(StoreRegistry())  # store 's' absent
+        assert im2.load_indexes(tmp_path) == []
+
+    def test_database_persists_indexes(self, rng, tmp_path):
+        from erlvectordb_tpu.api import Database
+        from erlvectordb_tpu.infra.config import load_config
+
+        cfg = load_config(overrides={
+            "persistence_dir": str(tmp_path / "data"),
+            "backup_dir": str(tmp_path / "backups"),
+            "sync_interval": 9999,
+        }, env={})
+        db = Database(cfg).start()
+        db.create_store("ps")
+        data = rng.standard_normal((200, 16)).astype(np.float32)
+        db.insert_batch("ps", [f"v{i}" for i in range(200)], data)
+        db.sync("ps")
+        db.create_index("pidx", "ps", "int8")
+        db.build_index("pidx")  # saved automatically
+        db.stop()
+        db2 = Database(cfg).start()
+        try:
+            assert db2.get_index_info("pidx")["built"]
+            assert db2.search_index("pidx", data[3], k=1)[0][0] == "v3"
+        finally:
+            db2.stop()
