@@ -469,20 +469,40 @@ class VectorStore:
         query,
         k: int = 10,
         metric: Optional[str] = None,
+        where: Optional[dict] = None,
     ) -> List[Tuple[str, Any, float]]:
         """Exact top-k search for one query.
 
         Returns ``[(id, metadata, distance)]`` ascending by distance —
         the reference's result shape (src/vector_store.erl:234-236).
+        ``where`` restricts results to vectors whose metadata matches every
+        key/value equality predicate (a capability the reference lacks).
         """
-        results = self.search_batch(np.asarray(query, np.float32)[None, :], k, metric)
+        results = self.search_batch(
+            np.asarray(query, np.float32)[None, :], k, metric, where
+        )
         return results[0]
+
+    def filter_mask(self, where: dict) -> np.ndarray:
+        """Row mask for metadata equality predicates (AND semantics).
+        O(count) on the host; heavy filtering workloads should keep a
+        dedicated tag store (round-2 inverted metadata index)."""
+        mask = np.zeros(self._capacity, bool)
+        with self._lock.read():
+            self._materialize()
+            for vid, meta in self._metadata.items():
+                if all(meta.get(kk) == vv for kk, vv in where.items()):
+                    row = self._id_to_row.get(vid)
+                    if row is not None:
+                        mask[row] = True
+        return mask
 
     def search_batch(
         self,
         queries,
         k: int = 10,
         metric: Optional[str] = None,
+        where: Optional[dict] = None,
     ) -> List[List[Tuple[str, Any, float]]]:
         """Batched exact top-k: one compiled program for B queries."""
         metric = metric or self.metric
@@ -490,12 +510,13 @@ class VectorStore:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
         t0 = __import__("time").perf_counter()
         q = self._validate_batch(queries)
+        fmask = self.filter_mask(where) if where else None
         # read-side of the store lock: concurrent searches proceed in
         # parallel, but never against a buffer an insert is donating away
         with self._lock.read():
-            return self._search_locked(q, k, metric, t0)
+            return self._search_locked(q, k, metric, t0, fmask)
 
-    def _search_locked(self, q, k, metric, t0):
+    def _search_locked(self, q, k, metric, t0, fmask=None):
         if self._vectors is None or self.count == 0:
             return [[] for _ in range(q.shape[0])]
         if k <= 0:
@@ -507,6 +528,9 @@ class VectorStore:
             qp[:, : q.shape[1]] = q
             q = qp
         q_j = self._put(q)
+        valid = self._valid
+        if fmask is not None:
+            valid = jnp.logical_and(valid, self._put(fmask))
         from erlvectordb_tpu.ops import fused_topk as ft
 
         if self.dtype != "int4" and ft.fused_topk_available(
@@ -518,7 +542,7 @@ class VectorStore:
                 self._vectors,
                 self._scales if self.dtype == "int8" else None,
                 self._norms,
-                self._valid,
+                valid,
                 q_j,
                 metric=metric,
                 k=kb,
@@ -526,17 +550,17 @@ class VectorStore:
             )
         elif self.dtype == "int8":
             dists, rows = search_mod.exact_topk_int8(
-                self._vectors, self._scales, self._norms, self._valid, q_j,
+                self._vectors, self._scales, self._norms, valid, q_j,
                 metric=metric, k=kb,
             )
         elif self.dtype == "int4":
             dists, rows = search_mod.exact_topk_int4(
-                self._vectors, self._scales, self._norms, self._valid, q_j,
+                self._vectors, self._scales, self._norms, valid, q_j,
                 metric=metric, k=kb,
             )
         else:
             dists, rows = search_mod.exact_topk(
-                self._vectors, self._norms, self._valid, q_j, metric=metric, k=kb,
+                self._vectors, self._norms, valid, q_j, metric=metric, k=kb,
             )
         dists_np = np.asarray(dists)
         rows_np = np.asarray(rows)

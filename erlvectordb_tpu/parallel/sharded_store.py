@@ -397,19 +397,35 @@ class ShardedVectorStore:
 
     # --------------------------------------------------------------- search
 
-    def search(self, query, k: int = 10, metric: Optional[str] = None):
-        return self.search_batch(np.asarray(query, np.float32)[None, :], k, metric)[0]
+    def search(self, query, k: int = 10, metric: Optional[str] = None,
+               where: Optional[dict] = None):
+        return self.search_batch(
+            np.asarray(query, np.float32)[None, :], k, metric, where
+        )[0]
 
-    def search_batch(self, queries, k: int = 10, metric: Optional[str] = None):
+    def filter_mask(self, where: dict) -> np.ndarray:
+        """[S, cap] slot mask for metadata equality predicates."""
+        mask = np.zeros((self.n_shards, self._cap), bool)
+        with self._lock.read():
+            for vid, meta in self._metadata.items():
+                if all(meta.get(kk) == vv for kk, vv in where.items()):
+                    slot = self._id_to_slot.get(vid)
+                    if slot is not None:
+                        mask[slot[0], slot[1]] = True
+        return mask
+
+    def search_batch(self, queries, k: int = 10, metric: Optional[str] = None,
+                     where: Optional[dict] = None):
         metric = metric or self.metric
         q = self._validate_batch(queries)
         nq = q.shape[0]
         if self._vectors is None or self.count == 0 or k <= 0:
             return [[] for _ in range(nq)]
+        fmask = self.filter_mask(where) if where else None
         with self._lock.read():
-            return self._search_locked(q, nq, k, metric)
+            return self._search_locked(q, nq, k, metric, fmask)
 
-    def _search_locked(self, q, nq, k, metric):
+    def _search_locked(self, q, nq, k, metric, fmask=None):
         # Pad the batch so it splits evenly across replicas.
         r = self.n_replicas
         pad_b = (-nq) % r
@@ -424,9 +440,15 @@ class ShardedVectorStore:
         ):
             fused_nt = ft.n_tiles_for(max(self._next_local), self._cap)
         fn = _build_search(self.mesh, metric, kb, self.dtype == "int8", fused_nt)
+        valid = self._valid
+        if fmask is not None:
+            valid = jnp.logical_and(
+                valid,
+                jax.device_put(fmask, NamedSharding(self.mesh, P(DATA_AXIS, None))),
+            )
         aux = self._scales if self.dtype == "int8" else self._norms  # dummy for f32
         q_dev = jax.device_put(q, self._sharding(P(REPLICA_AXIS, None)))
-        dists, rows = fn(self._vectors, aux, self._norms, self._valid, q_dev)
+        dists, rows = fn(self._vectors, aux, self._norms, valid, q_dev)
         dists_np = np.asarray(dists)[:nq]
         rows_np = np.asarray(rows)[:nq]
         out = []

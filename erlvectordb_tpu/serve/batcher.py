@@ -77,15 +77,20 @@ class QueryBatcher:
     # ----------------------------------------------------------------- API
 
     def search(self, store: str, query, k: int = 10,
-               metric: Optional[str] = None, timeout: float = 30.0):
+               metric: Optional[str] = None, timeout: float = 30.0,
+               where: Optional[dict] = None):
         """Blocking search that rides the next micro-batch."""
         if self._thread is None:
             # not started: degrade gracefully to a direct call
-            return self._get_store(store).search(query, k=k, metric=metric)
+            return self._get_store(store).search(query, k=k, metric=metric,
+                                                 where=where)
         p = _Pending(np.asarray(query, np.float32))
         # dimension is part of the key so one malformed query cannot poison
-        # a whole batch with a stacking error
-        key = (store, int(k), metric, int(p.query.shape[-1]))
+        # a whole batch with a stacking error; filters batch with equal filters
+        import json as _json
+
+        where_key = _json.dumps(where, sort_keys=True) if where else None
+        key = (store, int(k), metric, int(p.query.shape[-1]), where_key)
         with self._lock:
             self._queues[key].append(p)
             depth = len(self._queues[key])
@@ -107,16 +112,20 @@ class QueryBatcher:
             with self._lock:
                 batches = {k: v for k, v in self._queues.items() if v}
                 self._queues.clear()
-            for (store_name, k, metric, _dim), pendings in batches.items():
-                self._run_batch(store_name, k, metric, pendings)
+            for (store_name, k, metric, _dim, where_key), pendings in batches.items():
+                self._run_batch(store_name, k, metric, pendings, where_key)
 
     def _run_batch(self, store_name: str, k: int, metric: Optional[str],
-                   pendings: List[_Pending]) -> None:
+                   pendings: List[_Pending], where_key=None) -> None:
         try:
+            import json as _json
+
+            where = _json.loads(where_key) if where_key else None
             store = self._get_store(store_name)
             qs = np.stack([p.query for p in pendings])
             with metrics.timed("batcher.batch"):
-                results = store.search_batch(qs, k=k, metric=metric)
+                results = store.search_batch(qs, k=k, metric=metric,
+                                             where=where)
             metrics.inc("batcher.batched_queries", len(pendings))
             metrics.observe("batcher.batch_size", float(len(pendings)))
             for p, r in zip(pendings, results):

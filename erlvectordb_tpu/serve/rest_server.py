@@ -222,6 +222,7 @@ class RestServer:
                         hits = outer.db.batcher.search(
                             parts[3], body["vector"], k=int(body.get("k", 10)),
                             metric=body.get("metric"),
+                            where=body.get("filter"),
                         )
                         return self._reply(200, {"results": [
                             {"id": vid, "metadata": meta, "distance": dist}

@@ -76,6 +76,8 @@ TOOLS: Dict[str, dict] = {
                 "vector": {"type": "array", "items": {"type": "number"}},
                 "k": {"type": "integer", "default": 10},
                 "metric": {"type": "string"},
+                "filter": {"type": "object",
+                           "description": "metadata equality predicates (AND)"},
             },
             ["store", "vector"],
         ),
@@ -229,7 +231,7 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         # concurrent protocol requests coalesce into one device batch
         hits = db.batcher.search(
             args["store"], args["vector"], k=int(args.get("k", 10)),
-            metric=args.get("metric"),
+            metric=args.get("metric"), where=args.get("filter"),
         )
         return {
             "results": [

@@ -260,3 +260,14 @@ class TestDimSharded:
         with pytest.raises(ValueError):
             dim_sharded_topk(mesh, data, jnp.zeros(10), jnp.ones(10, bool),
                              jnp.zeros((1, 12)))
+
+
+class TestShardedFilteredSearch:
+    def test_where_on_sharded(self, mesh8, rng):
+        data = rng.standard_normal((120, 8)).astype(np.float32)
+        sh = ShardedVectorStore("fsh", mesh8, metric="euclidean")
+        sh.insert_batch([f"v{i}" for i in range(120)], data,
+                        [{"odd": i % 2} for i in range(120)])
+        res = sh.search(data[7], k=5, where={"odd": 1})
+        assert res[0][0] == "v7"
+        assert all(int(r[0][1:]) % 2 == 1 for r in res)

@@ -320,3 +320,29 @@ class TestInt4Store:
         clone = VectorStore.from_state(store.export_state())
         assert clone.dtype == "int4"
         assert clone.search(data[9], k=1)[0][0] == "9"
+
+
+class TestFilteredSearch:
+    def test_where_equality(self, rng):
+        store = VectorStore("f1", metric="euclidean")
+        data = rng.standard_normal((100, 8)).astype(np.float32)
+        metas = [{"cat": "a" if i % 2 == 0 else "b", "n": i % 3}
+                 for i in range(100)]
+        store.insert_batch([f"v{i}" for i in range(100)], data, metas)
+        res = store.search(data[3], k=5, where={"cat": "b"})
+        assert all(int(r[0][1:]) % 2 == 1 for r in res)
+        res = store.search(data[3], k=50, where={"cat": "a", "n": 0})
+        assert all(r[1] == {"cat": "a", "n": 0} for r in res)
+
+    def test_where_no_match(self, rng):
+        store = VectorStore("f2")
+        store.insert("a", [1.0, 0.0], {"x": 1})
+        assert store.search([1.0, 0.0], k=3, where={"x": 2}) == []
+
+    def test_where_self_match(self, rng):
+        store = VectorStore("f3", metric="euclidean")
+        data = rng.standard_normal((50, 4)).astype(np.float32)
+        store.insert_batch([f"v{i}" for i in range(50)], data,
+                           [{"g": i // 10} for i in range(50)])
+        res = store.search(data[25], k=1, where={"g": 2})
+        assert res[0][0] == "v25"
