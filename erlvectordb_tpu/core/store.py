@@ -533,14 +533,14 @@ class VectorStore:
             valid = jnp.logical_and(valid, self._put(fmask))
         from erlvectordb_tpu.ops import fused_topk as ft
 
-        if self.dtype != "int4" and ft.fused_topk_available(
+        if ft.fused_topk_available(
             self.count, self._capacity, metric, jax.default_backend(), kb
         ):
             # Pallas fused scan: streams code tiles through VMEM, extracts
             # per-tile candidates on-chip — never materializes [B, N] in HBM.
             dists, rows = ft.fused_topk(
                 self._vectors,
-                self._scales if self.dtype == "int8" else None,
+                self._scales if self.dtype in ("int8", "int4") else None,
                 self._norms,
                 valid,
                 q_j,

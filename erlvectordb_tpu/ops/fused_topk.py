@@ -59,29 +59,54 @@ def _pick_bt(b: int) -> int:
     return bt
 
 
-def _make_scan_kernel(t_per_tile: int, sub: int):
+def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False):
     """``sub`` sub-tiles of TILE_N rows are processed per grid step: the
     scores buffer stays [B_T, TILE_N] (VMEM-friendly) while the grid has
-    ``sub``x fewer steps — measured ~7% on v5e (per-step overhead)."""
+    ``sub``x fewer steps — measured ~7% on v5e (per-step overhead).
+
+    ``packed_int4``: codes arrive as packed nibble pairs [rows, W/2] uint8
+    (dims 2p in the high nibble).  Rather than interleaving after unpack
+    (lane shuffles are expensive), the WRAPPER reorders the query to
+    [evens | odds], so the dot decomposes into two contiguous half-width
+    int8 matmuls: dot(q_even, hi) + dot(q_odd, lo).  HBM scan traffic
+    halves vs int8."""
 
     def _scan_kernel(q_ref, qmult_ref, codes_ref, rowmult_ref, rowbias_ref,
                      vals_ref, rows_ref):
         j = pl.program_id(0)  # big-tile index (sub * TILE_N rows)
 
-        q = q_ref[:]            # [B_T, W] int8 (or f32)
+        q = q_ref[:]            # [B_T, W] int8/f32 ([evens|odds] if packed)
         for t in range(sub):
             sl = slice(t * TILE_N, (t + 1) * TILE_N)
-            c = codes_ref[sl, :]                           # [TILE_N, W]
-            if q.dtype == jnp.int8:
-                dots = lax.dot_general(
-                    q, c, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32,
+            if packed_int4:
+                praw = codes_ref[sl, :].astype(jnp.int32)  # [TILE_N, W/2]
+                # Mosaic: uint8 shifts and sub-32-bit compares don't
+                # legalize — unpack and sign-extend entirely in int32
+                hw = praw.shape[1]
+                hi32 = praw >> 4
+                lo32 = praw & 0xF
+                hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.int8)
+                lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.int8)
+                q_even = q[:, :hw]
+                q_odd = q[:, hw:]
+                dots = (
+                    lax.dot_general(q_even, hi, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                    + lax.dot_general(q_odd, lo, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
                 ).astype(jnp.float32)
             else:
-                dots = lax.dot_general(
-                    q, c, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                c = codes_ref[sl, :]                       # [TILE_N, W]
+                if q.dtype == jnp.int8:
+                    dots = lax.dot_general(
+                        q, c, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                else:
+                    dots = lax.dot_general(
+                        q, c, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
             # [B_T, TILE_N] affine-scored similarities (bigger = closer)
             sims = (dots * qmult_ref[:] * rowmult_ref[:, sl]
                     + rowbias_ref[:, sl])
@@ -114,10 +139,16 @@ MAX_T_PER_TILE = 8
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "t_per_tile"))
 def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
-    """Run the scan kernel. codes [N, W]; q [B, W]; qmult [B, 1];
-    rowmult/rowbias [1, N].  Returns (vals [B, T*sub*n_big], rows) —
-    candidates covering at least n_tiles*TILE_N rows."""
+    """Run the scan kernel. codes [N, W] (or packed uint8 [N, W/2]);
+    q [B, W]; qmult [B, 1]; rowmult/rowbias [1, N].  Returns
+    (vals [B, T*sub*n_big], rows) covering at least n_tiles*TILE_N rows."""
     b, w = q.shape
+    packed = codes.dtype == jnp.uint8
+    if packed:
+        # reorder query to [evens | odds] so the kernel's half-width matmuls
+        # line up with the hi/lo nibble planes (see _make_scan_kernel)
+        q = jnp.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
+    cw = codes.shape[1]
     bt = _pick_bt(b)
     nb = b // bt
     t = t_per_tile
@@ -135,12 +166,12 @@ def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
     )
 
     vals, rows = pl.pallas_call(
-        _make_scan_kernel(t, sub),
+        _make_scan_kernel(t, sub, packed),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, w), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((big_n, w), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, cw), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
         ],
