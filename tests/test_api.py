@@ -137,3 +137,31 @@ class TestDistributedVerbs:
     def test_any_store_missing(self, db):
         with pytest.raises(StoreNotFound):
             db.any_store("nope")
+
+
+class TestCompressionEnabledPersistence:
+    def test_compressed_snapshots_via_config(self, rng, tmp_path):
+        from erlvectordb_tpu.persist.snapshot import get_store_info
+
+        cfg = load_config(overrides={
+            "persistence_dir": str(tmp_path / "data"),
+            "backup_dir": str(tmp_path / "backups"),
+            "sync_interval": 9999,
+            "compression_enabled": True,
+            "compression_algorithm": "zlib",
+        }, env={})
+        db = Database(cfg).start()
+        try:
+            db.create_store("cz")
+            data = rng.standard_normal((50, 8)).astype(np.float32)
+            db.insert_batch("cz", [f"v{i}" for i in range(50)], data)
+            db.sync("cz")
+            info = get_store_info("cz", cfg.persistence_dir)
+            assert info["compression"] == "zlib"
+            db2 = Database(cfg).start()
+            try:
+                assert db2.search("cz", data[3], k=1)[0][0] == "v3"
+            finally:
+                db2.persistence.close()
+        finally:
+            db.stop()
