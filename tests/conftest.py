@@ -8,10 +8,15 @@ JAX_PLATFORMS=axon (a tunneled real TPU), so the env-var route is overridden;
 we must force the platform through jax.config before first backend use.
 """
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("EVDB_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+# else: keep the real backend so tests/test_tpu_hardware.py runs on-chip:
+#   EVDB_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

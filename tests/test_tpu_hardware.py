@@ -1,0 +1,59 @@
+"""Opt-in REAL-TPU smoke tests — skipped under the CPU CI platform.
+
+Run on hardware with:  JAX_PLATFORMS= python -m pytest tests/test_tpu_hardware.py --no-header -q -p no:cacheprovider
+(the repo conftest pins tests to CPU; this module re-checks the actual
+backend and skips itself when no TPU is present).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+requires_tpu = pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="needs a real TPU backend"
+)
+
+
+@requires_tpu
+def test_fused_kernel_int8_on_tpu(rng):
+    from erlvectordb_tpu.core.store import VectorStore
+
+    data = rng.standard_normal((8192, 64)).astype(np.float32)
+    store = VectorStore.from_matrix("tpu8", data, dtype="int8")
+    res = store.search(data[123], k=1)
+    assert res[0][0] == "123"
+
+
+@requires_tpu
+def test_fused_kernel_int4_on_tpu(rng):
+    from erlvectordb_tpu.core.store import VectorStore
+
+    data = rng.standard_normal((8192, 64)).astype(np.float32)
+    store = VectorStore.from_matrix("tpu4", data, dtype="int4")
+    res = store.search(data[99], k=1)
+    assert res[0][0] == "99"
+
+
+@requires_tpu
+def test_adc_pallas_on_tpu(rng):
+    import jax.numpy as jnp
+
+    from erlvectordb_tpu.ops.adc_pallas import adc_n_tiles, adc_search_fused
+    from erlvectordb_tpu.quant.pq import PQCodebook
+
+    n, d = 4096, 64
+    z = rng.standard_normal((n, 8)).astype(np.float32)
+    proj = rng.standard_normal((8, d)).astype(np.float32)
+    data = z @ proj
+    cb = PQCodebook.fit(data, m=8, k=64, iters=8)
+    codes = cb.encode(data)
+    absmax = np.abs(data).max(axis=1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    i8 = np.clip(np.round(data / scales[:, None]), -127, 127).astype(np.int8)
+    nt = adc_n_tiles(n)
+    _, rows = adc_search_fused(
+        codes, cb.codebooks, jnp.asarray(i8), jnp.asarray(scales),
+        jnp.asarray(data[:4]), n, k=3, c=64, n_tiles=nt,
+    )
+    assert np.asarray(rows)[0][0] == 0
