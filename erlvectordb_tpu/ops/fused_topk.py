@@ -153,9 +153,15 @@ def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
     nb = b // bt
     t = t_per_tile
     # two TILE_N sub-tiles per grid step when capacity allows (fewer grid
-    # steps, same peak VMEM; covered rows round up to a multiple of sub)
+    # steps) — but only while the doubled code tile still fits VMEM next to
+    # the [bt, TILE_N] scores buffer (~16 MB budget): wide rows get sub=1.
     n_cap = codes.shape[0]
-    sub = 2 if n_cap % (2 * TILE_N) == 0 and n_tiles > 1 else 1
+    bytes_per_row = cw * codes.dtype.itemsize
+    sub = (
+        2
+        if n_cap % (2 * TILE_N) == 0 and n_tiles > 1 and bytes_per_row <= 512
+        else 1
+    )
     n_big = -(-n_tiles // sub)
     big_n = sub * TILE_N
     grid = (n_big, nb)  # codes-tile outer, so each code tile is DMA'd once

@@ -40,7 +40,7 @@ from erlvectordb_tpu.core.search import (
     int8_distances,
     pairwise_distances,
 )
-from erlvectordb_tpu.core.store import _next_pow2
+from erlvectordb_tpu.core.store import _next_pow2, _pad128
 from erlvectordb_tpu.utils.locks import RWLock
 from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
 
@@ -215,7 +215,8 @@ class ShardedVectorStore:
         if self._vectors is not None:
             return
         self._cap = MIN_SHARD_CAPACITY
-        s, cap, d = self.n_shards, self._cap, self._dim
+        s, cap = self.n_shards, self._cap
+        d = _pad128(self._dim)  # lane-padded like core stores
         row3 = self._sharding(P(DATA_AXIS, None, None))
         row2 = self._sharding(P(DATA_AXIS, None))
         vdtype = np.int8 if self.dtype == "int8" else np.float32
@@ -338,10 +339,12 @@ class ShardedVectorStore:
                     shard_idx[i], local_idx[i] = slot
             bucket = _next_pow2(len(ids))
             pad = bucket - len(ids)
-            if pad:
+            width = _pad128(arr.shape[1])
+            if pad or width != arr.shape[1]:
                 shard_idx = np.concatenate([shard_idx, np.full(pad, self.n_shards, np.int32)])
                 local_idx = np.concatenate([local_idx, np.zeros(pad, np.int32)])
-                arr_d = np.concatenate([arr, np.zeros((pad, arr.shape[1]), np.float32)])
+                arr_d = np.zeros((bucket, width), np.float32)
+                arr_d[: len(ids), : arr.shape[1]] = arr
             else:
                 arr_d = arr
             fn = _build_insert(self.mesh, self.dtype == "int8")
@@ -431,6 +434,11 @@ class ShardedVectorStore:
         pad_b = (-nq) % r
         if pad_b:
             q = np.concatenate([q, np.zeros((pad_b, q.shape[1]), np.float32)])
+        width = _pad128(q.shape[1])
+        if width != q.shape[1]:
+            qp = np.zeros((q.shape[0], width), np.float32)
+            qp[:, : q.shape[1]] = q
+            q = qp
         kb = _next_pow2(min(k, max(self.count, 1)))
         from erlvectordb_tpu.ops import fused_topk as ft
 
@@ -474,7 +482,7 @@ class ShardedVectorStore:
             slot = self._id_to_slot.get(str(vector_id))
             if slot is None:
                 return None
-            vec = np.asarray(self._vectors[slot[0], slot[1]])
+            vec = np.asarray(self._vectors[slot[0], slot[1]])[: self._dim]
             if self.dtype == "int8":
                 vec = vec.astype(np.float32) * float(self._scales[slot[0], slot[1]])
             return vec, self._metadata.get(str(vector_id), {})
@@ -504,7 +512,7 @@ class ShardedVectorStore:
             scales = np.asarray(self._scales) if self.dtype == "int8" else None
             out = []
             for vid, (s, l) in sorted(self._id_to_slot.items()):
-                vec = mat[s, l]
+                vec = mat[s, l][: self._dim]
                 if scales is not None:
                     vec = vec.astype(np.float32) * scales[s, l]
                 out.append((vid, vec, self._metadata.get(vid, {})))
@@ -616,6 +624,86 @@ class ShardedVectorStore:
                 self._scales = jax.device_put(self._scales, row2)
             self._norms = jax.device_put(self._norms, row2)
             self._valid = jax.device_put(self._valid, row2)
+
+    # ----------------------------------------------------------- bulk build
+
+    @classmethod
+    def from_matrix(
+        cls,
+        name: str,
+        mesh: Mesh,
+        matrix,                      # [N, D] f32 (host or device array)
+        ids: Optional[Sequence[str]] = None,
+        metric: str = "cosine",
+        dtype: str = "float32",
+    ) -> "ShardedVectorStore":
+        """Bulk sharded build: quantize/pad/shard in one device program
+        (VectorStore.from_matrix's analogue).  Rows are block-partitioned:
+        row i lives at (shard=i//cap, local=i%cap)."""
+        from erlvectordb_tpu.core.store import _pad128
+
+        store = cls(name, mesh, metric=metric, dtype=dtype)
+        arr = matrix if isinstance(matrix, jax.Array) else np.ascontiguousarray(
+            np.asarray(matrix, np.float32)
+        )
+        n, d = arr.shape
+        store._dim = d
+        s_count = store.n_shards
+        cap = max(_next_pow2(-(-n // s_count)), MIN_SHARD_CAPACITY)
+        store._cap = cap
+        width = _pad128(d)
+
+        row3 = store._sharding(P(DATA_AXIS, None, None))
+        row2 = store._sharding(P(DATA_AXIS, None))
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("cap", "s_count", "width", "dt"),
+            out_shardings=(row3, row2, row2, row2),
+        )
+        def build(arr, *, cap, s_count, width, dt):
+            nn = arr.shape[0]
+            norms = jnp.sqrt(jnp.sum(arr * arr, axis=-1))
+            if dt == "int8":
+                absmax = jnp.max(jnp.abs(arr), axis=-1)
+                scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+                rows = jnp.clip(jnp.round(arr / scale[:, None]), -127, 127
+                                ).astype(jnp.int8)
+            else:
+                scale = jnp.ones((nn,), jnp.float32)
+                rows = arr
+            pad_r = cap * s_count - nn
+            pad_c = width - rows.shape[1]
+            rows = jnp.pad(rows, ((0, pad_r), (0, pad_c)))
+            scale = jnp.pad(scale, ((0, pad_r),), constant_values=1.0)
+            norms = jnp.pad(norms, ((0, pad_r),))
+            valid = jnp.pad(jnp.ones((nn,), bool), ((0, pad_r),))
+            shape3 = (s_count, cap, width)
+            return (rows.reshape(shape3), scale.reshape(s_count, cap),
+                    norms.reshape(s_count, cap), valid.reshape(s_count, cap))
+
+        if dtype == "int4":
+            raise ValueError("sharded int4 bulk build not supported yet")
+        vecs, scales, norms, valid = build(
+            jnp.asarray(arr), cap=cap, s_count=s_count, width=width, dt=dtype
+        )
+        store._vectors = vecs
+        store._norms = norms
+        store._valid = valid
+        if dtype == "int8":
+            store._scales = scales
+        if ids is None:
+            ids = [str(i) for i in range(n)]
+        slots = [(i // cap, i % cap) for i in range(n)]
+        sids = [str(v) for v in ids]
+        store._id_to_slot = dict(zip(sids, slots))
+        store._slot_to_id = dict(zip(slots, sids))
+        store._next_local = [
+            min(cap, max(0, n - s * cap)) for s in range(s_count)
+        ]
+        store.version = 1
+        store.dirty = True
+        return store
 
     # ----------------------------------------------------------- migration
 

@@ -271,3 +271,30 @@ class TestShardedFilteredSearch:
         res = sh.search(data[7], k=5, where={"odd": 1})
         assert res[0][0] == "v7"
         assert all(int(r[0][1:]) % 2 == 1 for r in res)
+
+
+class TestShardedBulkBuild:
+    def test_from_matrix_f32(self, mesh8, rng):
+        data = rng.standard_normal((2000, 24)).astype(np.float32)
+        sh = ShardedVectorStore.from_matrix("bm", mesh8, data)
+        assert sh.count == 2000
+        assert sh.search(data[777], k=1)[0][0] == "777"
+        # block partition invariant
+        assert sh.get_stats()["per_shard_counts"][0] >= 1
+
+    def test_from_matrix_int8(self, mesh8, rng):
+        data = rng.standard_normal((1500, 32)).astype(np.float32)
+        sh = ShardedVectorStore.from_matrix("bm8", mesh8, data, dtype="int8")
+        assert sh.dtype == "int8"
+        assert sh.search(data[42], k=1)[0][0] == "42"
+        # follow-up mutations still work
+        sh.delete("42")
+        assert sh.search(data[42], k=1)[0][0] != "42"
+        sh.insert("new", np.ones(32, np.float32))
+        assert sh.count == 1500
+
+    def test_from_matrix_explicit_ids(self, mesh8, rng):
+        data = rng.standard_normal((100, 8)).astype(np.float32)
+        sh = ShardedVectorStore.from_matrix(
+            "bmi", mesh8, data, ids=[f"x{i}" for i in range(100)])
+        assert sh.search(data[5], k=1)[0][0] == "x5"
