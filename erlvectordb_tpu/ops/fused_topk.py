@@ -159,7 +159,7 @@ def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
     bytes_per_row = cw * codes.dtype.itemsize
     sub = (
         2
-        if n_cap % (2 * TILE_N) == 0 and n_tiles > 1 and bytes_per_row <= 512
+        if n_cap % (2 * TILE_N) == 0 and n_tiles > 1 and bytes_per_row <= 256
         else 1
     )
     n_big = -(-n_tiles // sub)
