@@ -57,3 +57,35 @@ def test_adc_pallas_on_tpu(rng):
         jnp.asarray(data[:4]), n, k=3, c=64, n_tiles=nt,
     )
     assert np.asarray(rows)[0][0] == 0
+
+
+@requires_tpu
+@pytest.mark.parametrize("dtype,d,k", [
+    ("float32", 128, 8),    # deep extraction (t=8) on wide f32 rows
+    ("float32", 32, 4),
+    ("int8", 384, 10),      # wide int8 rows -> sub=1 branch
+    ("int8", 64, 16),
+    ("int4", 256, 8),
+])
+def test_fused_shape_matrix_on_tpu(rng, dtype, d, k):
+    """Compile/VMEM coverage across the (dtype, width, extraction-depth)
+    matrix — interpret-mode CI cannot catch Mosaic legalization or scoped
+    VMEM failures."""
+    from erlvectordb_tpu.core.store import VectorStore
+
+    n = 9000  # 3 tiles: exercises odd-tile-count sub handling
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    store = VectorStore.from_matrix(f"m_{dtype}_{d}", data, dtype=dtype)
+    res = store.search_batch(data[:4], k=k)
+    assert res[0][0][0] == "0"
+    assert len(res[3]) == k
+
+
+@requires_tpu
+def test_sharded_fused_on_tpu(rng):
+    from erlvectordb_tpu.parallel import ShardedVectorStore, make_mesh
+
+    mesh = make_mesh(n_data=1, n_replica=1)
+    data = rng.standard_normal((8192, 768)).astype(np.float32)
+    sh = ShardedVectorStore.from_matrix("shtpu", mesh, data, dtype="int8")
+    assert sh.search(data[77], k=1)[0][0] == "77"
