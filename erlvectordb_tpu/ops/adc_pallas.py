@@ -35,23 +35,33 @@ ADC_TILE_N = 1024
 _NEG = -1e30
 
 
-def _make_adc_kernel(m: int, k: int, t_per_tile: int, tile_n: int):
+def _make_adc_kernel(m: int, k: int, t_per_tile: int, tile_n: int,
+                     int8_lut: bool):
     def kernel(codes_ref, lut_ref, vals_ref, rows_ref):
         j = pl.program_id(1)  # code-tile index (inner grid dim)
 
         codes = codes_ref[:].astype(jnp.int32)                  # [TILE_N, M]
         lane = lax.broadcasted_iota(jnp.int32, (tile_n, k), 1)  # [TILE_N, K]
+        cdt = jnp.int8 if int8_lut else jnp.bfloat16
         parts = [
-            (lane == codes[:, mm : mm + 1]).astype(jnp.bfloat16)
+            (lane == codes[:, mm : mm + 1]).astype(cdt)
             for mm in range(m)
         ]
         onehot = jnp.concatenate(parts, axis=1)                 # [TILE_N, M*K]
 
-        lut = lut_ref[:].astype(jnp.bfloat16)                   # [B_T, M*K]
-        dists = lax.dot_general(
-            lut, onehot, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                       # [B_T, TILE_N]
+        if int8_lut:
+            # LUT pre-quantized per query row (selection-only precision;
+            # the rerank stage restores exact distances): int8 MXU = 2x bf16
+            dists = lax.dot_general(
+                lut_ref[:], onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+        else:
+            lut = lut_ref[:].astype(jnp.bfloat16)               # [B_T, M*K]
+            dists = lax.dot_general(
+                lut, onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                   # [B_T, TILE_N]
         sims = -dists  # bigger = closer, for shared top-T extraction
 
         lane_n = lax.broadcasted_iota(jnp.int32, sims.shape, 1)
@@ -80,8 +90,15 @@ def adc_pallas_scan(
     n_tiles: int,
     t_per_tile: int = 4,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Per-tile candidate scan. Returns (neg-dist vals [B, T*n_tiles], rows)."""
+    """Per-tile candidate scan. Returns (neg-dist vals [B, T*n_tiles], rows).
+
+    When ``lut_flat`` arrives as int8 (pre-quantized per query row), the
+    one-hot contraction runs on the int8 MXU path (2x bf16 rate); values
+    stay in that row's quantized units — fine for per-row candidate
+    selection, meaningless across rows.
+    """
     b, mk = lut_flat.shape
+    int8_lut = lut_flat.dtype == jnp.int8
     n_cap, m = codes.shape
     k = mk // m
     bt = min(256, b) if b >= 256 else max(8, 1 << (b - 1).bit_length())
@@ -95,7 +112,7 @@ def adc_pallas_scan(
     grid = (nb, n_tiles)  # LUT-outer: the code sweep reuses the resident LUT
 
     vals, rows = pl.pallas_call(
-        _make_adc_kernel(m, k, t, tile_n),
+        _make_adc_kernel(m, k, t, tile_n, int8_lut),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -144,12 +161,17 @@ def adc_search_fused(
     b = queries.shape[0]
     lut = _adc_l2_tables(queries, codebooks)          # [B, M, K]
     lut_flat = lut.reshape(b, -1)
+    # per-row int8 quantization of the LUT: selection-only precision (the
+    # rerank stage restores exact distances); halves the scan's MXU time
+    row_max = jnp.max(lut_flat, axis=1, keepdims=True)
+    lut_q = jnp.clip(jnp.round(lut_flat / jnp.maximum(row_max, 1e-20) * 127.0),
+                     0, 127).astype(jnp.int8)
     # deepen per-tile extraction when tiles are scarce so the candidate
     # pool can actually reach c (or at least well past k)
     t = 4
     while t < 8 and t * n_tiles < min(c, 512):
         t *= 2
-    vals, rows = adc_pallas_scan(pq_codes, lut_flat, n_tiles=n_tiles,
+    vals, rows = adc_pallas_scan(pq_codes, lut_q, n_tiles=n_tiles,
                                  t_per_tile=t)
 
     cc = min(c, vals.shape[1])
