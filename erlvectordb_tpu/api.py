@@ -142,6 +142,17 @@ class Database:
     def get_all_vectors(self, store: str):
         return self.registry.get(store).get_all_vectors()
 
+    def warmup(self, store: Optional[str] = None) -> int:
+        """Pre-compile search programs (cold-start mitigation). With no
+        store name, warms every local store."""
+        names = [store] if store else self.list_stores()
+        n = 0
+        for name in names:
+            s = self.registry.get_or_none(name)
+            if s is not None and hasattr(s, "warmup"):
+                n += s.warmup()
+        return n
+
     def sync(self, store: str) -> bool:
         """Force a persistence sync (reference sync/1)."""
         self.registry.get(store)  # raises StoreNotFound if absent

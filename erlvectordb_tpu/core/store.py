@@ -698,6 +698,20 @@ class VectorStore:
         store._free_rows = [int(r) for r in state.get("free_rows", [])]
         return store
 
+    def warmup(self, batch_sizes=(1, 64, 256), ks=(1, 10)) -> int:
+        """Pre-compile the search programs for common (batch, k) buckets so
+        the first real query doesn't pay XLA/Mosaic compile time (minutes on
+        remote-compile setups).  Returns the number of programs touched."""
+        if self._vectors is None or self.count == 0 or self._dim is None:
+            return 0
+        n = 0
+        for b in batch_sizes:
+            q = np.zeros((b, self._dim), np.float32)
+            for k in ks:
+                self.search_batch(q, k=k)
+                n += 1
+        return n
+
     # ------------------------------------------------------------ bulk build
 
     @classmethod

@@ -346,3 +346,14 @@ class TestFilteredSearch:
                            [{"g": i // 10} for i in range(50)])
         res = store.search(data[25], k=1, where={"g": 2})
         assert res[0][0] == "v25"
+
+
+class TestWarmup:
+    def test_warmup_counts_programs(self, rng):
+        store = VectorStore("w1")
+        store.insert_batch([f"v{i}" for i in range(20)],
+                           rng.standard_normal((20, 8)).astype(np.float32))
+        assert store.warmup(batch_sizes=(1, 4), ks=(1, 5)) == 4
+        # empty store: nothing to warm
+        empty = VectorStore("w2", dim=4)
+        assert empty.warmup() == 0
