@@ -282,14 +282,17 @@ def bench_config4(quick: bool) -> dict:
     absmax = jnp.max(jnp.abs(data_r), axis=-1)
     i8_scales = jnp.where(absmax > 0, absmax / 127.0, 1.0)
     i8_codes = jnp.clip(jnp.round(data_r / i8_scales[:, None]), -127, 127).astype(jnp.int8)
+    i8_norms2 = (i8_scales ** 2) * jnp.sum(
+        i8_codes.astype(jnp.float32) ** 2, axis=1)
 
-    from erlvectordb_tpu.ops.adc_pallas import ADC_TILE_N, adc_search_fused
+    from erlvectordb_tpu.ops.adc_pallas import ADC_TILE_N, adc_search_exact_fused
 
     nt = -(-n // ADC_TILE_N)
     pad_rows = nt * ADC_TILE_N - n
     codes_p = jnp.pad(codes, ((0, pad_rows), (0, 0)))
     i8_codes_p = jnp.pad(i8_codes, ((0, pad_rows), (0, 0)))
     i8_scales_p = jnp.pad(i8_scales, ((0, pad_rows),), constant_values=1.0)
+    i8_norms2_p = jnp.pad(i8_norms2, ((0, pad_rows),))
 
     # T batches in one executable to amortize the tunnel RTT (see config 3)
     T = 2 if quick else 4
@@ -298,16 +301,16 @@ def bench_config4(quick: bool) -> dict:
         rngq.standard_normal((T * batch, d)).astype(np.float32)
     ))).reshape(T, batch, d))
 
-    @functools.partial(jax.jit, static_argnames=("kk", "cc", "ntl"))
-    def search_many(codes_p, cbs, i8c, i8s, qstack, kk, cc, ntl):
+    @functools.partial(jax.jit, static_argnames=("kk", "ntl"))
+    def search_many(codes_p, cbs, i8c, i8s, i8n2, qstack, kk, ntl):
         def one(q):
-            return adc_search_fused(codes_p, cbs, i8c, i8s, q, n,
-                                    k=kk, c=cc, n_tiles=ntl)
+            return adc_search_exact_fused(codes_p, cbs, i8c, i8s, i8n2, q, n,
+                                          k=kk, n_tiles=ntl)
         return lax.map(one, qstack)
 
     def run():
         dv, _ = search_many(codes_p, cb.pq.codebooks, i8_codes_p, i8_scales_p,
-                            qstack, k, c, nt)
+                            i8_norms2_p, qstack, k, nt)
         float(dv[0, 0, 0])
     sec = _timeit(run, iters=4, warmup=1) / T
     qps = batch / sec
@@ -317,18 +320,18 @@ def bench_config4(quick: bool) -> dict:
     valid = jnp.ones((n,), bool)
     _, gt_l2 = exact_topk(data, norms, valid, queries[:nq], metric="euclidean", k=k)
     gt_l2 = np.asarray(gt_l2)
-    _, got = adc_search_fused(codes_p, cb.pq.codebooks, i8_codes_p, i8_scales_p,
-                              queries_r[:nq], n, k=k, c=c, n_tiles=nt)
+    _, got = adc_search_exact_fused(codes_p, cb.pq.codebooks, i8_codes_p,
+                                    i8_scales_p, i8_norms2_p,
+                                    queries_r[:nq], n, k=k, n_tiles=nt)
     got = np.asarray(got)
     recall = float(np.mean([len(set(gt_l2[i]) & set(got[i])) / k for i in range(nq)]))
-    log(f"[config4] recall@10 (L2, OPQ-ADC+rerank) = {recall:.4f}")
+    log(f"[config4] recall@10 (L2, OPQ-ADC, in-kernel exact rerank) = {recall:.4f}")
     return {
-        "metric": "QPS OPQ8x8 ADC + int8 rerank, euclidean top-10 (SIFT1M-class)",
+        "metric": "QPS OPQ8x8 ADC + in-kernel exact rerank, euclidean top-10 (SIFT1M-class)",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": None,
         "recall_at_10": round(recall, 4),
-        "rerank_candidates": c,
         "pq_build_vectors_per_sec": round(n / build_warm_s, 1),
         "n": n,
     }

@@ -140,6 +140,153 @@ def adc_pallas_scan(
     return vals, rows
 
 
+def _make_adc_exact_kernel(m: int, k: int, t_per_tile: int, tile_n: int):
+    """ADC candidate selection + IN-KERNEL exact rerank.
+
+    Stage 1 scores the tile by int8-LUT ADC (as _make_adc_kernel).  Stage 2,
+    for each of the per-tile top-T candidates, gathers the candidate's int8
+    row from the tile ALREADY IN VMEM via a one-hot contraction (TPUs hate
+    gathers, love matmuls) and emits the EXACT quantized-domain squared-L2
+    distance.  No [B, c, D] host-side row gather ever happens — the merge
+    outside is a plain top-k over exact values.
+    """
+
+    def kernel(codes_ref, lut_ref, q_ref, i8_ref, iaux_ref,
+               vals_ref, rows_ref):
+        j = pl.program_id(1)  # code-tile index (inner grid dim)
+
+        codes = codes_ref[:].astype(jnp.int32)                  # [TILE_N, M]
+        lane = lax.broadcasted_iota(jnp.int32, (tile_n, k), 1)  # [TILE_N, K]
+        parts = [
+            (lane == codes[:, mm : mm + 1]).astype(jnp.int8)
+            for mm in range(m)
+        ]
+        onehot = jnp.concatenate(parts, axis=1)                 # [TILE_N, M*K]
+        sims = -lax.dot_general(
+            lut_ref[:], onehot, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)                                   # [B_T, TILE_N]
+
+        q = q_ref[:]                                            # [B_T, D] f32
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)             # [B_T, 1]
+        rows_i8 = i8_ref[:].astype(jnp.bfloat16)                # [TILE_N, D]
+        # iaux packs per-row [scale; |x|^2] as two stacked rows [2, TILE_N]
+        scale_row = iaux_ref[0:1, :]                            # [1, TILE_N]
+        n2_row = iaux_ref[1:2, :]                               # [1, TILE_N]
+
+        lane_n = lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+        big = jnp.int32(tile_n)
+        vals, idxs = [], []
+        cur = sims
+        base = j * tile_n
+        for _ in range(t_per_tile):
+            mx = jnp.max(cur, axis=1, keepdims=True)
+            ix = jnp.min(jnp.where(cur == mx, lane_n, big), axis=1,
+                         keepdims=True)                          # [B_T, 1]
+            sel = (lane_n == ix)                                 # [B_T, TILE_N]
+            self_bf = sel.astype(jnp.bfloat16)
+            xcand = lax.dot_general(
+                self_bf, rows_i8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # [B_T, D]
+            selc = sel.astype(jnp.float32)
+            scale_c = lax.dot_general(
+                selc, scale_row, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # [B_T, 1]
+            n2_c = lax.dot_general(
+                selc, n2_row, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                                    # [B_T, 1]
+            qdot = jnp.sum(q * xcand, axis=1, keepdims=True) * scale_c
+            d2 = qsq - 2.0 * qdot + n2_c
+            vals.append(-d2)                                     # exact!
+            idxs.append(ix)
+            cur = jnp.where(lane_n == ix, _NEG, cur)
+
+        vals_ref[0] = jnp.concatenate(vals, axis=1)              # [B_T, T]
+        rows_ref[0] = jnp.concatenate(idxs, axis=1) + base
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_tiles", "t_per_tile"))
+def adc_search_exact_fused(
+    pq_codes: jax.Array,   # [N_pad, M] uint8 (N_pad = n_tiles * ADC_TILE_N)
+    codebooks: jax.Array,  # [M, K, Dsub] f32
+    i8_codes: jax.Array,   # [N_pad, D] int8 rerank rows
+    i8_scales: jax.Array,  # [N_pad] f32
+    i8_norms2: jax.Array,  # [N_pad] f32  |x|^2 of the dequantized rows
+    queries: jax.Array,    # [B, D] f32 (D == M * Dsub)
+    n_valid,               # scalar: rows >= n_valid are padding
+    *,
+    k: int,
+    n_tiles: int,
+    t_per_tile: int = 4,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-pass ADC select + exact in-kernel rerank + top-k merge."""
+    b, d = queries.shape
+    lut = _adc_l2_tables(queries, codebooks).reshape(b, -1)
+    row_max = jnp.max(lut, axis=1, keepdims=True)
+    lut_q = jnp.clip(jnp.round(lut / jnp.maximum(row_max, 1e-20) * 127.0),
+                     0, 127).astype(jnp.int8)
+
+    n_cap, m = pq_codes.shape
+    kk = lut.shape[1] // m
+    bt = min(256, b) if b >= 256 else max(8, 1 << (b - 1).bit_length())
+    pad_b = (-b) % bt
+    if pad_b:
+        lut_q = jnp.pad(lut_q, ((0, pad_b), (0, 0)))
+        queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
+    nb = lut_q.shape[0] // bt
+    t = t_per_tile
+    while t < 8 and t * n_tiles < 512:
+        t *= 2
+    tile_n = ADC_TILE_N
+    iaux = jnp.stack([i8_scales, i8_norms2], axis=0)  # [2, N_pad]
+
+    vals, rows = pl.pallas_call(
+        _make_adc_exact_kernel(m, kk, t, tile_n),
+        grid=(nb, n_tiles),
+        in_specs=[
+            pl.BlockSpec((tile_n, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m * kk), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bt, t), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, t), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, lut_q.shape[0], t), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, lut_q.shape[0], t), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lut_q.shape[0] * (m * kk + t * d) * n_tiles * tile_n,
+            bytes_accessed=n_tiles * tile_n * (m + d) + lut_q.size,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pq_codes, lut_q, queries, i8_codes, iaux)
+    bb = lut_q.shape[0]
+    vals = vals.transpose(1, 0, 2).reshape(bb, t * n_tiles)
+    rows = rows.transpose(1, 0, 2).reshape(bb, t * n_tiles)
+    if pad_b:
+        vals, rows = vals[:b], rows[:b]
+        queries = queries[:b]
+
+    vals = jnp.where(rows < jnp.int32(n_valid), vals, -jnp.inf)
+    kf = min(k, vals.shape[1])
+    best, sel = lax.top_k(vals, kf)
+    rows_out = jnp.take_along_axis(rows, sel, axis=1)
+    rows_out = jnp.where(jnp.isfinite(best), rows_out, -1)
+    dist = jnp.sqrt(jnp.maximum(-best, 0.0))
+    dist = jnp.where(rows_out >= 0, dist, jnp.inf)
+    return dist, rows_out
+
+
 @functools.partial(jax.jit, static_argnames=("k", "c", "n_tiles"))
 def adc_search_fused(
     pq_codes: jax.Array,   # [N_cap, M] uint8

@@ -96,3 +96,45 @@ def test_odd_batch_padding(pq_setup):
         jnp.asarray(queries), codes.shape[0], k=5, c=64, n_tiles=nt,
     )
     np.testing.assert_array_equal(np.asarray(r1)[0], np.asarray(r20)[0])
+
+
+def test_exact_fused_matches_reference(pq_setup):
+    """In-kernel exact rerank: distances must be the true quantized-domain
+    L2 of the selected rows, and recall must match-or-beat the two-stage
+    (scan + host gather rerank) path."""
+    import jax.numpy as jnp
+
+    from erlvectordb_tpu.core.search import exact_topk
+    from erlvectordb_tpu.ops.adc_pallas import adc_search_exact_fused
+
+    data, cb, codes, i8, scales, queries = pq_setup
+    n = data.shape[0]
+    norms2 = (scales.astype(np.float64) ** 2
+              * (i8.astype(np.float64) ** 2).sum(axis=1)).astype(np.float32)
+    nt = adc_n_tiles(n)
+    k = 4
+    dists, rows = adc_search_exact_fused(
+        jnp.asarray(codes), cb.codebooks, jnp.asarray(i8), jnp.asarray(scales),
+        jnp.asarray(norms2), jnp.asarray(queries), n, k=k, n_tiles=nt,
+    )
+    dists, rows = np.asarray(dists), np.asarray(rows)
+    # distances are exact int8-domain L2 for the selected rows
+    for b in range(queries.shape[0]):
+        for j in range(k):
+            r = rows[b, j]
+            if r < 0:
+                continue
+            x = i8[r].astype(np.float32) * scales[r]
+            ref = np.sqrt(max(np.sum((queries[b] - x) ** 2), 0.0))
+            np.testing.assert_allclose(dists[b, j], ref, rtol=2e-3, atol=2e-3)
+        d = dists[b][np.isfinite(dists[b])]
+        assert np.all(np.diff(d) >= -1e-3)
+    # recall vs f32 exact
+    norms = jnp.linalg.norm(jnp.asarray(data), axis=1)
+    valid = jnp.ones((n,), bool)
+    _, gt = exact_topk(jnp.asarray(data), norms, valid, jnp.asarray(queries),
+                       metric="euclidean", k=k)
+    gt = np.asarray(gt)
+    rec = np.mean([len(set(gt[i]) & set(rows[i])) / k
+                   for i in range(queries.shape[0])])
+    assert rec >= 0.8, rec
