@@ -34,6 +34,7 @@ from erlvectordb_tpu.utils.metrics import metrics
 logger = logging.getLogger("evdb.mcp")
 
 PROTOCOL_VERSION = "2024-11-05"
+MAX_BUFFER_BYTES = 64 * 1024 * 1024  # per-connection framing buffer cap
 SERVER_NAME = "erlvectordb-tpu"
 SERVER_VERSION = "0.1.0"
 
@@ -129,6 +130,12 @@ class MCPServer:
                 if not chunk:
                     break
                 buf += chunk.decode("utf-8", errors="replace")
+                if len(buf) > MAX_BUFFER_BYTES:
+                    # a client streaming garbage without message boundaries
+                    # must not grow the buffer unboundedly
+                    self._send(conn, _error(None, PARSE_ERROR,
+                                            "message too large"))
+                    break
                 while buf:
                     stripped = buf.lstrip()
                     if not stripped:

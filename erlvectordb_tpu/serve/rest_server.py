@@ -38,6 +38,8 @@ from erlvectordb_tpu.infra.health import HealthCheckServer
 
 logger = logging.getLogger("evdb.rest")
 
+MAX_BODY_BYTES = 256 * 1024 * 1024  # request body cap
+
 
 class RestServer:
     def __init__(
@@ -87,6 +89,8 @@ class RestServer:
                 length = int(self.headers.get("Content-Length", 0))
                 if not length:
                     return {}
+                if length > MAX_BODY_BYTES:
+                    raise ValueError(f"request body too large ({length} bytes)")
                 raw = self.rfile.read(length)
                 try:
                     return json.loads(raw)

@@ -367,3 +367,37 @@ class TestIndexTools:
             assert r["error"]["code"] == -32602
         finally:
             c.close()
+
+
+class TestRobustness:
+    def test_oversized_rest_body_rejected(self, app, token):
+        import http.client
+
+        port = app.service_port("rest_api")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        try:
+            conn.putrequest("POST", "/api/v1/stores")
+            conn.putheader("Authorization", f"Bearer {token['access_token']}")
+            conn.putheader("Content-Type", "application/json")
+            conn.putheader("Content-Length", str(10**12))  # 1 TB claim
+            conn.endheaders()
+            resp = conn.getresponse()
+            assert resp.status == 400
+        finally:
+            conn.close()
+
+    def test_mcp_buffer_cap_closes_connection(self, app):
+        import erlvectordb_tpu.serve.mcp_server as mcp_mod
+
+        old = mcp_mod.MAX_BUFFER_BYTES
+        mcp_mod.MAX_BUFFER_BYTES = 4096  # shrink for the test
+        try:
+            s = socket.create_connection(
+                ("127.0.0.1", app.service_port("mcp_server")), timeout=5)
+            s.sendall(b"{" * 10000)  # unterminated garbage past the cap
+            data = s.recv(65536)
+            assert b"too large" in data
+            assert s.recv(65536) == b""  # server closed the connection
+            s.close()
+        finally:
+            mcp_mod.MAX_BUFFER_BYTES = old
