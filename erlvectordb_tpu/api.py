@@ -163,15 +163,21 @@ class Database:
     # --------------------------------------------------------------- backup
 
     def backup_store(self, store: str, backup_name: str) -> str:
-        s = self.registry.get(store)
+        s = self.any_store(store)  # local or distributed
         return backup_mod.backup_store(s, backup_name, self.config.backup_dir)
 
     def restore_store(self, backup_file: str, new_name: Optional[str] = None) -> dict:
+        from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
+
         path = Path(self.config.backup_dir) / Path(backup_file).name
         if not path.exists():
             path = Path(backup_file)
-        store = backup_mod.restore_store(path, new_name=new_name)
-        self.registry.adopt(store)
+        mesh = self._cluster.mesh if self._cluster is not None else None
+        store = backup_mod.restore_store(path, new_name=new_name, mesh=mesh)
+        if isinstance(store, ShardedVectorStore):
+            self.cluster.distribute_store(store)
+        else:
+            self.registry.adopt(store)
         if self.persistence is not None:
             self.persistence.track(store)
         return store.get_stats()
@@ -183,7 +189,7 @@ class Database:
         return backup_mod.delete_backup(backup_file, self.config.backup_dir)
 
     def export_store(self, store: str, path: str) -> str:
-        return backup_mod.export_store(self.registry.get(store), path)
+        return backup_mod.export_store(self.any_store(store), path)
 
     def import_store(self, path: str, new_name: Optional[str] = None) -> dict:
         store = backup_mod.import_store(path, new_name=new_name)

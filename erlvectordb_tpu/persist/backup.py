@@ -65,8 +65,10 @@ def read_backup_manifest(path: str | os.PathLike) -> dict:
 def restore_store(
     path: str | os.PathLike,
     new_name: Optional[str] = None,
-) -> VectorStore:
-    """Materialize a store from a backup file (optionally renamed)."""
+    mesh=None,
+):
+    """Materialize a store from a backup file (optionally renamed).
+    Sharded backups re-hydrate onto ``mesh`` (default: all devices)."""
     with zipfile.ZipFile(path) as z:
         state = json.loads(z.read("manifest.json"))
         with np.load(io.BytesIO(z.read("state.npz"))) as npz:
@@ -75,6 +77,11 @@ def restore_store(
     state.pop("store_info", None)
     if new_name:
         state["name"] = new_name
+    if state.get("sharded"):
+        from erlvectordb_tpu.parallel.mesh import make_mesh
+        from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
+
+        return ShardedVectorStore.from_state(state, mesh or make_mesh())
     return VectorStore.from_state(state)
 
 
@@ -94,7 +101,9 @@ def list_backups(backup_dir: str | os.PathLike) -> List[dict]:
                     "store_name": m.get("name"),
                     "backup_name": m.get("backup_name"),
                     "timestamp": m.get("timestamp"),
-                    "vector_count": len(m.get("id_to_row", {})),
+                    "vector_count": len(m.get("id_to_row")
+                                        or m.get("id_to_slot") or {})
+                    + int(m.get("contig", 0)),
                     "size_bytes": p.stat().st_size,
                 }
             )

@@ -165,3 +165,27 @@ class TestCompressionEnabledPersistence:
                 db2.persistence.close()
         finally:
             db.stop()
+
+
+class TestDistributedBackup:
+    def test_backup_restore_sharded_store(self, db, rng):
+        db.create_distributed_store("dsb")
+        data = rng.standard_normal((60, 8)).astype(np.float32)
+        db.any_store("dsb").insert_batch(
+            [f"v{i}" for i in range(60)], data, [{"i": i} for i in range(60)])
+        path = db.backup_store("dsb", "snap")
+        fname = path.rsplit("/", 1)[-1]
+        stats = db.restore_store(fname, new_name="dsb_restored")
+        assert stats["count"] == 60
+        restored = db.any_store("dsb_restored")
+        assert restored.search(data[7], k=1)[0][0] == "v7"
+        assert restored.get("v3")[1] == {"i": 3}
+
+    def test_export_sharded_store(self, db, rng, tmp_path):
+        db.create_distributed_store("dse")
+        data = rng.standard_normal((20, 4)).astype(np.float32)
+        db.any_store("dse").insert_batch([f"v{i}" for i in range(20)], data)
+        path = str(tmp_path / "dse.json")
+        db.export_store("dse", path)
+        stats = db.import_store(path, new_name="dse_imported")
+        assert stats["count"] == 20
