@@ -109,10 +109,16 @@ class Database:
     def delete_store(self, name: str) -> bool:
         if self.persistence is not None:
             self.persistence.untrack(name)
-        return self.registry.drop(name)
+        hit = self.registry.drop(name)
+        if self._cluster is not None:
+            hit = self._cluster.undistribute_store(name) or hit
+        return hit
 
     def list_stores(self) -> List[str]:
-        return self.registry.list()
+        names = set(self.registry.list())
+        if self._cluster is not None:
+            names.update(self._cluster.get_cluster_stats()["stores"])
+        return sorted(names)
 
     def get_store(self, name: str) -> VectorStore:
         return self.registry.get(name)

@@ -502,7 +502,17 @@ class ShardedVectorStore:
             "replicas": self.n_replicas,
             "per_shard_counts": per_shard,
             "version": self.version,
+            "memory_bytes": self.device_memory_bytes(),
         }
+
+    def device_memory_bytes(self) -> int:
+        if self._vectors is None:
+            return 0
+        total = self._vectors.size * self._vectors.dtype.itemsize
+        total += self._norms.size * 4 + self._valid.size
+        if self._scales is not None:
+            total += self._scales.size * 4
+        return int(total)
 
     def get_all_vectors(self):
         with self._lock.read():

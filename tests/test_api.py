@@ -189,3 +189,12 @@ class TestDistributedBackup:
         db.export_store("dse", path)
         stats = db.import_store(path, new_name="dse_imported")
         assert stats["count"] == 20
+
+
+class TestDistributedVisibility:
+    def test_list_and_delete_distributed(self, db, rng):
+        db.create_distributed_store("dvis")
+        assert "dvis" in db.list_stores()
+        assert db.delete_store("dvis")
+        assert "dvis" not in db.list_stores()
+        assert not db.delete_store("dvis")
