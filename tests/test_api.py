@@ -118,7 +118,9 @@ class TestDistributedVerbs:
         db.insert_batch("local1", [f"v{i}" for i in range(50)], data)
         stats = db.distribute_store("local1")
         assert stats["count"] == 50
-        assert "local1" not in db.list_stores()  # moved out of local registry
+        # moved out of the local registry but still visible as a store
+        assert db.registry.get_or_none("local1") is None
+        assert "local1" in db.list_stores()
         assert db.any_store("local1").search(data[3], k=1)[0][0] == "v3"
 
     def test_distributed_persistence_roundtrip(self, db, rng):
