@@ -125,28 +125,28 @@ class Database:
 
     def insert(self, store: str, vector_id: str, vector,
                metadata: Optional[dict] = None) -> None:
-        self.registry.get(store).insert(vector_id, vector, metadata)
+        self.any_store(store).insert(vector_id, vector, metadata)
 
     def insert_batch(self, store: str, ids: Sequence[str], vectors,
                      metadatas: Optional[Sequence[Optional[dict]]] = None) -> None:
-        self.registry.get(store).insert_batch(ids, vectors, metadatas)
+        self.any_store(store).insert_batch(ids, vectors, metadatas)
 
     def search(self, store: str, query, k: int = 10,
                metric: Optional[str] = None) -> List[Tuple[str, Any, float]]:
-        return self.registry.get(store).search(query, k=k, metric=metric)
+        return self.any_store(store).search(query, k=k, metric=metric)
 
     def search_batch(self, store: str, queries, k: int = 10,
                      metric: Optional[str] = None):
-        return self.registry.get(store).search_batch(queries, k=k, metric=metric)
+        return self.any_store(store).search_batch(queries, k=k, metric=metric)
 
     def delete(self, store: str, vector_id: str) -> bool:
-        return self.registry.get(store).delete(vector_id)
+        return self.any_store(store).delete(vector_id)
 
     def get_stats(self, store: str) -> dict:
-        return self.registry.get(store).get_stats()
+        return self.any_store(store).get_stats()
 
     def get_all_vectors(self, store: str):
-        return self.registry.get(store).get_all_vectors()
+        return self.any_store(store).get_all_vectors()
 
     def warmup(self, store: Optional[str] = None) -> int:
         """Pre-compile search programs (cold-start mitigation). With no
@@ -161,7 +161,7 @@ class Database:
 
     def sync(self, store: str) -> bool:
         """Force a persistence sync (reference sync/1)."""
-        self.registry.get(store)  # raises StoreNotFound if absent
+        self.any_store(store)  # raises StoreNotFound if absent
         if self.persistence is None:
             return False
         return self.persistence.sync(store)

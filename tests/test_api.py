@@ -200,3 +200,16 @@ class TestDistributedVisibility:
         assert db.delete_store("dvis")
         assert "dvis" not in db.list_stores()
         assert not db.delete_store("dvis")
+
+
+class TestFacadeRoutesDistributed:
+    def test_all_verbs_on_distributed_store(self, db, rng):
+        db.create_distributed_store("dall")
+        data = rng.standard_normal((30, 8)).astype(np.float32)
+        db.insert_batch("dall", [f"v{i}" for i in range(30)], data)
+        db.insert("dall", "extra", np.ones(8, np.float32), {"t": 1})
+        assert db.get_stats("dall")["count"] == 31
+        assert db.search("dall", data[5], k=1)[0][0] == "v5"
+        assert db.delete("dall", "extra")
+        assert len(db.get_all_vectors("dall")) == 30
+        assert db.sync("dall")
