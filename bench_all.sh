@@ -1,0 +1,13 @@
+#!/bin/sh
+# Run every benchmark config and collect the JSON lines into BENCH_ALL.json.
+# Usage: ./bench_all.sh [--quick]
+set -e
+QUICK=${1:-}
+OUT=BENCH_ALL.json
+: > "$OUT"
+for cfg in 1 2 3 4 5; do
+  echo "=== config $cfg ===" >&2
+  python bench.py --config "$cfg" $QUICK 2>/dev/null | tail -1 >> "$OUT"
+done
+echo "wrote $OUT" >&2
+cat "$OUT"
