@@ -18,3 +18,16 @@ from erlvectordb_tpu.core import (  # noqa: F401
     StoreExists,
     StoreNotFound,
 )
+
+
+def __getattr__(name):
+    # lazy: Database/Application pull in serving deps; keep bare imports light
+    if name == "Database":
+        from erlvectordb_tpu.api import Database
+
+        return Database
+    if name == "Application":
+        from erlvectordb_tpu.app import Application
+
+        return Application
+    raise AttributeError(name)
