@@ -401,3 +401,46 @@ class TestRobustness:
             s.close()
         finally:
             mcp_mod.MAX_BUFFER_BYTES = old
+
+
+class TestConcurrentLoad:
+    def test_parallel_mcp_clients_searching(self, app, token):
+        """16 concurrent socket clients; the micro-batcher should coalesce
+        their searches and every client must get its own correct result."""
+        import threading
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((200, 16)).astype(np.float32)
+        app.db.create_store("load_store")
+        app.db.insert_batch("load_store",
+                            [f"v{i}" for i in range(200)], data)
+        port = app.service_port("mcp_server")
+        results, errors = {}, []
+
+        def client(i):
+            c = MCPClient(port, token["access_token"])
+            try:
+                for rep in range(4):
+                    idx = (i * 4 + rep) % 200
+                    r = c.call("tools/call", {
+                        "name": "search_vectors",
+                        "arguments": {"store": "load_store",
+                                      "vector": data[idx].tolist(), "k": 1}})
+                    hits = json.loads(r["result"]["content"][0]["text"])["results"]
+                    results[(i, rep)] = (hits[0]["id"], f"v{idx}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+            finally:
+                c.close()
+
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:2]
+        assert len(results) == 64
+        for got, want in results.values():
+            assert got == want
