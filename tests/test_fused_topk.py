@@ -128,3 +128,30 @@ def test_fused_int4_matches_xla_int4(corpus):
     for b in range(queries.shape[0]):
         assert len(set(r_f[b]) & set(r_x[b])) >= k - 1, (b, r_f[b], r_x[b])
     np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "dot"])
+def test_fused_int4_other_metrics(corpus, metric):
+    from erlvectordb_tpu.core.search import exact_topk_int4
+    from erlvectordb_tpu.core.store import _pack_int4
+
+    data, norms, valid, queries, n = corpus
+    absmax = np.abs(data).max(axis=1)
+    scales = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q4 = np.clip(np.round(data / scales[:, None]), -7, 7).astype(np.int8)
+    packed = np.asarray(_pack_int4(jnp.asarray(q4)))
+    k = 8
+    nt = n_tiles_for(n, data.shape[0])
+    d_f, r_f = fused_topk(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=k,
+        n_tiles=nt,
+    )
+    d_x, r_x = exact_topk_int4(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=k,
+    )
+    d_f, r_f, d_x, r_x = map(np.asarray, (d_f, r_f, d_x, r_x))
+    for b in range(queries.shape[0]):
+        assert len(set(r_f[b]) & set(r_x[b])) >= k - 1
+    np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-3, atol=1e-3)
