@@ -25,7 +25,6 @@ id overwrites it (maps:put semantics, src/vector_store.erl:113-141, :213-225).
 from __future__ import annotations
 
 import functools
-import threading
 import time
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 

@@ -25,7 +25,6 @@ resharding device transfer.
 from __future__ import annotations
 
 import functools
-import threading
 import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 

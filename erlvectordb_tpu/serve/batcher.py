@@ -14,7 +14,6 @@ extra latency; under load, throughput approaches the device's batched rate.
 from __future__ import annotations
 
 import threading
-import time
 from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Tuple
