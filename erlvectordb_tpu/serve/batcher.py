@@ -76,7 +76,7 @@ class QueryBatcher:
     # ----------------------------------------------------------------- API
 
     def search(self, store: str, query, k: int = 10,
-               metric: Optional[str] = None, timeout: float = 30.0,
+               metric: Optional[str] = None, timeout: float = 300.0,
                where: Optional[dict] = None):
         """Blocking search that rides the next micro-batch."""
         if self._thread is None:

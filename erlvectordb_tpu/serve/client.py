@@ -101,9 +101,15 @@ class OAuthManager:
 
 class SocketHandler:
     """Framed JSON over TCP with reconnect + backoff
-    (bridge SocketHandler, examples/gemini_mcp_server.py:50-477)."""
+    (bridge SocketHandler, examples/gemini_mcp_server.py:50-477).
 
-    def __init__(self, host: str, port: int, timeout: float = 10.0,
+    The default timeout is generous because a TPU server's FIRST call on a
+    new (store-shape, batch, k) combination pays XLA/Mosaic compile time —
+    minutes on remote-compile setups.  Servers should call
+    ``Database.warmup()`` after loading stores to hide this.
+    """
+
+    def __init__(self, host: str, port: int, timeout: float = 240.0,
                  max_reconnects: int = 5):
         self.host = host
         self.port = port

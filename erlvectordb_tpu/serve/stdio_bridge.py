@@ -48,7 +48,7 @@ class BridgeConfig:
     client_id: str = "erlvectordb_client"
     client_secret: str = "erlvectordb_secret"
     auth_enabled: bool = True
-    timeout: float = 10.0
+    timeout: float = 240.0
 
     @classmethod
     def from_environment(cls) -> "BridgeConfig":
@@ -67,7 +67,7 @@ class BridgeConfig:
         if auth and not oauth_url:
             oauth_port = _env("EVDB_OAUTH_PORT", default="8081")
             oauth_url = f"http://{host}:{oauth_port}/oauth/token"
-        timeout_s = _env("EVDB_TIMEOUT", default="10")
+        timeout_s = _env("EVDB_TIMEOUT", default="240")
         try:
             timeout = float(timeout_s)
         except ValueError:
