@@ -85,6 +85,11 @@ class Database:
                 self.indexes.load_indexes(
                     Path(self.config.persistence_dir) / "indexes")
             self.batcher.start()
+            if self.config.warmup_on_start:
+                try:
+                    self.warmup()
+                except Exception:  # noqa: BLE001 — warmup is best-effort
+                    pass
             self._started = True
             return self
 

@@ -107,6 +107,8 @@ class Config:
     replication_factor: int = 1
     # rest
     rest_api_enabled: bool = True
+    # serving: pre-compile search programs for loaded stores at startup
+    warmup_on_start: bool = False
 
     def service(self, name: str) -> ServiceConfig:
         return self.services[name]
@@ -225,6 +227,7 @@ def load_config(
                     "oauth_enabled", "access_token_lifetime", "refresh_token_lifetime",
                     "default_client_id", "default_client_secret",
                     "cluster_enabled", "replication_factor", "rest_api_enabled",
+                    "warmup_on_start",
                     "bind_all_interfaces", "graceful_shutdown_timeout",
                     "log_port_mappings"):
             if key in doc:

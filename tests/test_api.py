@@ -213,3 +213,29 @@ class TestFacadeRoutesDistributed:
         assert db.delete("dall", "extra")
         assert len(db.get_all_vectors("dall")) == 30
         assert db.sync("dall")
+
+
+class TestWarmupOnStart:
+    def test_flag_triggers_warmup(self, rng, tmp_path):
+        cfg = load_config(overrides={
+            "persistence_dir": str(tmp_path / "data"),
+            "backup_dir": str(tmp_path / "backups"),
+            "sync_interval": 9999,
+        }, env={})
+        db = Database(cfg).start()
+        db.create_store("w")
+        db.insert_batch("w", [f"v{i}" for i in range(10)],
+                        rng.standard_normal((10, 4)).astype(np.float32))
+        db.sync("w")
+        db.stop()
+        cfg2 = load_config(overrides={
+            "persistence_dir": str(tmp_path / "data"),
+            "backup_dir": str(tmp_path / "backups"),
+            "sync_interval": 9999,
+            "warmup_on_start": True,
+        }, env={})
+        db2 = Database(cfg2).start()  # warms the reloaded store
+        try:
+            assert db2.search("w", np.ones(4, np.float32), k=1)
+        finally:
+            db2.stop()
