@@ -106,6 +106,10 @@ class Database:
 
     def create_store(self, name: str, dim: Optional[int] = None,
                      metric: str = "cosine", dtype: str = "float32") -> dict:
+        from erlvectordb_tpu.core.registry import StoreExists
+
+        if self._cluster is not None and self._cluster.get_store(name) is not None:
+            raise StoreExists(f"store {name!r} already exists (distributed)")
         store = self.registry.create(name, dim=dim, metric=metric, dtype=dtype)
         if self.persistence is not None:
             self.persistence.track(store)
@@ -226,8 +230,11 @@ class Database:
                                  dtype: str = "float32") -> dict:
         """Create a store sharded across the device mesh
         (reference create_distributed_store, src/erlvectordb.erl:57-63)."""
+        from erlvectordb_tpu.core.registry import StoreExists
         from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
 
+        if self.registry.exists(name) or self.cluster.get_store(name) is not None:
+            raise StoreExists(f"store {name!r} already exists")
         sharded = ShardedVectorStore(name, self.cluster.mesh, dim=dim,
                                      metric=metric, dtype=dtype)
         self.cluster.distribute_store(sharded)

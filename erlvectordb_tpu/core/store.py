@@ -172,8 +172,9 @@ class VectorStore:
     name:       store name (unique within a registry).
     dim:        optional fixed dimension; otherwise set by the first insert.
     metric:     default distance metric ("cosine", like the reference).
-    dtype:      "float32" (exact) or "int8" (symmetric per-row quantized —
-                search runs in the quantized domain on the int8 MXU path).
+    dtype:      "float32" (exact), "int8" (symmetric per-row quantized —
+                search runs in the quantized domain on the int8 MXU path),
+                or "int4" (packed nibbles, half of int8's memory).
     device:     optional jax.Device to pin arrays to.
     """
 

@@ -239,3 +239,15 @@ class TestWarmupOnStart:
             assert db2.search("w", np.ones(4, np.float32), k=1)
         finally:
             db2.stop()
+
+
+class TestNameShadowing:
+    def test_local_vs_distributed_name_collision(self, db):
+        from erlvectordb_tpu.core.registry import StoreExists
+
+        db.create_distributed_store("shadow1")
+        with pytest.raises(StoreExists):
+            db.create_store("shadow1")
+        db.create_store("shadow2")
+        with pytest.raises(StoreExists):
+            db.create_distributed_store("shadow2")
