@@ -444,3 +444,43 @@ class TestConcurrentLoad:
         assert len(results) == 64
         for got, want in results.values():
             assert got == want
+
+
+class TestOAuthRevokeAndCors:
+    def test_revoke_over_http(self, app):
+        port = app.service_port("oauth_server")
+        _, tok = _http("POST", f"http://127.0.0.1:{port}/oauth/token", {
+            "grant_type": "client_credentials",
+            "client_id": "erlvectordb_client",
+            "client_secret": "erlvectordb_secret",
+        }, form=True)
+        status, body = _http("POST", f"http://127.0.0.1:{port}/oauth/revoke",
+                             {"token": tok["access_token"]}, form=True)
+        assert status == 200 and body["revoked"] is True
+        # revoked token no longer validates
+        status, _ = _http("GET", f"http://127.0.0.1:{port}/oauth/client_info",
+                          token=tok["access_token"])
+        assert status == 401
+        # RFC 7009: revoking an unknown token still returns 200
+        status, _ = _http("POST", f"http://127.0.0.1:{port}/oauth/revoke",
+                          {"token": "bogus"}, form=True)
+        assert status == 200
+
+    def test_cors_preflight(self, app):
+        import http.client
+
+        port = app.service_port("rest_api")
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=5)
+        try:
+            conn.request("OPTIONS", "/api/v1/stores")
+            resp = conn.getresponse()
+            assert resp.status == 204
+            assert resp.getheader("Access-Control-Allow-Origin") == "*"
+            assert "POST" in resp.getheader("Access-Control-Allow-Methods")
+        finally:
+            conn.close()
+
+    def test_unknown_oauth_route_404(self, app):
+        port = app.service_port("oauth_server")
+        status, _ = _http("POST", f"http://127.0.0.1:{port}/oauth/zap", {}, form=True)
+        assert status == 404
