@@ -25,7 +25,9 @@ id overwrites it (maps:put semantics, src/vector_store.erl:113-141, :213-225).
 from __future__ import annotations
 
 import functools
+import math
 import time
+from dataclasses import dataclass
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 
 import jax
@@ -156,6 +158,23 @@ def _bulk_build_int4(arr, cap):
     return packed, scales, norms, valid
 
 
+@dataclass
+class SearchTicket:
+    """In-flight search: device results dispatched but not read back.
+
+    Produced by ``search_batch_submit`` — the device program is already
+    enqueued (JAX dispatch is async), so the caller can submit further
+    batches to keep the device pipeline full, then harvest each ticket with
+    ``search_batch_complete`` (which blocks on the device->host readback).
+    """
+
+    dists: Any   # jax.Array [B, kb]
+    rows: Any    # jax.Array [B, kb]
+    nq: int
+    k: int       # caller's k (trim bound)
+    kb: int      # compiled k bucket
+
+
 class DimensionMismatch(ValueError):
     """Vector dimension does not match the store's dimension."""
 
@@ -212,6 +231,12 @@ class VectorStore:
         self._metadata: Dict[str, Any] = {}
         self._free_rows: List[int] = []
         self._next_row = 0
+        # Columnar row -> id table (numpy object array [capacity], None for
+        # dead rows).  The result-mapping hot path fancy-indexes this at C
+        # speed instead of a per-hit dict lookup; kept in lockstep with
+        # _row_to_id by every mutation.
+        self._ids_np: Optional[np.ndarray] = None
+        self._ids_contig_filled = 0  # rows [0, x) hold implicit str ids
 
         # Bulk-build fast path: when a store is built via from_matrix with
         # implicit ids, ids are "0".."n-1" and the dicts above stay empty
@@ -264,6 +289,22 @@ class VectorStore:
         self._contig = 0
         self._id_to_row = {str(i): i for i in range(n)}
         self._row_to_id = {i: str(i) for i in range(n)}
+        self._fill_contig_ids(n)
+
+    def _fill_contig_ids(self, n: int) -> None:
+        """Fill rows [0, n) of the columnar id table with implicit ids."""
+        if self._ids_np is not None and self._ids_contig_filled < n:
+            self._ids_np[self._ids_contig_filled:n] = np.arange(
+                self._ids_contig_filled, n
+            ).astype(str).astype(object)
+            self._ids_contig_filled = n
+
+    def _ids_view(self) -> Optional[np.ndarray]:
+        """Row -> id object array for vectorized result mapping (fills the
+        implicit-contiguous range lazily on first use)."""
+        if self._contig:
+            self._fill_contig_ids(self._contig)
+        return self._ids_np
 
     # ------------------------------------------------------------ alloc/grow
 
@@ -290,6 +331,8 @@ class VectorStore:
             self._vectors = self._put(np.zeros((cap, width), np.float32))
         self._norms = self._put(np.zeros((cap,), np.float32))
         self._valid = self._put(np.zeros((cap,), bool))
+        if self._ids_np is None:
+            self._ids_np = np.full((cap,), None, object)
 
     def _grow_to(self, new_cap: int) -> None:
         new_cap = max(_next_pow2(new_cap), MIN_CAPACITY)
@@ -301,6 +344,10 @@ class VectorStore:
             self._scales = jnp.pad(self._scales, ((0, pad),), constant_values=1.0)
         self._norms = jnp.pad(self._norms, ((0, pad),))
         self._valid = jnp.pad(self._valid, ((0, pad),))
+        if self._ids_np is not None:
+            grown = np.full((new_cap,), None, object)
+            grown[: self._capacity] = self._ids_np
+            self._ids_np = grown
         self._capacity = new_cap
 
     def _alloc_rows(self, n: int) -> List[int]:
@@ -422,12 +469,15 @@ class VectorStore:
                         for v, m in zip(sids, metadatas)
                     )
             else:
+                sids = []
                 for i, vid in enumerate(ids):
                     vid = str(vid)
+                    sids.append(vid)
                     row = int(rows[i])
                     self._id_to_row[vid] = row
                     self._row_to_id[row] = vid
                     self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
+            self._ids_np[rows] = sids
             self.version += 1
             self.dirty = True
 
@@ -458,6 +508,7 @@ class VectorStore:
                 del self._row_to_id[row]
                 self._metadata.pop(vid, None)
                 self._free_rows.append(row)
+                self._ids_np[row] = None
             self.version += 1
             self.dirty = True
             return len(rows)
@@ -505,22 +556,74 @@ class VectorStore:
         where: Optional[dict] = None,
     ) -> List[List[Tuple[str, Any, float]]]:
         """Batched exact top-k: one compiled program for B queries."""
+        return self.search_batch_complete(
+            self.search_batch_submit(queries, k, metric, where)
+        )
+
+    def search_batch_submit(
+        self,
+        queries,
+        k: int = 10,
+        metric: Optional[str] = None,
+        where: Optional[dict] = None,
+    ) -> SearchTicket:
+        """Dispatch a batched search WITHOUT waiting for the device.
+
+        JAX dispatch is asynchronous: this validates, enqueues the compiled
+        search program, and returns a ticket immediately.  The serving
+        batcher submits batch i+1 while batch i still executes, so the
+        device pipeline never drains (the round-1 path serialized
+        dispatch -> readback -> host mapping per batch)."""
         metric = metric or self.metric
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
-        t0 = __import__("time").perf_counter()
         q = self._validate_batch(queries)
         fmask = self.filter_mask(where) if where else None
         # read-side of the store lock: concurrent searches proceed in
-        # parallel, but never against a buffer an insert is donating away
+        # parallel, but never against a buffer an insert is donating away.
+        # Dispatch-under-lock is sufficient: once enqueued, the device
+        # serializes this read before any later donated-buffer write.
         with self._lock.read():
-            return self._search_locked(q, k, metric, t0, fmask)
+            return self._dispatch_locked(q, k, metric, fmask)
 
-    def _search_locked(self, q, k, metric, t0, fmask=None):
-        if self._vectors is None or self.count == 0:
-            return [[] for _ in range(q.shape[0])]
-        if k <= 0:
-            return [[] for _ in range(q.shape[0])]
+    def search_batch_complete(
+        self, t: SearchTicket
+    ) -> List[List[Tuple[str, Any, float]]]:
+        """Block on a ticket's device results and map rows to ids/metadata."""
+        if t.kb == 0 or t.dists is None:
+            return [[] for _ in range(t.nq)]
+        dists_np = np.asarray(t.dists)   # device->host readback (blocks)
+        rows_np = np.asarray(t.rows)
+        metrics.inc("store.search_total")
+        metrics.inc("store.queries_total", t.nq)
+        with self._lock.read():
+            return self._map_results(dists_np, rows_np, t.k, t.kb)
+
+    def _map_results(self, dists_np, rows_np, k, kb):
+        """Vectorized row->id mapping: one fancy-index into the columnar id
+        table + tolist(), instead of a per-hit dict lookup loop."""
+        kk = min(k, kb)
+        ids_arr = self._ids_view()
+        ids_l = ids_arr[rows_np[:, :kk]].tolist()
+        d_l = dists_np[:, :kk].tolist()
+        md = self._metadata
+        isfinite = math.isfinite
+        out: List[List[Tuple[str, Any, float]]] = []
+        for irow, drow in zip(ids_l, d_l):
+            hits = []
+            for vid, d in zip(irow, drow):
+                if not isfinite(d):
+                    break  # ran past the valid rows
+                if vid is None:
+                    continue  # row deleted between device scan and host map
+                hits.append((vid, md.get(vid, {}), d))
+            out.append(hits)
+        return out
+
+    def _dispatch_locked(self, q, k, metric, fmask=None) -> SearchTicket:
+        nq = q.shape[0]
+        if self._vectors is None or self.count == 0 or k <= 0:
+            return SearchTicket(None, None, nq, k, 0)
         kb = search_mod.k_bucket(min(k, self.count), self._capacity)
         width = _pad128(q.shape[1])
         if width != q.shape[1]:
@@ -562,25 +665,7 @@ class VectorStore:
             dists, rows = search_mod.exact_topk(
                 self._vectors, self._norms, valid, q_j, metric=metric, k=kb,
             )
-        dists_np = np.asarray(dists)
-        rows_np = np.asarray(rows)
-        metrics.observe("store.search", __import__("time").perf_counter() - t0)
-        metrics.inc("store.search_total")
-        metrics.inc("store.queries_total", q.shape[0])
-        out: List[List[Tuple[str, Any, float]]] = []
-        kk = min(k, self.count)
-        for b in range(q.shape[0]):
-            hits = []
-            for j in range(min(kk, kb)):
-                d = float(dists_np[b, j])
-                if not np.isfinite(d):
-                    break  # ran past the valid rows
-                vid = self._rid(int(rows_np[b, j]))
-                if vid is None:
-                    continue  # row deleted between device scan and host map
-                hits.append((vid, self._metadata.get(vid, {}), d))
-            out.append(hits)
-        return out
+        return SearchTicket(dists, rows, nq, min(k, self.count), kb)
 
     # ------------------------------------------------------------- accessors
 
@@ -692,6 +777,13 @@ class VectorStore:
                 store._scales = store._put(np.asarray(state["scales"], np.float32))
         store._id_to_row = {str(k): int(v) for k, v in state.get("id_to_row", {}).items()}
         store._row_to_id = {v: k for k, v in store._id_to_row.items()}
+        if store._capacity and store._id_to_row:
+            store._ids_np = np.full((store._capacity,), None, object)
+            rows_arr = np.fromiter(store._row_to_id.keys(), np.int64,
+                                   len(store._row_to_id))
+            store._ids_np[rows_arr] = list(store._row_to_id.values())
+        elif store._capacity:
+            store._ids_np = np.full((store._capacity,), None, object)
         store._metadata = dict(state.get("metadata", {}))
         store._contig = int(state.get("contig", 0))
         store._next_row = int(state.get("next_row", store.count))
@@ -757,6 +849,7 @@ class VectorStore:
             vecs, norms, valid = _bulk_build_f32(arr_dev, cap)
             store._vectors, store._norms, store._valid = vecs, norms, valid
         store._next_row = n
+        store._ids_np = np.full((cap,), None, object)
         if ids is None:
             store._contig = n
         else:
@@ -766,6 +859,7 @@ class VectorStore:
             store._row_to_id = {i: str(v) for i, v in enumerate(ids)}
             if len(store._id_to_row) != n:
                 raise ValueError("duplicate ids in bulk build")
+            store._ids_np[:n] = [str(v) for v in ids]
         store.version = 1
         store.dirty = True
         return store

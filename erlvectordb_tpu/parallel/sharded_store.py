@@ -25,7 +25,9 @@ resharding device transfer.
 from __future__ import annotations
 
 import functools
+import math
 import time
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -46,6 +48,19 @@ from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
 MIN_SHARD_CAPACITY = 256
 
 _INF = jnp.float32(jnp.inf)
+
+
+def _bulk_cap(n: int, s_count: int) -> int:
+    """Per-shard capacity for a bulk build: scan-tile-aligned (4096) instead
+    of power-of-two above one tile — a 10M-row build allocates 10.002M rows,
+    not 16.8M (power-of-two doubling would waste 40% of HBM at that scale).
+    Growth after the build still doubles (``_grow_to``)."""
+    from erlvectordb_tpu.ops.fused_topk import TILE_N
+
+    per = -(-n // s_count)
+    if per >= TILE_N:
+        return -(-per // TILE_N) * TILE_N
+    return max(_next_pow2(per), MIN_SHARD_CAPACITY)
 
 
 # --------------------------------------------------------------------------
@@ -179,6 +194,16 @@ class ShardedVectorStore:
         self._next_local = [0] * self.n_shards
         self._rr = 0  # round-robin shard cursor
 
+        # Bulk-build fast path (mirrors core VectorStore): rows [0, contig)
+        # carry the implicit id str(i) at slot (i // cap, i % cap) — with
+        # block partitioning the global row index equals i, so mapping is
+        # identity.  The dicts above stay empty until the first targeted
+        # mutation; at 10M rows they would cost GBs of host RAM.
+        self._contig = 0
+        # Columnar global-row -> id table for vectorized result mapping.
+        self._ids_np: Optional[np.ndarray] = None
+        self._ids_contig_filled = 0
+
         self.version = 0
         self.dirty = False
         self.created_at = time.time()
@@ -191,7 +216,7 @@ class ShardedVectorStore:
 
     @property
     def count(self) -> int:
-        return len(self._id_to_slot)
+        return len(self._id_to_slot) + self._contig
 
     @property
     def capacity(self) -> int:
@@ -201,7 +226,40 @@ class ShardedVectorStore:
         return self.count
 
     def __contains__(self, vid: str) -> bool:
+        if self._contig:
+            try:
+                return 0 <= int(vid) < self._contig
+            except (TypeError, ValueError):
+                return False
         return vid in self._id_to_slot
+
+    def _materialize(self) -> None:
+        """Expand implicit contiguous ids into the slot dicts (one-time,
+        before the first targeted mutation or dict-reading accessor).
+        MUST run before any capacity grow: the implicit id<->row identity
+        only holds at the build-time per-shard capacity."""
+        if not self._contig:
+            return
+        n, cap = self._contig, self._cap
+        self._contig = 0
+        self._id_to_slot = {str(i): (i // cap, i % cap) for i in range(n)}
+        self._slot_to_id = {v: k for k, v in self._id_to_slot.items()}
+        self._fill_contig_ids(n)
+
+    def _fill_contig_ids(self, n: int) -> None:
+        """Fill flat rows [0, n) of the columnar id table with implicit ids
+        (flat row s*cap + l == original build row for block partitioning)."""
+        if self._ids_np is not None and self._ids_contig_filled < n:
+            flat = self._ids_np.reshape(-1)
+            flat[self._ids_contig_filled:n] = np.arange(
+                self._ids_contig_filled, n
+            ).astype(str).astype(object)
+            self._ids_contig_filled = n
+
+    def _ids_view(self) -> Optional[np.ndarray]:
+        if self._contig:
+            self._fill_contig_ids(self._contig)
+        return self._ids_np
 
     # --------------------------------------------------------------- device
 
@@ -224,11 +282,14 @@ class ShardedVectorStore:
             self._scales = jax.device_put(np.ones((s, cap), np.float32), row2)
         self._norms = jax.device_put(np.zeros((s, cap), np.float32), row2)
         self._valid = jax.device_put(np.zeros((s, cap), bool), row2)
+        if self._ids_np is None:
+            self._ids_np = np.full((s, cap), None, object)
 
     def _grow_to(self, per_shard: int) -> None:
         new_cap = max(_next_pow2(per_shard), MIN_SHARD_CAPACITY)
         if new_cap <= self._cap:
             return
+        self._materialize()  # implicit-id identity breaks when cap changes
         pad = new_cap - self._cap
         cfg3 = ((0, 0), (0, pad), (0, 0))
         cfg2 = ((0, 0), (0, pad))
@@ -241,6 +302,10 @@ class ShardedVectorStore:
             )
         self._norms = jax.device_put(jnp.pad(self._norms, cfg2), row2)
         self._valid = jax.device_put(jnp.pad(self._valid, cfg2), row2)
+        if self._ids_np is not None:
+            grown = np.full((self.n_shards, new_cap), None, object)
+            grown[:, : self._cap] = self._ids_np
+            self._ids_np = grown
         self._cap = new_cap
 
     def _alloc_slots(self, n: int) -> List[Tuple[int, int]]:
@@ -300,6 +365,7 @@ class ShardedVectorStore:
         if metadatas is None:
             metadatas = [{}] * len(ids)
         with self._lock.write():
+            self._materialize()
             self._ensure_allocated(arr.shape[1])
             n = len(ids)
             s_count = self.n_shards
@@ -368,12 +434,18 @@ class ShardedVectorStore:
                         for v, m in zip(sids, metadatas)
                     )
             else:
+                sids = []
                 for i, vid in enumerate(ids):
                     vid = str(vid)
+                    sids.append(vid)
                     slot = (int(shard_idx[i]), int(local_idx[i]))
                     self._id_to_slot[vid] = slot
                     self._slot_to_id[slot] = vid
                     self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
+            flat = self._ids_np.reshape(-1)
+            flat[
+                shard_idx[:n].astype(np.int64) * self._cap + local_idx[:n]
+            ] = sids
             self.version += 1
             self.dirty = True
 
@@ -381,10 +453,12 @@ class ShardedVectorStore:
 
     def delete(self, vector_id: str) -> bool:
         with self._lock.write():
+            self._materialize()
             slot = self._id_to_slot.pop(str(vector_id), None)
             if slot is None:
                 return False
             self._slot_to_id.pop(slot, None)
+            self._ids_np[slot[0], slot[1]] = None
             self._metadata.pop(str(vector_id), None)
             fn = _build_delete(self.mesh)
             self._valid = fn(
@@ -409,6 +483,7 @@ class ShardedVectorStore:
         """[S, cap] slot mask for metadata equality predicates."""
         mask = np.zeros((self.n_shards, self._cap), bool)
         with self._lock.read():
+            self._materialize()
             for vid, meta in self._metadata.items():
                 if all(meta.get(kk) == vv for kk, vv in where.items()):
                     slot = self._id_to_slot.get(vid)
@@ -418,16 +493,56 @@ class ShardedVectorStore:
 
     def search_batch(self, queries, k: int = 10, metric: Optional[str] = None,
                      where: Optional[dict] = None):
+        return self.search_batch_complete(
+            self.search_batch_submit(queries, k, metric, where)
+        )
+
+    def search_batch_submit(self, queries, k: int = 10,
+                            metric: Optional[str] = None,
+                            where: Optional[dict] = None):
+        """Async dispatch (see VectorStore.search_batch_submit)."""
+        from erlvectordb_tpu.core.store import SearchTicket
+
         metric = metric or self.metric
+        if metric not in VALID_METRICS:
+            raise ValueError(f"metric must be one of {VALID_METRICS}")
         q = self._validate_batch(queries)
         nq = q.shape[0]
         if self._vectors is None or self.count == 0 or k <= 0:
-            return [[] for _ in range(nq)]
+            return SearchTicket(None, None, nq, k, 0)
         fmask = self.filter_mask(where) if where else None
         with self._lock.read():
-            return self._search_locked(q, nq, k, metric, fmask)
+            return self._dispatch_locked(q, nq, k, metric, fmask)
 
-    def _search_locked(self, q, nq, k, metric, fmask=None):
+    def search_batch_complete(self, t):
+        if t.kb == 0 or t.dists is None:
+            return [[] for _ in range(t.nq)]
+        dists_np = np.asarray(t.dists)[: t.nq]
+        rows_np = np.asarray(t.rows)[: t.nq]
+        with self._lock.read():
+            return self._map_results(dists_np, rows_np, t.k)
+
+    def _map_results(self, dists_np, rows_np, k):
+        kk = min(k, rows_np.shape[1])
+        flat_ids = self._ids_view().reshape(-1)
+        ids_l = flat_ids[rows_np[:, :kk]].tolist()
+        d_l = dists_np[:, :kk].tolist()
+        md = self._metadata
+        isfinite = math.isfinite
+        out = []
+        for irow, drow in zip(ids_l, d_l):
+            hits = []
+            for vid, d in zip(irow, drow):
+                if not isfinite(d):
+                    break
+                if vid is None:
+                    continue
+                hits.append((vid, md.get(vid, {}), d))
+            out.append(hits)
+        return out
+
+    def _dispatch_locked(self, q, nq, k, metric, fmask=None):
+        from erlvectordb_tpu.core.store import SearchTicket
         # Pad the batch so it splits evenly across replicas.
         r = self.n_replicas
         pad_b = (-nq) % r
@@ -456,28 +571,13 @@ class ShardedVectorStore:
         aux = self._scales if self.dtype == "int8" else self._norms  # dummy for f32
         q_dev = jax.device_put(q, self._sharding(P(REPLICA_AXIS, None)))
         dists, rows = fn(self._vectors, aux, self._norms, valid, q_dev)
-        dists_np = np.asarray(dists)[:nq]
-        rows_np = np.asarray(rows)[:nq]
-        out = []
-        for b in range(nq):
-            hits = []
-            for j in range(min(k, rows_np.shape[1])):
-                d = float(dists_np[b, j])
-                if not np.isfinite(d):
-                    break
-                g = int(rows_np[b, j])
-                slot = (g // self._cap, g % self._cap)
-                vid = self._slot_to_id.get(slot)
-                if vid is None:
-                    continue
-                hits.append((vid, self._metadata.get(vid, {}), d))
-            out.append(hits)
-        return out
+        return SearchTicket(dists, rows, nq, k, kb)
 
     # ------------------------------------------------------------ accessors
 
     def get(self, vector_id: str):
         with self._lock.read():
+            self._materialize()
             slot = self._id_to_slot.get(str(vector_id))
             if slot is None:
                 return None
@@ -487,9 +587,15 @@ class ShardedVectorStore:
             return vec, self._metadata.get(str(vector_id), {})
 
     def get_stats(self) -> dict:
-        per_shard = [0] * self.n_shards
-        for s, _ in self._id_to_slot.values():
-            per_shard[s] += 1
+        if self._contig:  # block partition: no dict walk needed
+            per_shard = [
+                min(self._cap, max(0, self._contig - s * self._cap))
+                for s in range(self.n_shards)
+            ]
+        else:
+            per_shard = [0] * self.n_shards
+            for s, _ in self._id_to_slot.values():
+                per_shard[s] += 1
         return {
             "name": self.name,
             "count": self.count,
@@ -515,6 +621,7 @@ class ShardedVectorStore:
 
     def get_all_vectors(self):
         with self._lock.read():
+            self._materialize()
             if self.count == 0:
                 return []
             mat = np.asarray(self._vectors)
@@ -533,6 +640,7 @@ class ShardedVectorStore:
         """Snapshot-compatible state (persist/snapshot.py handles it like a
         local store's; arrays land on host as [S, cap, ...])."""
         with self._lock.read():
+            self._materialize()
             state = {
                 "format": 1,
                 "sharded": True,
@@ -601,6 +709,15 @@ class ShardedVectorStore:
             for k, v in state.get("id_to_slot", {}).items()
         }
         store._slot_to_id = {v: k for k, v in store._id_to_slot.items()}
+        if store._cap:
+            store._ids_np = np.full((store.n_shards, store._cap), None, object)
+            if store._id_to_slot:
+                flat = store._ids_np.reshape(-1)
+                pos = np.array(
+                    [s * store._cap + l for s, l in store._id_to_slot.values()],
+                    np.int64,
+                )
+                flat[pos] = list(store._id_to_slot.keys())
         store._metadata = dict(state.get("metadata", {}))
         store._next_local = [int(x) for x in state.get("next_local",
                                                        [0] * store.n_shards)]
@@ -658,8 +775,7 @@ class ShardedVectorStore:
         n, d = arr.shape
         store._dim = d
         s_count = store.n_shards
-        cap = max(_next_pow2(-(-n // s_count)), MIN_SHARD_CAPACITY)
-        store._cap = cap
+        store._cap = cap = _bulk_cap(n, s_count)
         width = _pad128(d)
 
         row3 = store._sharding(P(DATA_AXIS, None, None))
@@ -701,12 +817,19 @@ class ShardedVectorStore:
         store._valid = valid
         if dtype == "int8":
             store._scales = scales
+        store._ids_np = np.full((s_count, cap), None, object)
         if ids is None:
-            ids = [str(i) for i in range(n)]
-        slots = [(i // cap, i % cap) for i in range(n)]
-        sids = [str(v) for v in ids]
-        store._id_to_slot = dict(zip(sids, slots))
-        store._slot_to_id = dict(zip(slots, sids))
+            # implicit contiguous ids: no dict materialization (at 10M rows
+            # the dicts would cost GBs of host RAM and tens of seconds)
+            store._contig = n
+        else:
+            if len(ids) != n:
+                raise ValueError("ids and matrix length mismatch")
+            slots = [(i // cap, i % cap) for i in range(n)]
+            sids = [str(v) for v in ids]
+            store._id_to_slot = dict(zip(sids, slots))
+            store._slot_to_id = dict(zip(slots, sids))
+            store._ids_np.reshape(-1)[:n] = sids
         store._next_local = [
             min(cap, max(0, n - s * cap)) for s in range(s_count)
         ]

@@ -1,22 +1,36 @@
-"""Query micro-batcher — coalesces concurrent search requests into one
-device batch.
+"""Query micro-batcher — coalesces concurrent search requests into device
+batches and keeps the device pipeline full.
 
 The TPU answers 1024 queries in barely more time than 1 (one matmul+top-k
 program either way), but protocol requests arrive one at a time.  The
 reference actually *serializes* concurrent searches through a gen_server
-(src/vector_store.erl:143-150); this does the opposite: concurrent callers
-block on a future while a collector thread drains the queue and issues ONE
-``search_batch`` per (store, k, metric) group every ``max_wait`` (or sooner
-when ``max_batch`` is reached).  Single callers pay at most ``max_wait``
-extra latency; under load, throughput approaches the device's batched rate.
+(src/vector_store.erl:143-150); this does the opposite, in two stages:
+
+  collector thread:  drain the queue, group by (store, k, metric, filter),
+                     DISPATCH one ``search_batch_submit`` per group — JAX
+                     dispatch is async, so the next batch is enqueued while
+                     the previous still executes on device;
+  completion thread: block on each ticket's device->host readback
+                     (``search_batch_complete``), map rows to ids, and
+                     deliver results to callers (callback or event).
+
+Round 1 ran dispatch -> readback -> host mapping serially per batch, so the
+device idled during every readback + mapping + JSON phase; the split keeps
+batch i+1 computing while batch i is being read back and delivered.
+
+Callers either block (``search``) or register a callback (``submit``) —
+the MCP server uses callbacks so one connection can pipeline thousands of
+in-flight requests without one thread each.
 """
 
 from __future__ import annotations
 
+import json
+import queue
 import threading
 from collections import defaultdict
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -26,24 +40,29 @@ from erlvectordb_tpu.utils.metrics import metrics
 @dataclass
 class _Pending:
     query: np.ndarray
-    event: threading.Event = field(default_factory=threading.Event)
+    cb: Optional[Callable[[Any, Optional[Exception]], None]] = None
+    event: Optional[threading.Event] = None
     result: Any = None
     error: Optional[Exception] = None
 
 
 class QueryBatcher:
-    def __init__(self, get_store, max_batch: int = 256, max_wait: float = 0.002):
-        """``get_store(name)`` resolves a store (Database.any_store)."""
+    def __init__(self, get_store, max_batch: int = 256, max_wait: float = 0.002,
+                 max_inflight: int = 8):
+        """``get_store(name)`` resolves a store (Database.any_store).
+        ``max_inflight`` bounds dispatched-but-unread device batches (device
+        queue depth / memory backpressure)."""
         self._get_store = get_store
         self.max_batch = max_batch
         self.max_wait = max_wait
-        self._queues: Dict[Tuple[str, int, Optional[str]], List[_Pending]] = (
-            defaultdict(list)
-        )
+        self._queues: Dict[Tuple, List[_Pending]] = defaultdict(list)
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        self._completer: Optional[threading.Thread] = None
+        self._completion_q: "queue.Queue" = queue.Queue()
+        self._inflight = threading.Semaphore(max_inflight)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -53,7 +72,12 @@ class QueryBatcher:
             self._thread = threading.Thread(
                 target=self._loop, name="evdb-batcher", daemon=True
             )
+            self._completer = threading.Thread(
+                target=self._completion_loop, name="evdb-batcher-complete",
+                daemon=True,
+            )
             self._thread.start()
+            self._completer.start()
         return self
 
     def stop(self) -> None:
@@ -62,18 +86,62 @@ class QueryBatcher:
         if self._thread is not None:
             self._thread.join(timeout=2)
             self._thread = None
+        self._completion_q.put(None)  # sentinel
+        if self._completer is not None:
+            self._completer.join(timeout=2)
+            self._completer = None
         # fail anything still queued
         with self._lock:
             leftovers = [p for q in self._queues.values() for p in q]
             self._queues.clear()
+        err = RuntimeError("batcher stopped")
         for p in leftovers:
-            p.error = RuntimeError("batcher stopped")
-            p.event.set()
+            self._deliver(p, None, err)
 
     def is_alive(self) -> bool:
         return self._thread is not None and not self._stop.is_set()
 
     # ----------------------------------------------------------------- API
+
+    def submit(self, store: str, query, k: int = 10,
+               metric: Optional[str] = None, where: Optional[dict] = None,
+               callback: Optional[Callable] = None) -> Optional[_Pending]:
+        """Enqueue a search.  With ``callback``, it is invoked as
+        ``callback(result, error)`` on the completion thread; without one, a
+        waitable ``_Pending`` (with ``.event``) is returned."""
+        p = _Pending(np.asarray(query, np.float32), cb=callback)
+        if callback is None:
+            p.event = threading.Event()
+        # dimension is part of the key so one malformed query cannot poison
+        # a whole batch with a stacking error; filters batch with equal filters
+        where_key = json.dumps(where, sort_keys=True) if where else None
+        key = (store, int(k), metric, int(p.query.shape[-1]), where_key)
+        with self._lock:
+            self._queues[key].append(p)
+            depth = len(self._queues[key])
+        metrics.inc("batcher.enqueued")
+        if depth >= self.max_batch:
+            self._wake.set()
+        return p
+
+    def submit_group(self, store: str, queries, k: int = 10,
+                     metric: Optional[str] = None, where: Optional[dict] = None,
+                     callback: Callable = None) -> None:
+        """Dispatch a pre-batched [B, D] query matrix as ONE device batch
+        through the same in-flight/completion pipeline.  ``callback`` gets
+        ``(list_of_per_query_results, error)`` on the completion thread.
+        This is the MCP ``search_vectors_batch`` fast path."""
+        self._inflight.acquire()
+        try:
+            store_obj = self._get_store(store)
+            ticket = store_obj.search_batch_submit(queries, k=k, metric=metric,
+                                                   where=where)
+        except Exception as e:  # noqa: BLE001
+            self._inflight.release()
+            callback(None, e)
+            return
+        metrics.inc("batcher.batched_queries", int(np.shape(queries)[0]))
+        self._completion_q.put((store_obj, ticket, callback))
 
     def search(self, store: str, query, k: int = 10,
                metric: Optional[str] = None, timeout: float = 300.0,
@@ -83,28 +151,29 @@ class QueryBatcher:
             # not started: degrade gracefully to a direct call
             return self._get_store(store).search(query, k=k, metric=metric,
                                                  where=where)
-        p = _Pending(np.asarray(query, np.float32))
-        # dimension is part of the key so one malformed query cannot poison
-        # a whole batch with a stacking error; filters batch with equal filters
-        import json as _json
-
-        where_key = _json.dumps(where, sort_keys=True) if where else None
-        key = (store, int(k), metric, int(p.query.shape[-1]), where_key)
-        with self._lock:
-            self._queues[key].append(p)
-            depth = len(self._queues[key])
-        metrics.inc("batcher.enqueued")
-        if depth >= self.max_batch:
-            self._wake.set()
+        p = self.submit(store, query, k=k, metric=metric, where=where)
         if not p.event.wait(timeout):
             raise TimeoutError("batched search timed out")
         if p.error is not None:
             raise p.error
         return p.result
 
-    # ----------------------------------------------------------------- loop
+    # ----------------------------------------------------------------- loops
+
+    @staticmethod
+    def _deliver(p: _Pending, result, error) -> None:
+        p.result = result
+        p.error = error
+        if p.cb is not None:
+            try:
+                p.cb(result, error)
+            except Exception:  # noqa: BLE001 — a bad callback must not kill the loop
+                pass
+        if p.event is not None:
+            p.event.set()
 
     def _loop(self) -> None:
+        """Collector: group + dispatch (never blocks on the device)."""
         while not self._stop.is_set():
             self._wake.wait(self.max_wait)
             self._wake.clear()
@@ -112,25 +181,52 @@ class QueryBatcher:
                 batches = {k: v for k, v in self._queues.items() if v}
                 self._queues.clear()
             for (store_name, k, metric, _dim, where_key), pendings in batches.items():
-                self._run_batch(store_name, k, metric, pendings, where_key)
+                # cap each device batch; oversize groups split
+                for i in range(0, len(pendings), self.max_batch):
+                    self._dispatch(store_name, k, metric,
+                                   pendings[i : i + self.max_batch], where_key)
 
-    def _run_batch(self, store_name: str, k: int, metric: Optional[str],
-                   pendings: List[_Pending], where_key=None) -> None:
+    def _dispatch(self, store_name: str, k: int, metric: Optional[str],
+                  pendings: List[_Pending], where_key=None) -> None:
+        self._inflight.acquire()
         try:
-            import json as _json
-
-            where = _json.loads(where_key) if where_key else None
+            where = json.loads(where_key) if where_key else None
             store = self._get_store(store_name)
             qs = np.stack([p.query for p in pendings])
-            with metrics.timed("batcher.batch"):
-                results = store.search_batch(qs, k=k, metric=metric,
-                                             where=where)
-            metrics.inc("batcher.batched_queries", len(pendings))
-            metrics.observe("batcher.batch_size", float(len(pendings)))
-            for p, r in zip(pendings, results):
-                p.result = r
-                p.event.set()
+            ticket = store.search_batch_submit(qs, k=k, metric=metric,
+                                               where=where)
         except Exception as e:  # noqa: BLE001 — deliver the error per caller
+            self._inflight.release()
             for p in pendings:
-                p.error = e
-                p.event.set()
+                self._deliver(p, None, e)
+            return
+        metrics.inc("batcher.batched_queries", len(pendings))
+        metrics.observe("batcher.batch_size", float(len(pendings)))
+        self._completion_q.put((store, ticket, pendings))
+
+    def _completion_loop(self) -> None:
+        """Readback + host mapping + delivery, overlapped with dispatch."""
+        while True:
+            item = self._completion_q.get()
+            if item is None:
+                return
+            store, ticket, pendings = item
+            results, err = None, None
+            try:
+                with metrics.timed("batcher.batch"):
+                    results = store.search_batch_complete(ticket)
+            except Exception as e:  # noqa: BLE001
+                err = e
+            finally:
+                self._inflight.release()
+            if callable(pendings):  # group callback (submit_group)
+                try:
+                    pendings(results, err)
+                except Exception:  # noqa: BLE001 — callbacks must not kill the loop
+                    pass
+            elif err is not None:
+                for p in pendings:
+                    self._deliver(p, None, err)
+            else:
+                for p, r in zip(pendings, results):
+                    self._deliver(p, r, None)

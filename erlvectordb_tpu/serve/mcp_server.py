@@ -56,6 +56,19 @@ def _result(req_id, result):
     return {"jsonrpc": "2.0", "id": req_id, "result": result}
 
 
+def _tool_result(req_id, out) -> dict:
+    return _result(req_id, {
+        "content": [{"type": "text", "text": json.dumps(out)}],
+        "isError": False,
+    })
+
+
+# Sentinel: request accepted, response will be delivered asynchronously by a
+# batcher completion callback (JSON-RPC ids make out-of-order replies legal,
+# so one connection can pipeline thousands of in-flight searches).
+_ASYNC = object()
+
+
 class MCPServer:
     def __init__(self, db: Database, host: str = "127.0.0.1", port: int = 8080):
         self.db = db
@@ -121,6 +134,18 @@ class MCPServer:
     def _handle_client(self, conn: socket.socket, addr) -> None:
         decoder = json.JSONDecoder()
         buf = ""
+        send_lock = threading.Lock()
+
+        def send(obj: dict) -> None:
+            # thread-safe: async search callbacks send from the batcher's
+            # completion thread while this thread keeps reading requests
+            data = (json.dumps(obj) + "\n").encode()
+            try:
+                with send_lock:
+                    conn.sendall(data)
+            except OSError:
+                pass
+
         try:
             while not self._stop.is_set():
                 try:
@@ -154,9 +179,11 @@ class MCPServer:
                     buf = stripped[end:]
                     method = obj.get("method", "?") if isinstance(obj, dict) else "?"
                     with metrics.timed(f"mcp.{method.replace('/', '_')}"):
-                        resp = self._process(obj)
+                        resp = self._process(obj, send)
+                    if resp is _ASYNC:
+                        continue  # response will be sent by a batcher callback
                     if resp is not None:
-                        self._send(conn, resp)
+                        send(resp)
         finally:
             with self._lock:
                 self._clients.discard(conn)
@@ -197,7 +224,7 @@ class MCPServer:
         info = self.db.oauth.validate_token(token)
         return None if info is None else info["scopes"]
 
-    def _process(self, req: dict) -> Optional[dict]:
+    def _process(self, req: dict, send=None) -> Optional[dict]:
         if not isinstance(req, dict) or req.get("jsonrpc") != "2.0":
             return _error(None, INVALID_REQUEST, "Invalid Request")
         req_id = req.get("id")
@@ -240,6 +267,13 @@ class MCPServer:
                     f"Insufficient scope for tool {name!r} "
                     f"(requires {tools_mod.tool_scope(name)})",
                 )
+            if (
+                send is not None
+                and name in ("search_vectors", "search_vectors_batch")
+                and self.db.batcher.is_alive()
+                and self._search_async(req_id, name, args, send)
+            ):
+                return _ASYNC
             try:
                 out = tools_mod.call_tool(self.db, name, args)
             except (tools_mod.ToolError, KeyError, ValueError) as e:
@@ -255,3 +289,52 @@ class MCPServer:
             })
 
         return _error(req_id, METHOD_NOT_FOUND, f"Method not found: {method}")
+
+    def _search_async(self, req_id, name: str, args: dict, send) -> bool:
+        """Pipeline a search through the batcher: the response is sent by the
+        completion callback while this connection's reader thread moves on to
+        the next request.  Returns False to fall back to the sync path (the
+        sync path then reports any argument errors)."""
+
+        def on_error(e: Exception):
+            code = (INVALID_PARAMS
+                    if isinstance(e, (tools_mod.ToolError, KeyError, ValueError))
+                    else INTERNAL_ERROR)
+            send(_error(req_id, code, str(e)))
+
+        try:
+            store = args["store"]
+            k = int(args.get("k", 10))
+            metric = args.get("metric")
+            where = args.get("filter")
+            if name == "search_vectors":
+                q = tools_mod.decode_query(args)
+
+                def cb(hits, err):
+                    if err is not None:
+                        on_error(err)
+                    else:
+                        send(_tool_result(req_id, tools_mod.format_hits(hits)))
+
+                self.db.batcher.submit(store, q, k=k, metric=metric,
+                                       where=where, callback=cb)
+            else:
+                qs = tools_mod.decode_queries(args)
+                compact = bool(args.get("compact"))
+
+                def cb2(results, err):
+                    if err is not None:
+                        on_error(err)
+                    else:
+                        send(_tool_result(
+                            req_id, tools_mod.format_batch(results, compact)))
+
+                self.db.batcher.submit_group(store, qs, k=k, metric=metric,
+                                             where=where, callback=cb2)
+            return True
+        except (tools_mod.ToolError, KeyError, ValueError) as e:
+            send(_error(req_id, INVALID_PARAMS, str(e)))
+            return True
+        except Exception:  # noqa: BLE001 — unexpected: let the sync path report
+            logger.exception("async search dispatch failed")
+            return False

@@ -15,7 +15,11 @@ Scope matrix (reference check_tool_permission :414-427):
 
 from __future__ import annotations
 
+import base64
+import binascii
 from typing import TYPE_CHECKING, Any, Dict, List, Set
+
+import numpy as np
 
 if TYPE_CHECKING:  # avoid circular import: api.py imports serve.oauth
     from erlvectordb_tpu.api import Database
@@ -23,6 +27,65 @@ if TYPE_CHECKING:  # avoid circular import: api.py imports serve.oauth
 
 class ToolError(Exception):
     pass
+
+
+def decode_query(args: Dict[str, Any]):
+    """Query vector from tool args: ``vector`` (JSON number array) or
+    ``vector_b64`` (base64 little-endian float32 — ~5x cheaper to parse,
+    the production serving encoding)."""
+    if "vector" in args:
+        return args["vector"]
+    b64 = args.get("vector_b64")
+    if b64 is None:
+        raise ToolError("one of 'vector' or 'vector_b64' is required")
+    try:
+        return np.frombuffer(base64.b64decode(b64), dtype="<f4")
+    except (binascii.Error, ValueError) as e:
+        raise ToolError(f"bad vector_b64: {e}") from e
+
+
+def decode_queries(args: Dict[str, Any]) -> np.ndarray:
+    """[B, D] query matrix from batch tool args: ``vectors`` (array of
+    arrays) or ``vectors_b64`` (base64 f32, row-major) + ``dim``."""
+    if "vectors" in args:
+        arr = np.asarray(args["vectors"], dtype=np.float32)
+        if arr.ndim != 2:
+            raise ToolError("'vectors' must be a non-ragged array of arrays")
+        return arr
+    b64 = args.get("vectors_b64")
+    if b64 is None:
+        raise ToolError("one of 'vectors' or 'vectors_b64' is required")
+    dim = args.get("dim")
+    if not dim:
+        raise ToolError("'dim' is required with 'vectors_b64'")
+    try:
+        flat = np.frombuffer(base64.b64decode(b64), dtype="<f4")
+    except (binascii.Error, ValueError) as e:
+        raise ToolError(f"bad vectors_b64: {e}") from e
+    if flat.size == 0 or flat.size % int(dim):
+        raise ToolError("vectors_b64 length is not a multiple of dim")
+    return flat.reshape(-1, int(dim))
+
+
+def format_hits(hits) -> dict:
+    return {
+        "results": [
+            {"id": vid, "metadata": meta, "distance": dist}
+            for vid, meta, dist in hits
+        ]
+    }
+
+
+def format_batch(results, compact: bool) -> dict:
+    """Batch results; ``compact`` returns parallel id/distance arrays
+    (omitting metadata) — much cheaper to JSON-encode at high QPS."""
+    if compact:
+        return {
+            "ids": [[vid for vid, _m, _d in hits] for hits in results],
+            "distances": [[round(d, 6) for _v, _m, d in hits]
+                          for hits in results],
+        }
+    return {"results": [format_hits(hits)["results"] for hits in results]}
 
 
 def _schema(name: str, description: str, scope: str, properties: dict,
@@ -74,12 +137,39 @@ TOOLS: Dict[str, dict] = {
             {
                 "store": {"type": "string"},
                 "vector": {"type": "array", "items": {"type": "number"}},
+                "vector_b64": {"type": "string",
+                               "description": "base64 little-endian float32 "
+                               "(alternative to 'vector')"},
                 "k": {"type": "integer", "default": 10},
                 "metric": {"type": "string"},
                 "filter": {"type": "object",
                            "description": "metadata equality predicates (AND)"},
             },
-            ["store", "vector"],
+            ["store"],
+        ),
+        _schema(
+            "search_vectors_batch",
+            "Exact top-k search for MANY queries in one call (one device "
+            "batch — the high-throughput serving path)",
+            "read",
+            {
+                "store": {"type": "string"},
+                "vectors": {"type": "array",
+                            "items": {"type": "array",
+                                      "items": {"type": "number"}}},
+                "vectors_b64": {"type": "string",
+                                "description": "base64 little-endian float32, "
+                                "row-major (alternative to 'vectors')"},
+                "dim": {"type": "integer",
+                        "description": "row width, required with vectors_b64"},
+                "k": {"type": "integer", "default": 10},
+                "metric": {"type": "string"},
+                "filter": {"type": "object"},
+                "compact": {"type": "boolean",
+                            "description": "return parallel ids/distances "
+                            "arrays without metadata (cheap to encode)"},
+            },
+            ["store"],
         ),
         _schema(
             "delete_vector",
@@ -230,15 +320,18 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
     if name == "search_vectors":
         # concurrent protocol requests coalesce into one device batch
         hits = db.batcher.search(
-            args["store"], args["vector"], k=int(args.get("k", 10)),
+            args["store"], decode_query(args), k=int(args.get("k", 10)),
             metric=args.get("metric"), where=args.get("filter"),
         )
-        return {
-            "results": [
-                {"id": vid, "metadata": meta, "distance": dist}
-                for vid, meta, dist in hits
-            ]
-        }
+        return format_hits(hits)
+    if name == "search_vectors_batch":
+        # synchronous fallback (the MCP server normally routes this through
+        # the batcher's async submit_group pipeline)
+        results = db.any_store(args["store"]).search_batch(
+            decode_queries(args), k=int(args.get("k", 10)),
+            metric=args.get("metric"), where=args.get("filter"),
+        )
+        return format_batch(results, bool(args.get("compact")))
     if name == "delete_vector":
         ok = db.any_store(args["store"]).delete(args["id"])
         if not ok:

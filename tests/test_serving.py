@@ -484,3 +484,101 @@ class TestOAuthRevokeAndCors:
         port = app.service_port("oauth_server")
         status, _ = _http("POST", f"http://127.0.0.1:{port}/oauth/zap", {}, form=True)
         assert status == 404
+
+
+class TestPipelinedSearch:
+    """Round-2 serving fast paths: base64 queries, the batched search tool,
+    and out-of-order pipelined responses over one connection."""
+
+    def _setup_store(self, c):
+        c.call("tools/call", {"name": "create_store",
+                              "arguments": {"name": "pipe_store"}})
+        import numpy as np
+        rng = np.random.default_rng(0)
+        vecs = rng.standard_normal((32, 8)).astype(np.float32)
+        for i in range(32):
+            c.call("tools/call", {"name": "insert_vector", "arguments": {
+                "store": "pipe_store", "id": f"v{i}",
+                "vector": vecs[i].tolist()}})
+        return vecs
+
+    def test_vector_b64_search(self, app, token):
+        import base64
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            vecs = self._setup_store(c)
+            b64 = base64.b64encode(vecs[3].tobytes()).decode()
+            r = c.call("tools/call", {"name": "search_vectors", "arguments": {
+                "store": "pipe_store", "vector_b64": b64, "k": 1}})
+            hits = json.loads(r["result"]["content"][0]["text"])["results"]
+            assert hits[0]["id"] == "v3"
+        finally:
+            c.close()
+
+    def test_batch_tool_json_and_b64(self, app, token):
+        import base64
+        import numpy as np
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            vecs = self._setup_store(c)
+            qs = vecs[:4]
+            r = c.call("tools/call", {"name": "search_vectors_batch",
+                                      "arguments": {
+                "store": "pipe_store", "vectors": qs.tolist(), "k": 1}})
+            out = json.loads(r["result"]["content"][0]["text"])["results"]
+            assert [h[0]["id"] for h in out] == ["v0", "v1", "v2", "v3"]
+
+            b64 = base64.b64encode(np.ascontiguousarray(qs).tobytes()).decode()
+            r = c.call("tools/call", {"name": "search_vectors_batch",
+                                      "arguments": {
+                "store": "pipe_store", "vectors_b64": b64, "dim": 8,
+                "k": 2, "compact": True}})
+            out = json.loads(r["result"]["content"][0]["text"])
+            assert [row[0] for row in out["ids"]] == ["v0", "v1", "v2", "v3"]
+            assert len(out["distances"]) == 4 and len(out["distances"][0]) == 2
+        finally:
+            c.close()
+
+    def test_pipelined_out_of_order_responses(self, app, token):
+        """Send many search requests WITHOUT reading between sends; responses
+        may arrive in any order and are matched by JSON-RPC id."""
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            vecs = self._setup_store(c)
+            reqs = []
+            for i in range(24):
+                qi = int(i % 32)
+                req = {"jsonrpc": "2.0", "id": 1000 + i,
+                       "method": "tools/call",
+                       "params": {"name": "search_vectors", "arguments": {
+                           "store": "pipe_store",
+                           "vector": vecs[qi].tolist(), "k": 1}},
+                       "auth": {"token": c.token}}
+                reqs.append((1000 + i, f"v{qi}"))
+                c.sock.sendall((json.dumps(req) + "\n").encode())
+            got = {}
+            while len(got) < 24:
+                while b"\n" not in c.buf:
+                    chunk = c.sock.recv(65536)
+                    assert chunk, "server closed mid-pipeline"
+                    c.buf += chunk
+                line, c.buf = c.buf.split(b"\n", 1)
+                resp = json.loads(line)
+                hits = json.loads(resp["result"]["content"][0]["text"])["results"]
+                got[resp["id"]] = hits[0]["id"]
+            for rid, expect in reqs:
+                assert got[rid] == expect
+        finally:
+            c.close()
+
+    def test_async_search_error_delivered(self, app, token):
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            r = c.call("tools/call", {"name": "search_vectors", "arguments": {
+                "store": "no_such_store", "vector": [1.0, 0.0]}})
+            assert "error" in r
+            r = c.call("tools/call", {"name": "search_vectors", "arguments": {
+                "store": "pipe_store"}})  # neither vector nor vector_b64
+            assert "error" in r
+        finally:
+            c.close()
