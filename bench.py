@@ -338,9 +338,12 @@ def bench_config4(quick: bool) -> dict:
 
 
 def bench_config5(quick: bool) -> dict:
-    """Sharded int8 store over the available mesh (the v5e-16 config scaled
-    to what exists).  Corpus is generated ON DEVICE and bulk-built with the
-    sharded from_matrix (one program) — no host transfer."""
+    """Sharded int8 store at the blueprint's FULL scale: 10M x 768 (v5e-16
+    config scaled to the available mesh).  The corpus is generated ON DEVICE
+    chunk by chunk and streamed into the preallocated int8 store
+    (ShardedVectorStore.from_chunks) — no [10M, 768] f32 temporary ever
+    exists (that would be 30 GB; the int8 store is ~7.4 GB and fits v5e HBM
+    next to one 256k-row f32 chunk)."""
     import functools
 
     import jax
@@ -351,28 +354,71 @@ def bench_config5(quick: bool) -> dict:
 
     ndev = len(jax.devices())
     mesh = make_mesh(n_data=ndev, n_replica=1)
-    n = 50_000 if quick else min(150_000 * max(ndev, 8), 1_200_000)  # f32 gen + build temps must fit HBM
-    d, k, batch = 768, 10, 256
-    T = 2 if quick else 8
-    data = make_corpus(jax.random.PRNGKey(0), n, d)  # stays on device
+    n = 100_000 if quick else 10_000_000
+    # batch 1024: at 10M rows the scan is compute-bound (~40 ms/batch), so
+    # the tunnel's ~60 ms per-call readback (this rig's artifact; readbacks
+    # serialize and do not pipeline) no longer dominates end-to-end
+    d, k, batch = 768, 10, 1024
+    T = 2 if quick else 4
+    chunk_rows = 50_000 if quick else 262_144
+    n_centers, noise = 1024, 0.35
 
-    # warm (compile) then timed bulk build
-    warm = ShardedVectorStore.from_matrix("c5w", mesh, data, dtype="int8")
-    float(warm._norms[0, 0])
+    key = jax.random.PRNGKey(0)
+    kc, kq = jax.random.split(key)
+    centers = jax.random.normal(kc, (n_centers, d), jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("c",))
+    def gen_chunk(k2, centers, c):
+        ka, kn = jax.random.split(k2)
+        assign = jax.random.randint(ka, (c,), 0, n_centers)
+        return centers[assign] + noise * jax.random.normal(kn, (c, d), jnp.float32)
+
+    n_chunks = -(-n // chunk_rows)
+
+    def chunks():
+        for i in range(n_chunks):
+            yield gen_chunk(jax.random.fold_in(kq, i), centers, chunk_rows)
+
+    # warm build at the SAME shapes (compiles gen/write/alloc/reshape
+    # programs — minutes via the remote compiler on a cold cache), then the
+    # timed build measures steady-state streaming throughput
+    warm = ShardedVectorStore.from_chunks("c5w", mesh, chunks(), n=n, dim=d,
+                                          dtype="int8")
+    jax.block_until_ready(warm._valid)
     del warm
     t0 = time.perf_counter()
-    store = ShardedVectorStore.from_matrix("c5", mesh, data, dtype="int8")
-    float(store._norms[0, 0])
+    store = ShardedVectorStore.from_chunks("c5", mesh, chunks(), n=n, dim=d,
+                                           dtype="int8")
+    jax.block_until_ready(store._valid)
     build_s = time.perf_counter() - t0
-    log(f"[config5] sharded bulk build (warm): {build_s*1e3:.0f} ms "
-        f"-> {n/build_s/1e6:.2f} M vec/s")
+    log(f"[config5] streaming build {n} x {d} (incl. on-device generation): "
+        f"{build_s:.2f} s -> {n/build_s/1e6:.2f} M vec/s")
+
+    # correctness probe: top-1 of a dequantized row is that row
+    probe_q = (np.asarray(store._vectors[0, 37]).astype(np.float32)[:d]
+               * float(store._scales[0, 37]))
+    hit = store.search(probe_q, k=1)
+    assert hit and hit[0][0] == "37", hit[:1]
+    log("[config5] correctness probe ok (top-1 of row 37 == '37')")
 
     # end-to-end single-call path (includes tunnel RTT + host mapping)
-    qs_host = np.asarray(data[:batch])
+    rng_e = np.random.default_rng(9)
+    qs_host = rng_e.standard_normal((batch, d)).astype(np.float32)
     run = lambda: store.search_batch(qs_host, k=k)
     sec_e2e = _timeit(run, iters=3, warmup=1)
-    log(f"[config5] end-to-end: {sec_e2e*1e3:.1f} ms/batch "
+    log(f"[config5] end-to-end sequential: {sec_e2e*1e3:.1f} ms/batch "
         f"-> {batch/sec_e2e:,.0f} QPS")
+
+    # end-to-end PIPELINED: submit T batches (async dispatch), then complete
+    def run_pipe():
+        tickets = [store.search_batch_submit(qs_host, k=k) for _ in range(T)]
+        for t in tickets:
+            store.search_batch_complete(t)
+    for _ in range(1):
+        run_pipe()
+    sec_pipe = _timeit(run_pipe, iters=3, warmup=0) / T
+    log(f"[config5] end-to-end pipelined: {sec_pipe*1e3:.1f} ms/batch "
+        f"-> {batch/sec_pipe:,.0f} QPS")
 
     # device-side throughput: T batches in one executable over the same
     # compiled shard_map program the store dispatches to
@@ -410,13 +456,199 @@ def bench_config5(quick: bool) -> dict:
         "vs_baseline": None,
         "devices": ndev,
         "end_to_end_qps": round(batch / sec_e2e, 1),
-        "bulk_build_vectors_per_sec": round(n / build_s, 1),
+        "end_to_end_pipelined_qps": round(batch / sec_pipe, 1),
+        "e2e_pipelined_vs_device": round(sec_dev / sec_pipe, 3),
+        "streaming_build_vectors_per_sec": round(n / build_s, 1),
         "n": n,
     }
 
 
+def bench_config6(quick: bool) -> dict:
+    """End-to-end serving QPS through the REAL MCP TCP path (VERDICT r1 #1).
+
+    Starts the full Database + MCP server in this process (real sockets),
+    loads a config-3-shaped corpus (1.2M x 100-d int8), and measures queries
+    per second as seen by a TCP client in two modes:
+
+      * pipelined  — one request per query, many in flight per connection,
+                     responses matched out-of-order by JSON-RPC id;
+      * batched    — search_vectors_batch with base64 f32 queries (the
+                     production bulk encoding), compact responses.
+
+    The machine has ONE host core shared by client and server, so the
+    pipelined number is a floor on what a real (remote-client) deployment
+    would see.  Client work is minimized: requests are pre-encoded before
+    the clock starts; responses are counted by newline framing and only
+    sampled for correctness.
+    """
+    import socket
+    import threading
+
+    import jax
+
+    from erlvectordb_tpu.api import Database
+    from erlvectordb_tpu.serve.mcp_server import MCPServer
+
+    from erlvectordb_tpu.infra.config import load_config
+
+    n = 120_000 if quick else 1_200_000
+    d, k = 100, 10
+    db = Database(load_config(overrides={"persistence_enabled": False},
+                              env={}))
+    db.oauth.enabled = False  # measuring the search path, not token checks
+    db.start()
+    log(f"[config6] building int8 corpus n={n} x {d} ...")
+    data = make_corpus(jax.random.PRNGKey(0), n, d)
+    from erlvectordb_tpu.core.store import VectorStore
+
+    store = VectorStore.from_matrix("serve_bench", data, dtype="int8")
+    db.registry.adopt(store)
+    db.batcher.max_batch = 1024
+    del data
+    store.warmup(batch_sizes=(256, 512, 1024), ks=(16,))
+    srv = MCPServer(db, host="127.0.0.1", port=0)
+    # port 0 -> kernel-assigned; read it back
+    srv.start()
+    port = srv._sock.getsockname()[1]
+    log(f"[config6] MCP server on :{port}")
+
+    import base64
+
+    rng = np.random.default_rng(11)
+
+    def run_pipelined(n_reqs: int, n_conns: int = 4, window: int = 256) -> float:
+        """Pre-encoded single-query requests, `window` in flight per conn."""
+        qs = rng.standard_normal((256, d)).astype(np.float32)
+        blobs = []
+        for i in range(n_reqs):
+            q = qs[i % 256]
+            blobs.append((json.dumps({
+                "jsonrpc": "2.0", "id": i, "method": "tools/call",
+                "params": {"name": "search_vectors", "arguments": {
+                    "store": "serve_bench",
+                    "vector_b64": base64.b64encode(q.tobytes()).decode(),
+                    "k": k}},
+            }) + "\n").encode())
+        per = n_reqs // n_conns
+        done = threading.Barrier(n_conns + 1)
+
+        def client(ci):
+            sock = socket.create_connection(("127.0.0.1", port), timeout=300)
+            my = blobs[ci * per:(ci + 1) * per]
+            got = [0]
+
+            def reader():
+                buf = b""
+                while got[0] < per:
+                    chunk = sock.recv(1 << 18)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    got[0] += chunk.count(b"\n")
+            rt = threading.Thread(target=reader, daemon=True)
+            done.wait()  # start line
+            rt.start()
+            w = 0
+            for i in range(0, per, window):
+                sock.sendall(b"".join(my[i:i + window]))
+                w += window
+            rt.join(timeout=300)
+            sock.close()
+            done.wait()  # finish line
+
+        threads = [threading.Thread(target=client, args=(ci,), daemon=True)
+                   for ci in range(n_conns)]
+        for t in threads:
+            t.start()
+        done.wait()
+        t0 = time.perf_counter()
+        done.wait()
+        dt = time.perf_counter() - t0
+        return n_reqs / dt
+
+    def run_batched(n_batches: int, bsz: int, encoding: str = "json") -> float:
+        qs = rng.standard_normal((bsz, d)).astype(np.float32)
+        blob_q = base64.b64encode(np.ascontiguousarray(qs).tobytes()).decode()
+        extra = {"encoding": "b64"} if encoding == "b64" else {"compact": True}
+        reqs = [(json.dumps({
+            "jsonrpc": "2.0", "id": i, "method": "tools/call",
+            "params": {"name": "search_vectors_batch", "arguments": {
+                "store": "serve_bench", "vectors_b64": blob_q, "dim": d,
+                "k": k, **extra}},
+        }) + "\n").encode() for i in range(n_batches)]
+        sock = socket.create_connection(("127.0.0.1", port), timeout=300)
+        got = [0]
+
+        def reader():
+            buf = b""
+            while got[0] < n_batches:
+                chunk = sock.recv(1 << 20)
+                if not chunk:
+                    break
+                buf += chunk
+                got[0] += chunk.count(b"\n")
+        t0 = time.perf_counter()
+        rt = threading.Thread(target=reader, daemon=True)
+        rt.start()
+        for i in range(0, n_batches, 4):  # keep 4 batches in flight
+            sock.sendall(b"".join(reqs[i:i + 4]))
+        rt.join(timeout=300)
+        dt = time.perf_counter() - t0
+        sock.close()
+        return n_batches * bsz / dt
+
+    # correctness spot-check through the socket before timing (reconstruct
+    # row 17's vector from device codes without materializing the id dicts)
+    probe = socket.create_connection(("127.0.0.1", port), timeout=60)
+    q0 = (np.asarray(store._vectors[17]).astype(np.float32)[:d]
+          * float(store._scales[17]))
+    probe.sendall((json.dumps({
+        "jsonrpc": "2.0", "id": 1, "method": "tools/call",
+        "params": {"name": "search_vectors", "arguments": {
+            "store": "serve_bench",
+            "vector_b64": base64.b64encode(
+                np.ascontiguousarray(q0).tobytes()).decode(),
+            "k": 1}}}) + "\n").encode())
+    buf = b""
+    while b"\n" not in buf:
+        buf += probe.recv(65536)
+    hit = json.loads(json.loads(buf.split(b"\n")[0])["result"]["content"][0]["text"])
+    assert hit["results"][0]["id"] == "17", hit
+    probe.close()
+    log("[config6] correctness probe ok (top-1 of row 17 == '17')")
+
+    store.warmup(batch_sizes=(4096,), ks=(16,))
+    n_reqs = 2_000 if quick else 20_000
+    run_pipelined(512, n_conns=2)  # warm the compiled (B, k) buckets
+    qps_pipe = run_pipelined(n_reqs)
+    log(f"[config6] pipelined single-query: {qps_pipe:,.0f} QPS over TCP")
+    nb = 20 if quick else 100
+    run_batched(4, 1024)
+    qps_batch = run_batched(nb, 1024)
+    log(f"[config6] batched compact-JSON (1024/req): {qps_batch:,.0f} QPS over TCP")
+    run_batched(4, 4096, encoding="b64")
+    qps_b64 = run_batched(max(nb // 2, 10), 4096, encoding="b64")
+    log(f"[config6] batched binary-b64 (4096/req): {qps_b64:,.0f} QPS over TCP")
+
+    srv.stop()
+    db.stop()
+    best = max(qps_batch, qps_b64)
+    return {
+        "metric": "end-to-end QPS through MCP TCP (1.2M x 100 int8 cosine top-10)",
+        "value": round(best, 1),
+        "unit": "qps",
+        "vs_baseline": round(best / 100_000.0, 3),
+        "mcp_qps_pipelined_single": round(qps_pipe, 1),
+        "mcp_qps_batched_json": round(qps_batch, 1),
+        "mcp_qps_batched_b64": round(qps_b64, 1),
+        "n": n,
+        "note": "client+server share this host's single core; pipelined mode "
+                "is host-bound, batched modes approach device throughput",
+    }
+
+
 CONFIGS = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-           4: bench_config4, 5: bench_config5}
+           4: bench_config4, 5: bench_config5, 6: bench_config6}
 
 
 def main():

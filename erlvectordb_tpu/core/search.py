@@ -33,7 +33,8 @@ Metric = str  # "cosine" | "euclidean" | "manhattan" | "dot"
 
 VALID_METRICS = ("cosine", "euclidean", "manhattan", "dot")
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # python float: a module-level jnp array would initialize
+# the XLA backend at import, breaking jax.distributed.initialize
 
 
 def k_bucket(k: int, n_cap: int) -> int:

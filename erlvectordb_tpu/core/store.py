@@ -173,6 +173,7 @@ class SearchTicket:
     nq: int
     k: int       # caller's k (trim bound)
     kb: int      # compiled k bucket
+    t0: float = 0.0  # submit timestamp (for the store.search latency metric)
 
 
 class DimensionMismatch(ValueError):
@@ -577,6 +578,7 @@ class VectorStore:
         metric = metric or self.metric
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+        t0 = time.perf_counter()
         q = self._validate_batch(queries)
         fmask = self.filter_mask(where) if where else None
         # read-side of the store lock: concurrent searches proceed in
@@ -584,7 +586,9 @@ class VectorStore:
         # Dispatch-under-lock is sufficient: once enqueued, the device
         # serializes this read before any later donated-buffer write.
         with self._lock.read():
-            return self._dispatch_locked(q, k, metric, fmask)
+            t = self._dispatch_locked(q, k, metric, fmask)
+        t.t0 = t0
+        return t
 
     def search_batch_complete(
         self, t: SearchTicket
@@ -592,12 +596,28 @@ class VectorStore:
         """Block on a ticket's device results and map rows to ids/metadata."""
         if t.kb == 0 or t.dists is None:
             return [[] for _ in range(t.nq)]
-        dists_np = np.asarray(t.dists)   # device->host readback (blocks)
-        rows_np = np.asarray(t.rows)
+        dists_np = np.asarray(t.dists)[: t.nq]   # device->host readback
+        rows_np = np.asarray(t.rows)[: t.nq]     # (trims batch-bucket pad)
+        if t.t0:
+            metrics.observe("store.search", time.perf_counter() - t.t0)
         metrics.inc("store.search_total")
         metrics.inc("store.queries_total", t.nq)
         with self._lock.read():
             return self._map_results(dists_np, rows_np, t.k, t.kb)
+
+    def search_batch_complete_raw(self, t: SearchTicket):
+        """Columnar completion: (distances [nq, kk] f32, rows [nq, kk] int32,
+        ids [nq, kk] object-or-None).  No per-hit tuple construction — the
+        serving layer encodes these straight into binary/JSON columns."""
+        if t.kb == 0 or t.dists is None:
+            return (np.zeros((t.nq, 0), np.float32),
+                    np.zeros((t.nq, 0), np.int32), None)
+        kk = min(t.k, t.kb)
+        dists_np = np.asarray(t.dists)[: t.nq, :kk]
+        rows_np = np.asarray(t.rows)[: t.nq, :kk]
+        with self._lock.read():
+            ids = self._ids_view()[rows_np]
+        return dists_np, rows_np, ids
 
     def _map_results(self, dists_np, rows_np, k, kb):
         """Vectorized row->id mapping: one fancy-index into the columnar id
@@ -625,10 +645,14 @@ class VectorStore:
         if self._vectors is None or self.count == 0 or k <= 0:
             return SearchTicket(None, None, nq, k, 0)
         kb = search_mod.k_bucket(min(k, self.count), self._capacity)
+        # Bucket BOTH the batch size and the width: every distinct query
+        # shape is a separate XLA compile (minutes via the remote TPU
+        # compiler), and serving batches arrive at arbitrary sizes.
         width = _pad128(q.shape[1])
-        if width != q.shape[1]:
-            qp = np.zeros((q.shape[0], width), np.float32)
-            qp[:, : q.shape[1]] = q
+        bq = _next_pow2(max(nq, 8))
+        if width != q.shape[1] or bq != nq:
+            qp = np.zeros((bq, width), np.float32)
+            qp[:nq, : q.shape[1]] = q
             q = qp
         q_j = self._put(q)
         valid = self._valid

@@ -27,7 +27,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 MODEL_AXIS = "model"
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # python float: a module-level jnp array would initialize
+# the XLA backend at import, breaking jax.distributed.initialize
 
 
 def make_dim_mesh(n_model: int, devices=None) -> Mesh:

@@ -47,7 +47,8 @@ from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
 
 MIN_SHARD_CAPACITY = 256
 
-_INF = jnp.float32(jnp.inf)
+_INF = float("inf")  # python float: a module-level jnp array would initialize
+# the XLA backend at import, breaking jax.distributed.initialize
 
 
 def _bulk_cap(n: int, s_count: int) -> int:
@@ -121,6 +122,32 @@ def _build_search(mesh: Mesh, metric: str, k: int, is_int8: bool,
         check_vma=False,
     )
     return jax.jit(shd)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                   static_argnames=("dt", "width"))
+def _chunk_write(codes, scales, norms, valid, chunk, off, live, *, dt, width):
+    """Quantize one [c, D] f32 chunk and write it into the flat sharded
+    buffers at row ``off`` (in place — buffers are donated).  ``live`` masks
+    trailing padding rows of a final partial chunk (traced, so one compiled
+    program serves every chunk)."""
+    c, d = chunk.shape
+    if width != d:
+        chunk = jnp.pad(chunk, ((0, 0), (0, width - d)))
+    nn = jnp.sqrt(jnp.sum(chunk * chunk, axis=-1))
+    if dt == "int8":
+        absmax = jnp.max(jnp.abs(chunk), axis=-1)
+        sc = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        rows = jnp.clip(jnp.round(chunk / sc[:, None]), -127, 127).astype(jnp.int8)
+    else:
+        sc = jnp.ones((c,), jnp.float32)
+        rows = chunk
+    vld = jnp.arange(c) < live
+    codes = lax.dynamic_update_slice(codes, rows, (off, 0))
+    scales = lax.dynamic_update_slice(scales, sc, (off,))
+    norms = lax.dynamic_update_slice(norms, jnp.where(vld, nn, 0.0), (off,))
+    valid = lax.dynamic_update_slice(valid, vld, (off,))
+    return codes, scales, norms, valid
 
 
 @functools.lru_cache(maxsize=None)
@@ -522,6 +549,18 @@ class ShardedVectorStore:
         with self._lock.read():
             return self._map_results(dists_np, rows_np, t.k)
 
+    def search_batch_complete_raw(self, t):
+        """Columnar completion (see VectorStore.search_batch_complete_raw)."""
+        if t.kb == 0 or t.dists is None:
+            return (np.zeros((t.nq, 0), np.float32),
+                    np.zeros((t.nq, 0), np.int32), None)
+        kk = min(t.k, np.shape(t.rows)[1])
+        dists_np = np.asarray(t.dists)[: t.nq, :kk]
+        rows_np = np.asarray(t.rows)[: t.nq, :kk]
+        with self._lock.read():
+            ids = self._ids_view().reshape(-1)[rows_np]
+        return dists_np, rows_np, ids
+
     def _map_results(self, dists_np, rows_np, k):
         kk = min(k, rows_np.shape[1])
         flat_ids = self._ids_view().reshape(-1)
@@ -543,11 +582,13 @@ class ShardedVectorStore:
 
     def _dispatch_locked(self, q, nq, k, metric, fmask=None):
         from erlvectordb_tpu.core.store import SearchTicket
-        # Pad the batch so it splits evenly across replicas.
+        # Bucket the batch size to a power of two (every distinct shape is a
+        # separate XLA compile) and pad so it splits evenly across replicas.
         r = self.n_replicas
-        pad_b = (-nq) % r
-        if pad_b:
-            q = np.concatenate([q, np.zeros((pad_b, q.shape[1]), np.float32)])
+        bq = _next_pow2(max(nq, 8))
+        bq += (-bq) % r
+        if bq != nq:
+            q = np.concatenate([q, np.zeros((bq - nq, q.shape[1]), np.float32)])
         width = _pad128(q.shape[1])
         if width != q.shape[1]:
             qp = np.zeros((q.shape[0], width), np.float32)
@@ -830,6 +871,97 @@ class ShardedVectorStore:
             store._id_to_slot = dict(zip(sids, slots))
             store._slot_to_id = dict(zip(slots, sids))
             store._ids_np.reshape(-1)[:n] = sids
+        store._next_local = [
+            min(cap, max(0, n - s * cap)) for s in range(s_count)
+        ]
+        store.version = 1
+        store.dirty = True
+        return store
+
+    # ------------------------------------------------------ streaming build
+
+    @classmethod
+    def from_chunks(
+        cls,
+        name: str,
+        mesh: Mesh,
+        chunks,                      # iterable of [c, D] f32 (host or device)
+        n: int,
+        dim: int,
+        metric: str = "cosine",
+        dtype: str = "int8",
+    ) -> "ShardedVectorStore":
+        """Streaming bulk build: quantize each chunk into preallocated
+        sharded device buffers IN PLACE (donated dynamic_update_slice), so no
+        [N, D] f32 temporary ever exists.  This is what makes the 10M x 768
+        flagship-scale build fit v5e HBM: the int8 store is ~7.4 GB and the
+        peak extra footprint is one f32 chunk (the all-at-once ``from_matrix``
+        would need the 30 GB f32 corpus resident).
+
+        Writes are dispatched asynchronously: generation/IO of chunk i+1
+        overlaps the device write of chunk i.
+        """
+        if dtype not in ("float32", "int8"):
+            raise ValueError("dtype must be 'float32' or 'int8'")
+        store = cls(name, mesh, dim=dim, metric=metric, dtype=dtype)
+        s_count = store.n_shards
+        store._cap = cap = _bulk_cap(n, s_count)
+        width = _pad128(dim)
+        total = cap * s_count
+
+        flat2 = NamedSharding(mesh, P(DATA_AXIS, None))
+        flat1 = NamedSharding(mesh, P(DATA_AXIS))
+        vdt = jnp.int8 if dtype == "int8" else jnp.float32
+
+        # allocate ON DEVICE (device_put of host zeros would ship GBs)
+        codes = jax.jit(lambda: jnp.zeros((total, width), vdt),
+                        out_shardings=flat2)()
+        scales = jax.jit(lambda: jnp.ones((total,), jnp.float32),
+                         out_shardings=flat1)()
+        norms = jax.jit(lambda: jnp.zeros((total,), jnp.float32),
+                        out_shardings=flat1)()
+        valid = jax.jit(lambda: jnp.zeros((total,), bool),
+                        out_shardings=flat1)()
+
+        written = 0
+        for chunk in chunks:
+            c = int(chunk.shape[0])
+            live = min(c, n - written)  # final chunk may be zero-padded
+            if live <= 0:
+                raise ValueError("chunks exceed declared n")
+            arr = chunk if isinstance(chunk, jax.Array) else jnp.asarray(
+                np.asarray(chunk, np.float32))
+            room = total - written
+            if c > room:  # padded final chunk overhanging the buffer: trim
+                arr = arr[:room]  # (dynamic_update_slice would clamp+shift)
+            codes, scales, norms, valid = _chunk_write(
+                codes, scales, norms, valid, arr,
+                jnp.int32(written), jnp.int32(live), dt=dtype, width=width,
+            )
+            written += live
+        if written != n:
+            raise ValueError(f"chunks covered {written} rows, declared {n}")
+        jax.block_until_ready(valid)
+
+        # donate: the reshape is layout-preserving for block partitioning, so
+        # XLA aliases input->output — no second 7.7 GB copy at 10M x 768
+        row3 = store._sharding(P(DATA_AXIS, None, None))
+        row2 = store._sharding(P(DATA_AXIS, None))
+        store._vectors = jax.jit(
+            lambda a: a.reshape(s_count, cap, width), out_shardings=row3,
+            donate_argnums=0)(codes)
+        store._norms = jax.jit(
+            lambda a: a.reshape(s_count, cap), out_shardings=row2,
+            donate_argnums=0)(norms)
+        store._valid = jax.jit(
+            lambda a: a.reshape(s_count, cap), out_shardings=row2,
+            donate_argnums=0)(valid)
+        if dtype == "int8":
+            store._scales = jax.jit(
+                lambda a: a.reshape(s_count, cap), out_shardings=row2,
+                donate_argnums=0)(scales)
+        store._contig = n
+        store._ids_np = np.full((s_count, cap), None, object)
         store._next_local = [
             min(cap, max(0, n - s * cap)) for s in range(s_count)
         ]

@@ -126,10 +126,12 @@ class QueryBatcher:
 
     def submit_group(self, store: str, queries, k: int = 10,
                      metric: Optional[str] = None, where: Optional[dict] = None,
-                     callback: Callable = None) -> None:
+                     callback: Callable = None, raw: bool = False) -> None:
         """Dispatch a pre-batched [B, D] query matrix as ONE device batch
         through the same in-flight/completion pipeline.  ``callback`` gets
-        ``(list_of_per_query_results, error)`` on the completion thread.
+        ``(list_of_per_query_results, error)`` on the completion thread —
+        or, with ``raw=True``, ``((dists, rows, ids) columns, error)``
+        without per-hit tuples (the binary serving encoding).
         This is the MCP ``search_vectors_batch`` fast path."""
         self._inflight.acquire()
         try:
@@ -141,7 +143,8 @@ class QueryBatcher:
             callback(None, e)
             return
         metrics.inc("batcher.batched_queries", int(np.shape(queries)[0]))
-        self._completion_q.put((store_obj, ticket, callback))
+        self._completion_q.put((store_obj, ticket, callback, raw)
+                               if raw else (store_obj, ticket, callback))
 
     def search(self, store: str, query, k: int = 10,
                metric: Optional[str] = None, timeout: float = 300.0,
@@ -210,11 +213,13 @@ class QueryBatcher:
             item = self._completion_q.get()
             if item is None:
                 return
-            store, ticket, pendings = item
+            raw = len(item) == 4
+            store, ticket, pendings = item[:3]
             results, err = None, None
             try:
                 with metrics.timed("batcher.batch"):
-                    results = store.search_batch_complete(ticket)
+                    results = (store.search_batch_complete_raw(ticket) if raw
+                               else store.search_batch_complete(ticket))
             except Exception as e:  # noqa: BLE001
                 err = e
             finally:

@@ -320,17 +320,22 @@ class MCPServer:
                                        where=where, callback=cb)
             else:
                 qs = tools_mod.decode_queries(args)
-                compact = bool(args.get("compact"))
+                if args.get("encoding") == "b64":
+                    fmt, raw = tools_mod.format_batch_b64, True
+                elif args.get("compact"):
+                    fmt, raw = tools_mod.format_batch_columns, True
+                else:
+                    fmt, raw = tools_mod.format_batch, False
 
                 def cb2(results, err):
                     if err is not None:
                         on_error(err)
                     else:
-                        send(_tool_result(
-                            req_id, tools_mod.format_batch(results, compact)))
+                        send(_tool_result(req_id, fmt(results)))
 
                 self.db.batcher.submit_group(store, qs, k=k, metric=metric,
-                                             where=where, callback=cb2)
+                                             where=where, callback=cb2,
+                                             raw=raw)
             return True
         except (tools_mod.ToolError, KeyError, ValueError) as e:
             send(_error(req_id, INVALID_PARAMS, str(e)))

@@ -76,16 +76,53 @@ def format_hits(hits) -> dict:
     }
 
 
-def format_batch(results, compact: bool) -> dict:
-    """Batch results; ``compact`` returns parallel id/distance arrays
-    (omitting metadata) — much cheaper to JSON-encode at high QPS."""
-    if compact:
-        return {
-            "ids": [[vid for vid, _m, _d in hits] for hits in results],
-            "distances": [[round(d, 6) for _v, _m, d in hits]
-                          for hits in results],
-        }
+def format_batch(results) -> dict:
+    """Full per-hit batch results (id + metadata + distance)."""
     return {"results": [format_hits(hits)["results"] for hits in results]}
+
+
+def format_batch_columns(cols) -> dict:
+    """Compact JSON from raw result columns: parallel ids/distances arrays,
+    no metadata, no per-hit tuples — cheap to encode at high QPS."""
+    import math
+
+    dists, _rows, ids = cols
+    if ids is None or dists.size == 0:
+        empty = [[] for _ in range(dists.shape[0])]
+        return {"ids": empty, "distances": [list(r) for r in empty]}
+    finite = np.isfinite(dists)
+    if finite.all() and not (ids == None).any():  # noqa: E711 — elementwise
+        return {"ids": ids.tolist(),
+                "distances": np.round(dists.astype(np.float64), 6).tolist()}
+    out_i, out_d = [], []
+    for irow, drow in zip(ids.tolist(), dists.tolist()):
+        ri, rd = [], []
+        for vid, d in zip(irow, drow):
+            if not math.isfinite(d):
+                break
+            if vid is None:
+                continue
+            ri.append(vid)
+            rd.append(round(d, 6))
+        out_i.append(ri)
+        out_d.append(rd)
+    return {"ids": out_i, "distances": out_d}
+
+
+def format_batch_b64(cols) -> dict:
+    """Binary columnar batch results: little-endian f32 distances and int32
+    row indices, base64'd.  Near-zero host encode cost — the production
+    bulk-serving format.  Row index == implicit id for bulk-built stores
+    (ids '0'..'n-1'); absent hits carry distance inf."""
+    dists, rows, _ids = cols
+    return {
+        "count": int(dists.shape[0]),
+        "k": int(dists.shape[1]),
+        "distances_b64": base64.b64encode(
+            np.ascontiguousarray(dists, dtype="<f4").tobytes()).decode(),
+        "rows_b64": base64.b64encode(
+            np.ascontiguousarray(rows, dtype="<i4").tobytes()).decode(),
+    }
 
 
 def _schema(name: str, description: str, scope: str, properties: dict,
@@ -168,6 +205,11 @@ TOOLS: Dict[str, dict] = {
                 "compact": {"type": "boolean",
                             "description": "return parallel ids/distances "
                             "arrays without metadata (cheap to encode)"},
+                "encoding": {"type": "string", "enum": ["json", "b64"],
+                             "description": "'b64' returns binary columns "
+                             "(distances_b64 f32 + rows_b64 int32) — the "
+                             "highest-throughput response format; row index "
+                             "== implicit id for bulk-built stores"},
             },
             ["store"],
         ),
@@ -327,11 +369,19 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
     if name == "search_vectors_batch":
         # synchronous fallback (the MCP server normally routes this through
         # the batcher's async submit_group pipeline)
-        results = db.any_store(args["store"]).search_batch(
-            decode_queries(args), k=int(args.get("k", 10)),
-            metric=args.get("metric"), where=args.get("filter"),
-        )
-        return format_batch(results, bool(args.get("compact")))
+        store = db.any_store(args["store"])
+        qs = decode_queries(args)
+        kw = dict(k=int(args.get("k", 10)), metric=args.get("metric"),
+                  where=args.get("filter"))
+        if args.get("encoding") == "b64":
+            cols = store.search_batch_complete_raw(
+                store.search_batch_submit(qs, **kw))
+            return format_batch_b64(cols)
+        if args.get("compact"):
+            cols = store.search_batch_complete_raw(
+                store.search_batch_submit(qs, **kw))
+            return format_batch_columns(cols)
+        return format_batch(store.search_batch(qs, **kw))
     if name == "delete_vector":
         ok = db.any_store(args["store"]).delete(args["id"])
         if not ok:

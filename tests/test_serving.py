@@ -582,3 +582,34 @@ class TestPipelinedSearch:
             assert "error" in r
         finally:
             c.close()
+
+    def test_batch_b64_binary_response(self, app, token):
+        import base64
+        import numpy as np
+        c = MCPClient(app.service_port("mcp_server"), token["access_token"])
+        try:
+            self._setup_store(c)
+            r = c.call("tools/call", {"name": "create_store",
+                                      "arguments": {"name": "binstore"}})
+            qs = np.eye(4, 6, dtype=np.float32)
+            for i in range(4):
+                c.call("tools/call", {"name": "insert_vector", "arguments": {
+                    "store": "binstore", "id": f"b{i}",
+                    "vector": qs[i].tolist()}})
+            r = c.call("tools/call", {"name": "search_vectors_batch",
+                                      "arguments": {
+                "store": "binstore",
+                "vectors_b64": base64.b64encode(qs.tobytes()).decode(),
+                "dim": 6, "k": 1, "encoding": "b64"}})
+            out = json.loads(r["result"]["content"][0]["text"])
+            assert out["count"] == 4 and out["k"] == 1
+            import numpy as np2
+            rows = np2.frombuffer(base64.b64decode(out["rows_b64"]),
+                                  dtype="<i4").reshape(4, 1)
+            dists = np2.frombuffer(base64.b64decode(out["distances_b64"]),
+                                   dtype="<f4").reshape(4, 1)
+            # rows are store row indices; b0..b3 inserted in order -> rows 0..3
+            assert rows[:, 0].tolist() == [0, 1, 2, 3]
+            assert np2.all(dists < 1e-3)
+        finally:
+            c.close()

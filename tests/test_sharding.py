@@ -298,3 +298,52 @@ class TestShardedBulkBuild:
         sh = ShardedVectorStore.from_matrix(
             "bmi", mesh8, data, ids=[f"x{i}" for i in range(100)])
         assert sh.search(data[5], k=1)[0][0] == "x5"
+
+
+class TestStreamingBuild:
+    """from_chunks: the 10M-scale streaming build path (no [N, D] f32 temp)."""
+
+    def test_matches_from_matrix(self, mesh8, rng):
+        data = rng.standard_normal((3000, 24)).astype("float32")
+        ref = ShardedVectorStore.from_matrix("sb_ref", mesh8, data, dtype="int8")
+        # uniform 1024-row chunks; final chunk zero-padded to the same shape
+        chunks = []
+        for i in range(0, 3000, 1024):
+            c = data[i : i + 1024]
+            if c.shape[0] < 1024:
+                c = np.concatenate(
+                    [c, np.zeros((1024 - c.shape[0], 24), np.float32)])
+            chunks.append(c)
+        st = ShardedVectorStore.from_chunks(
+            "sb_chunks", mesh8, chunks, n=3000, dim=24, dtype="int8")
+        assert st.count == 3000
+        assert st.get_stats()["per_shard_counts"] == ref.get_stats()["per_shard_counts"]
+        q = data[:16]
+        got = st.search_batch(q, k=5)
+        want = ref.search_batch(q, k=5)
+        for g, w in zip(got, want):
+            assert [h[0] for h in g] == [h[0] for h in w]
+            np.testing.assert_allclose(
+                [h[2] for h in g], [h[2] for h in w], atol=1e-5)
+
+    def test_implicit_ids_and_mutation_after_build(self, mesh8, rng):
+        data = rng.standard_normal((2048, 16)).astype("float32")
+        st = ShardedVectorStore.from_chunks(
+            "sb_mut", mesh8, [data[:1024], data[1024:]], n=2048, dim=16,
+            dtype="float32")
+        assert "2047" in st and "2048" not in st
+        hit = st.search(data[77], k=1)
+        assert hit[0][0] == "77"
+        # targeted mutation materializes the implicit ids correctly
+        assert st.delete("77")
+        hit = st.search(data[77], k=1)
+        assert hit[0][0] != "77"
+        st.insert("fresh", data[77], {"tag": "x"})
+        hit = st.search(data[77], k=1)
+        assert hit[0][0] == "fresh"
+
+    def test_chunks_mismatch_rejected(self, mesh8, rng):
+        data = rng.standard_normal((100, 8)).astype("float32")
+        with pytest.raises(ValueError):
+            ShardedVectorStore.from_chunks(
+                "sb_bad", mesh8, [data], n=200, dim=8, dtype="int8")
