@@ -647,8 +647,67 @@ def bench_config6(quick: bool) -> dict:
     }
 
 
+def bench_config7(quick: bool) -> dict:
+    """Filtered search at 1.2M rows (VERDICT r1 #5): columnar tag-table
+    masks pushed into the device scan as a validity AND.  Target: filtered
+    QPS >= 50% of unfiltered at 1M+ rows, selective and non-selective."""
+    import jax
+
+    from erlvectordb_tpu.core.store import VectorStore
+
+    n = 120_000 if quick else 1_200_000
+    d, k, batch, T = 100, 10, 1024, 8
+    data = np.asarray(make_corpus(jax.random.PRNGKey(0), n, d))
+    log(f"[config7] building int8 store with metadata, n={n} ...")
+    ids = [str(i) for i in range(n)]
+    cats = np.arange(n) % 16
+    metas = [{"cat": int(c), "hot": bool(i % 100 == 0)}
+             for i, c in enumerate(cats)]
+    store = VectorStore.from_matrix("filt", data, ids=ids, dtype="int8",
+                                    metadatas=metas)
+    qs = data[:batch]
+
+    def timed_pipeline(where):
+        def run():
+            ts = [store.search_batch_submit(qs, k=k, where=where)
+                  for _ in range(T)]
+            for t in ts:
+                store.search_batch_complete(t)
+        run()  # warm (mask build + compile)
+        return _timeit(run, iters=3, warmup=0) / T
+
+    sec_plain = timed_pipeline(None)
+    qps_plain = batch / sec_plain
+    log(f"[config7] unfiltered: {qps_plain:,.0f} QPS")
+    sec_sel = timed_pipeline({"cat": 3})        # 1/16 of rows match
+    qps_sel = batch / sec_sel
+    log(f"[config7] selective filter (1/16 rows): {qps_sel:,.0f} QPS "
+        f"({100 * sec_plain / sec_sel:.0f}% of unfiltered)")
+    sec_non = timed_pipeline({"hot": False})    # 99% of rows match
+    qps_non = batch / sec_non
+    log(f"[config7] non-selective filter (99% rows): {qps_non:,.0f} QPS "
+        f"({100 * sec_plain / sec_non:.0f}% of unfiltered)")
+
+    # correctness: every hit satisfies the predicate
+    hits = store.search_batch(qs[:8], k=5, where={"cat": 3})
+    assert all(h[1]["cat"] == 3 for row in hits for h in row)
+
+    worst = min(qps_sel, qps_non)
+    return {
+        "metric": "filtered-search QPS vs unfiltered (1.2M x 100 int8, tag columns)",
+        "value": round(worst, 1),
+        "unit": "qps",
+        "vs_baseline": round(worst / qps_plain, 3),
+        "unfiltered_qps": round(qps_plain, 1),
+        "selective_qps": round(qps_sel, 1),
+        "non_selective_qps": round(qps_non, 1),
+        "n": n,
+    }
+
+
 CONFIGS = {1: bench_config1, 2: bench_config2, 3: bench_config3,
-           4: bench_config4, 5: bench_config5, 6: bench_config6}
+           4: bench_config4, 5: bench_config5, 6: bench_config6,
+           7: bench_config7}
 
 
 def main():

@@ -239,6 +239,19 @@ class VectorStore:
         self._ids_np: Optional[np.ndarray] = None
         self._ids_contig_filled = 0  # rows [0, x) hold implicit str ids
 
+        # Metadata filtering: columnar tag tables.  For each filtered-on
+        # metadata key, an int32 code per row (0 = absent); the filter mask
+        # is then one vectorized compare over [capacity] instead of a Python
+        # loop over every row's metadata dict (round-1's O(count) loop made
+        # filtering unusable at 1M rows).  Columns are built lazily on the
+        # first filter touching a key and maintained by insert/delete.
+        self._tag_cols: Dict[str, np.ndarray] = {}
+        self._tag_vocab: Dict[str, Dict[Any, int]] = {}
+        # Device-resident mask cache: (store version, mask) per filter key —
+        # repeated identical filters skip both mask compute and the
+        # host->device transfer.
+        self._dmask_cache: Dict[str, Tuple[int, jax.Array]] = {}
+
         # Bulk-build fast path: when a store is built via from_matrix with
         # implicit ids, ids are "0".."n-1" and the dicts above stay empty
         # until the first targeted mutation materializes them.
@@ -349,6 +362,10 @@ class VectorStore:
             grown = np.full((new_cap,), None, object)
             grown[: self._capacity] = self._ids_np
             self._ids_np = grown
+        for k, col in self._tag_cols.items():
+            newcol = np.zeros(new_cap, np.int32)
+            newcol[: self._capacity] = col
+            self._tag_cols[k] = newcol
         self._capacity = new_cap
 
     def _alloc_rows(self, n: int) -> List[int]:
@@ -479,6 +496,7 @@ class VectorStore:
                     self._row_to_id[row] = vid
                     self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
             self._ids_np[rows] = sids
+            self._update_tags(rows, metadatas)
             self.version += 1
             self.dirty = True
 
@@ -510,6 +528,8 @@ class VectorStore:
                 self._metadata.pop(vid, None)
                 self._free_rows.append(row)
                 self._ids_np[row] = None
+            for col in self._tag_cols.values():
+                col[rows] = 0
             self.version += 1
             self.dirty = True
             return len(rows)
@@ -535,10 +555,33 @@ class VectorStore:
         )
         return results[0]
 
+    @staticmethod
+    def _filter_indexable(where: dict) -> bool:
+        try:
+            for v in where.values():
+                hash(v)
+            return True
+        except TypeError:
+            return False
+
     def filter_mask(self, where: dict) -> np.ndarray:
         """Row mask for metadata equality predicates (AND semantics).
-        O(count) on the host; heavy filtering workloads should keep a
-        dedicated tag store (round-2 inverted metadata index)."""
+        Hashable predicate values ride the columnar tag tables (one
+        vectorized compare over [capacity]); unhashable values fall back to
+        the per-row metadata walk."""
+        if not self._metadata:  # no metadata anywhere: nothing can match
+            return np.zeros(self._capacity, bool)
+        if self._filter_indexable(where) and self._capacity:
+            self._ensure_tag_cols(tuple(where))
+            with self._lock.read():
+                mask = np.ones(self._capacity, bool)
+                for kk, vv in where.items():
+                    code = self._tag_vocab.get(kk, {}).get(vv)
+                    if code is None:  # value never seen for this key
+                        mask[:] = False
+                        break
+                    mask &= self._tag_cols[kk] == code
+                return mask
         mask = np.zeros(self._capacity, bool)
         with self._lock.read():
             self._materialize()
@@ -548,6 +591,62 @@ class VectorStore:
                     if row is not None:
                         mask[row] = True
         return mask
+
+    def _device_filter_mask(self, where: dict):
+        """Device-resident filter mask, cached per (filter, store version):
+        a repeated filter costs one dict probe instead of an O(capacity)
+        mask build + host->device transfer per query batch."""
+        import json as _json
+
+        wk = _json.dumps(where, sort_keys=True, default=repr)
+        cached = self._dmask_cache.get(wk)
+        if cached is not None and cached[0] == self.version:
+            return cached[1]
+        dm = self._put(self.filter_mask(where))
+        if len(self._dmask_cache) >= 32:
+            self._dmask_cache.pop(next(iter(self._dmask_cache)))
+        self._dmask_cache[wk] = (self.version, dm)
+        return dm
+
+    def _ensure_tag_cols(self, keys: Tuple[str, ...]) -> None:
+        """Backfill tag columns for keys not yet indexed (one O(count) pass
+        per NEW key; subsequent filters are vectorized compares)."""
+        if all(k in self._tag_cols for k in keys):
+            return
+        with self._lock.write():
+            self._materialize()
+            for k in keys:
+                if k in self._tag_cols:
+                    continue
+                col = np.zeros(self._capacity, np.int32)
+                vocab = self._tag_vocab.setdefault(k, {})
+                for vid, meta in self._metadata.items():
+                    if isinstance(meta, dict) and k in meta:
+                        try:
+                            code = vocab.setdefault(meta[k], len(vocab) + 1)
+                        except TypeError:
+                            continue  # unhashable value: not indexable
+                        row = self._id_to_row.get(vid)
+                        if row is not None:
+                            col[row] = code
+                self._tag_cols[k] = col
+
+    def _update_tags(self, rows, mds) -> None:
+        """Maintain tag columns for written rows (caller holds write lock).
+        Insert replaces a row's metadata wholesale, so absent keys clear."""
+        if not self._tag_cols:
+            return
+        for i, row in enumerate(rows):
+            md = mds[i] or {}
+            for k, col in self._tag_cols.items():
+                if k in md:
+                    try:
+                        col[row] = self._tag_vocab[k].setdefault(
+                            md[k], len(self._tag_vocab[k]) + 1)
+                    except TypeError:
+                        col[row] = 0
+                else:
+                    col[row] = 0
 
     def search_batch(
         self,
@@ -580,7 +679,7 @@ class VectorStore:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
         t0 = time.perf_counter()
         q = self._validate_batch(queries)
-        fmask = self.filter_mask(where) if where else None
+        fmask = self._device_filter_mask(where) if where else None
         # read-side of the store lock: concurrent searches proceed in
         # parallel, but never against a buffer an insert is donating away.
         # Dispatch-under-lock is sufficient: once enqueued, the device
@@ -839,6 +938,7 @@ class VectorStore:
         metric: str = "cosine",
         dtype: str = "float32",
         device: Optional[jax.Device] = None,
+        metadatas: Optional[Sequence[dict]] = None,
     ) -> "VectorStore":
         """Bulk index build: one device transfer + one jitted program.
 
@@ -874,6 +974,13 @@ class VectorStore:
             store._vectors, store._norms, store._valid = vecs, norms, valid
         store._next_row = n
         store._ids_np = np.full((cap,), None, object)
+        if metadatas is not None:
+            if len(metadatas) != n:
+                raise ValueError("metadatas and matrix length mismatch")
+            eff_ids = ids if ids is not None else range(n)
+            store._metadata = {
+                str(v): (m or {}) for v, m in zip(eff_ids, metadatas)
+            }
         if ids is None:
             store._contig = n
         else:

@@ -65,6 +65,31 @@ def _kpp_init(x: jax.Array, key: jax.Array, k: int) -> jax.Array:
     return cents
 
 
+def _reseed_candidates(x: jax.Array, d_to_own: jax.Array, k: int) -> jax.Array:
+    """One farthest-ish point per contiguous N/k block (argmax per block) —
+    a single cheap pass instead of an exact top_k sort over N, which
+    dominated Lloyd iteration time at 200k points.  Only empty clusters
+    consume these, so candidate quality barely matters."""
+    n = x.shape[0]
+    nb = -(-n // k)
+    d = jnp.pad(d_to_own, (0, nb * k - n), constant_values=-1.0).reshape(k, nb)
+    idx = jnp.argmax(d, axis=1) + jnp.arange(k) * nb
+    return x[jnp.minimum(idx, n - 1)]
+
+
+def _lloyd(x: jax.Array, cents0: jax.Array, k: int, iters: int) -> jax.Array:
+    def body(_, cents):
+        assign = _assign(x, cents)
+        new_cents, counts = _update(x, assign, k)
+        # Re-seed empty clusters with points far from their centroid.
+        d_to_own = jnp.sum((x - new_cents[assign]) ** 2, axis=-1)  # [N]
+        empty = counts < 0.5
+        return jnp.where(empty[:, None],
+                         _reseed_candidates(x, d_to_own, k), new_cents)
+
+    return lax.fori_loop(0, iters, body, cents0)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "iters", "init"))
 def kmeans_fit(
     x: jax.Array,          # [N, D] float32 training points
@@ -82,17 +107,7 @@ def kmeans_fit(
     else:
         init_idx = jax.random.choice(key, n, shape=(k,), replace=n < k)
         cents0 = x[init_idx]
-
-    def body(_, cents):
-        assign = _assign(x, cents)
-        new_cents, counts = _update(x, assign, k)
-        # Re-seed empty clusters with the points farthest from their centroid.
-        d_to_own = jnp.sum((x - new_cents[assign]) ** 2, axis=-1)  # [N]
-        _, worst = lax.top_k(d_to_own, k)  # [k] farthest points
-        empty = counts < 0.5
-        return jnp.where(empty[:, None], x[worst], new_cents)
-
-    cents = lax.fori_loop(0, iters, body, cents0)
+    cents = _lloyd(x, cents0, k, iters)
     return cents, _assign(x, cents)
 
 
@@ -119,3 +134,26 @@ def kmeans_fit_subspaces(
         return cents
 
     return jax.vmap(fit_one)(xs, seeds)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters", "m"))
+def kmeans_refine_subspaces(
+    x: jax.Array,              # [N, D] float32; D divisible by m
+    init_codebooks: jax.Array,  # [m, k, D//m] warm-start centroids
+    *,
+    m: int,
+    k: int,
+    iters: int = 5,
+) -> jax.Array:
+    """Refine existing PQ codebooks with a few Lloyd iterations — the OPQ
+    alternation's inner retrain: after the first round the rotation changes
+    only slightly per iteration, so warm-started refinement converges in a
+    fraction of a from-scratch fit's iterations."""
+    n, d = x.shape
+    dsub = d // m
+    xs = x.reshape(n, m, dsub).transpose(1, 0, 2)  # [m, N, dsub]
+
+    def refine_one(xsub, c0):
+        return _lloyd(xsub, c0, k, iters)
+
+    return jax.vmap(refine_one)(xs, init_codebooks)

@@ -42,7 +42,13 @@ class OPQCodebook:
         opq_iters: int = 5,
         seed: int = 0,
         max_train: int = 100_000,
+        refine_iters: int = 4,
     ) -> "OPQCodebook":
+        """Alternating OPQ fit.  Only the FIRST round trains codebooks from
+        scratch (``iters`` Lloyd steps); later rounds warm-start from the
+        previous round's codebooks and refine for ``refine_iters`` steps —
+        the rotation moves little per round, so from-scratch retraining was
+        pure waste (it was ~4x the total build time)."""
         x = jnp.asarray(data, jnp.float32)
         if x.shape[0] > max_train:
             idx = np.random.default_rng(seed).choice(
@@ -54,8 +60,13 @@ class OPQCodebook:
         pq: Optional[PQCodebook] = None
         for it in range(opq_iters):
             y = jnp.dot(x, r, preferred_element_type=jnp.float32)
-            pq = PQCodebook.fit(y, m=m, k=k, iters=iters, seed=seed + it,
-                                max_train=max_train)
+            if pq is None:
+                pq = PQCodebook.fit(y, m=m, k=k, iters=iters, seed=seed + it,
+                                    max_train=max_train)
+            else:
+                pq = PQCodebook.fit(y, m=m, k=k, iters=refine_iters,
+                                    max_train=max_train,
+                                    init_codebooks=pq.codebooks)
             y_hat = pq.decode(pq.encode(y))
             # orthogonal Procrustes: R = U V^T of X^T Y_hat
             u, _, vt = jnp.linalg.svd(
@@ -63,10 +74,11 @@ class OPQCodebook:
                 full_matrices=False,
             )
             r = jnp.dot(u, vt, preferred_element_type=jnp.float32)
-        # final codebooks for the final rotation
+        # final codebook refinement for the final rotation
         y = jnp.dot(x, r, preferred_element_type=jnp.float32)
-        pq = PQCodebook.fit(y, m=m, k=k, iters=iters, seed=seed,
-                            max_train=max_train)
+        pq = PQCodebook.fit(y, m=m, k=k, iters=refine_iters,
+                            max_train=max_train,
+                            init_codebooks=pq.codebooks if pq else None)
         return cls(r, pq)
 
     # ----------------------------------------------------------- delegation

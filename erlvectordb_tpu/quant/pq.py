@@ -17,11 +17,15 @@ src/vector_compression.erl:256-290, :342-352).  This is the real thing:
 from __future__ import annotations
 
 import functools
+from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from erlvectordb_tpu.ops.kmeans import kmeans_fit_subspaces
+from erlvectordb_tpu.ops.kmeans import (
+    kmeans_fit_subspaces,
+    kmeans_refine_subspaces,
+)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -90,7 +94,11 @@ class PQCodebook:
         iters: int = 25,
         seed: int = 0,
         max_train: int = 100_000,
+        init_codebooks: Optional[jax.Array] = None,
     ) -> "PQCodebook":
+        """Train codebooks; with ``init_codebooks`` the fit is a warm-started
+        refinement (``iters`` Lloyd steps from the given centroids) — the OPQ
+        alternation's inner retrain."""
         x = jnp.asarray(data, jnp.float32)
         if x.shape[1] % m:
             raise ValueError(f"dimension {x.shape[1]} not divisible by m={m}")
@@ -99,7 +107,12 @@ class PQCodebook:
         if x.shape[0] > max_train:
             idx = np.random.default_rng(seed).choice(x.shape[0], max_train, replace=False)
             x = x[jnp.asarray(idx)]
-        cb = kmeans_fit_subspaces(x, jnp.uint32(seed), m=m, k=k, iters=iters)
+        if init_codebooks is not None:
+            cb = kmeans_refine_subspaces(x, init_codebooks, m=m, k=k,
+                                         iters=iters)
+        else:
+            cb = kmeans_fit_subspaces(x, jnp.uint32(seed), m=m, k=k,
+                                      iters=iters)
         return cls(cb)
 
     @property

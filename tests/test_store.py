@@ -357,3 +357,86 @@ class TestWarmup:
         # empty store: nothing to warm
         empty = VectorStore("w2", dim=4)
         assert empty.warmup() == 0
+
+
+class TestColumnarFiltering:
+    """Round-2 device-side metadata filtering: columnar tag tables replace
+    the per-row metadata walk (VERDICT #5)."""
+
+    def _mk(self, rng, n=512, d=16):
+        from erlvectordb_tpu.core.store import VectorStore
+
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        ids = [f"v{i}" for i in range(n)]
+        metas = [{"cat": i % 4, "hot": i % 100 == 0} for i in range(n)]
+        store = VectorStore.from_matrix("filt", data, ids=ids, metadatas=metas)
+        return store, data
+
+    def test_columnar_matches_slow_path(self, rng):
+        store, data = self._mk(rng)
+        where = {"cat": 2}
+        fast = store.filter_mask(where)
+        # force the slow path by making one value unhashable-adjacent: the
+        # slow path is exercised with an unhashable predicate value type
+        slow = np.zeros(store.capacity, bool)
+        for vid, meta in store._metadata.items():
+            if all(meta.get(k) == v for k, v in where.items()):
+                slow[store._id_to_row[vid]] = True
+        np.testing.assert_array_equal(fast, slow)
+
+    def test_filtered_search_results(self, rng):
+        store, data = self._mk(rng)
+        hits = store.search_batch(data[:8], k=4, where={"cat": 1})
+        for row in hits:
+            assert row, "selective filter should still return hits"
+            for vid, meta, _ in row:
+                assert meta["cat"] == 1
+
+    def test_overwrite_updates_tags(self, rng):
+        store, data = self._mk(rng)
+        store.filter_mask({"cat": 3})  # build the column
+        store.insert("v7", data[7], {"cat": 999})  # overwrite: cat 3 -> 999
+        m999 = store.filter_mask({"cat": 999})
+        m3 = store.filter_mask({"cat": 3})
+        row7 = store._id_to_row["v7"]
+        assert m999[row7] and not m3[row7]
+        # overwrite that REMOVES the key clears the tag
+        store.insert("v7", data[7], {"other": 1})
+        assert not store.filter_mask({"cat": 999})[row7]
+
+    def test_delete_clears_tags(self, rng):
+        store, data = self._mk(rng)
+        store.filter_mask({"cat": 0})
+        row = store._id_to_row["v4"]
+        store.delete("v4")
+        assert not store.filter_mask({"cat": 0})[row]
+
+    def test_growth_preserves_tags(self, rng):
+        store, data = self._mk(rng, n=100)
+        store.filter_mask({"cat": 1})
+        more = rng.standard_normal((2000, 16)).astype(np.float32)
+        store.insert_batch([f"n{i}" for i in range(2000)], more,
+                           [{"cat": 1}] * 2000)
+        m = store.filter_mask({"cat": 1})
+        assert m.sum() == 25 + 2000  # 100/4 original + 2000 new
+
+    def test_unhashable_value_falls_back(self, rng):
+        store, data = self._mk(rng)
+        store.insert("weird", data[0], {"cat": [1, 2]})
+        # unhashable predicate -> slow path, still correct
+        m = store.filter_mask({"cat": [1, 2]})
+        assert m[store._id_to_row["weird"]]
+        assert m.sum() == 1
+
+    def test_device_mask_cache_invalidation(self, rng):
+        store, data = self._mk(rng)
+        hits1 = store.search(data[8], k=1, where={"cat": 0})
+        assert hits1[0][0] == "v8"
+        store.delete("v8")
+        hits2 = store.search(data[8], k=1, where={"cat": 0})
+        assert hits2[0][0] != "v8"  # version bump invalidated the mask
+
+    def test_value_never_seen(self, rng):
+        store, data = self._mk(rng)
+        assert store.filter_mask({"cat": 12345}).sum() == 0
+        assert store.search(data[0], k=3, where={"cat": 12345}) == []
