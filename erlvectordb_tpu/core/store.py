@@ -258,10 +258,17 @@ class VectorStore:
         self._contig = 0
 
         # Change tracking for persistence (dirty-flag, like the reference's
-        # ETS dirty bit, src/vector_persistence.erl:131-135).
+        # ETS dirty bit, src/vector_persistence.erl:131-135), plus the rows
+        # touched since the last snapshot so the sync loop can write O(delta)
+        # incremental snapshots instead of the reference's O(N)-every-30s
+        # full DETS rewrite (src/vector_persistence.erl:255-273).
         self.version = 0
         self.dirty = False
         self.created_at = time.time()
+        self._touched_rows: set = set()
+        # False until a full snapshot anchors the delta chain (bulk builds,
+        # capacity growth, and restores all force the next sync to be full).
+        self._touched_reliable = False
 
     # ---------------------------------------------------------------- props
 
@@ -367,6 +374,8 @@ class VectorStore:
             newcol[: self._capacity] = col
             self._tag_cols[k] = newcol
         self._capacity = new_cap
+        # array shapes changed: the delta chain no longer applies cleanly
+        self._touched_reliable = False
 
     def _alloc_rows(self, n: int) -> List[int]:
         rows: List[int] = []
@@ -497,6 +506,8 @@ class VectorStore:
                     self._metadata[vid] = metadatas[i] if metadatas[i] is not None else {}
             self._ids_np[rows] = sids
             self._update_tags(rows, metadatas)
+            self._touched_rows.update(
+                rows.tolist() if hasattr(rows, "tolist") else rows)
             self.version += 1
             self.dirty = True
 
@@ -530,6 +541,7 @@ class VectorStore:
                 self._ids_np[row] = None
             for col in self._tag_cols.values():
                 col[rows] = 0
+            self._touched_rows.update(rows)
             self.version += 1
             self.dirty = True
             return len(rows)

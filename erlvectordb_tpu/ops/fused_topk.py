@@ -112,19 +112,25 @@ def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False):
                     + rowbias_ref[:, sl])
 
             lane = lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-            big = jnp.int32(TILE_N)
 
-            # iterative top-T extraction: max, locate, mask, repeat (VPU
-            # lane reductions; T is static so this unrolls)
+            # Packed top-T extraction: encode (value, lane) into ONE int32 —
+            # monotone float->int key with the low 12 mantissa bits replaced
+            # by the lane — so each extraction is a single integer max
+            # instead of max + locate-min + mask (3 full passes -> 2).
+            # Value precision drops to an 11-bit mantissa (~2.4e-4 relative),
+            # far below the int8 quantization error of the scores themselves.
+            imin = jnp.int32(-2147483648)
+            si = lax.bitcast_convert_type(sims, jnp.int32)
+            key = jnp.where(si >= 0, si, imin - si)  # float order -> int order
+            packed = (key & jnp.int32(~0xFFF)) | lane  # TILE_N = 4096 lanes
             vals, idxs = [], []
-            cur = sims
             for _ in range(t_per_tile):
-                m = jnp.max(cur, axis=1, keepdims=True)    # [B_T, 1]
-                i = jnp.min(jnp.where(cur == m, lane, big), axis=1,
-                            keepdims=True)
-                vals.append(m)
-                idxs.append(i)
-                cur = jnp.where(lane == i, _NEG, cur)
+                m = jnp.max(packed, axis=1, keepdims=True)   # [B_T, 1]
+                kt = m & jnp.int32(~0xFFF)
+                sr = jnp.where(kt >= 0, kt, imin - kt)
+                vals.append(lax.bitcast_convert_type(sr, jnp.float32))
+                idxs.append(m & jnp.int32(0xFFF))
+                packed = jnp.where(packed == m, imin, packed)
 
             base = (j * sub + t) * TILE_N
             osl = slice(t * t_per_tile, (t + 1) * t_per_tile)
@@ -286,10 +292,31 @@ def fused_topk(
     kk = min(k, vals.shape[1])
     top_vals, sel = lax.top_k(vals, kk)                    # [B+pad, kk]
     top_rows = jnp.take_along_axis(rows, sel, axis=1)
+    # Exact rescore of the k winners: the packed in-kernel extraction keeps
+    # only an 11-bit value mantissa (selection-grade).  One tiny gather +
+    # batched dot recomputes their exact affine scores, so reported
+    # distances match the unfused XLA path bit-for-bit-ish.
+    cand = codes[top_rows]                                 # [B+pad, kk, W|W/2]
+    if codes.dtype == jnp.uint8:  # packed int4: unpack the kk winners only
+        hi = (cand >> 4).astype(jnp.int8)
+        lo = (cand & 0xF).astype(jnp.int8)
+        hi = jnp.where(hi > 7, hi - 16, hi)
+        lo = jnp.where(lo > 7, lo - 16, lo)
+        cand = jnp.stack([hi, lo], axis=-1).reshape(
+            cand.shape[0], cand.shape[1], -1)
+    dots = jnp.einsum(
+        "bkw,bw->bk", cand, q_in,
+        preferred_element_type=jnp.int32 if q_in.dtype == jnp.int8
+        else jnp.float32,
+    ).astype(jnp.float32)
+    exact_vals = dots * qmult * rowmult[top_rows] + rowbias[top_rows]
+    # re-sort by the exact scores (truncation could invert near-ties)
+    exact_sorted, sel2 = lax.top_k(exact_vals, kk)
+    top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
     qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
-    dists = post(top_vals, qsq)
+    dists = post(exact_sorted, qsq)
     # candidates that were only padding/invalid come back as -1e30 scores
-    dists = jnp.where(top_vals <= _NEG / 2, jnp.inf, dists)
+    dists = jnp.where(exact_sorted <= _NEG / 2, jnp.inf, dists)
     if pad_b:
         dists, top_rows = dists[:b], top_rows[:b]
     return dists, top_rows

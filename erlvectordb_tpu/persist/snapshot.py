@@ -51,6 +51,12 @@ def save_store(store: VectorStore, root: str | os.PathLike, compression: Optiona
     root = Path(root)
     sdir = _store_dir(root, store.name)
     sdir.mkdir(parents=True, exist_ok=True)
+    # clear BEFORE export: a row touched after this clear is re-recorded by
+    # its own mutation (which the export's read lock excludes until done),
+    # so at worst a row lands in both the base and the next delta — never
+    # in neither
+    if hasattr(store, "_touched_rows"):
+        store._touched_rows.clear()
     state = store.export_state()
 
     arrays = {k: state.pop(k) for k in _ARRAY_KEYS if k in state}
@@ -71,12 +77,111 @@ def save_store(store: VectorStore, root: str | os.PathLike, compression: Optiona
     tmp_meta.write_text(json.dumps(meta))
     os.replace(tmp_npz, sdir / "state.npz")
     os.replace(tmp_meta, sdir / "meta.json")
+    # a fresh base supersedes (and timestamps-out) any old deltas
+    clear_deltas(sdir)
+    if hasattr(store, "_touched_rows"):
+        store._touched_reliable = True
     return str(sdir)
 
 
+def save_delta(store: VectorStore, root: str | os.PathLike, seq: int) -> int:
+    """Write an incremental snapshot covering only the rows touched since
+    the last sync — O(delta) device gather + disk write instead of the
+    reference's O(N) full rewrite every 30 s
+    (src/vector_persistence.erl:255-273).  Returns the number of rows
+    written.  Caller guarantees a matching base snapshot exists."""
+    sdir = _store_dir(Path(root), store.name)
+    base_meta = json.loads((sdir / "meta.json").read_text())
+    with store._lock.read():
+        rows = np.fromiter(sorted(store._touched_rows), np.int64,
+                           len(store._touched_rows))
+        rows_j = rows.astype(np.int32)
+        arrays = {
+            "rows": rows,
+            "vectors": np.asarray(store._vectors[rows_j]),
+            "norms": np.asarray(store._norms[rows_j]),
+            "valid": np.asarray(store._valid[rows_j]),
+        }
+        if store._scales is not None:
+            arrays["scales"] = np.asarray(store._scales[rows_j])
+        ids = store._ids_view()[rows]
+        meta = {
+            "version": store.version,
+            "base_saved_at": base_meta["saved_at"],
+            "next_row": store._next_row,
+            "free_rows": list(store._free_rows),
+            "ids": [None if v is None else str(v) for v in ids.tolist()],
+            "metadata": {
+                str(v): store._metadata.get(str(v), {})
+                for v in ids.tolist() if v is not None
+            },
+        }
+        store._touched_rows.clear()
+    buf = io.BytesIO()
+    np.savez(buf, **arrays)
+    tmp_npz = sdir / f".delta_{seq:06d}.npz.tmp"
+    tmp_meta = sdir / f".delta_{seq:06d}.json.tmp"
+    tmp_npz.write_bytes(buf.getvalue())
+    tmp_meta.write_text(json.dumps(meta))
+    # json first: a crash between the renames leaves an npz-less delta that
+    # the loader skips, never a half-described one
+    os.replace(tmp_meta, sdir / f"delta_{seq:06d}.json")
+    os.replace(tmp_npz, sdir / f"delta_{seq:06d}.npz")
+    return int(rows.size)
+
+
+def _delta_files(sdir: Path):
+    return sorted(p for p in sdir.glob("delta_*.json"))
+
+
+def clear_deltas(sdir: Path) -> None:
+    for p in list(sdir.glob("delta_*.json")) + list(sdir.glob("delta_*.npz")):
+        try:
+            p.unlink()
+        except OSError:
+            pass
+
+
+def _apply_deltas(state: dict, sdir: Path) -> None:
+    """Fold delta files into a loaded base state (arrays + id/metadata)."""
+    base_saved_at = state.get("saved_at")
+    row_to_id = {int(r): i for i, r in state.get("id_to_row", {}).items()}
+    for jpath in _delta_files(sdir):
+        npz_path = jpath.with_suffix(".npz")
+        if not npz_path.exists():
+            continue  # torn write: json landed, npz didn't
+        dmeta = json.loads(jpath.read_text())
+        if dmeta.get("base_saved_at") != base_saved_at:
+            continue  # stale delta from a previous base
+        with np.load(npz_path) as z:
+            rows = z["rows"]
+            for key in ("vectors", "norms", "valid", "scales"):
+                if key in z.files and key in state:
+                    state[key][rows] = z[key]
+        ids = dmeta["ids"]
+        id_to_row = state.setdefault("id_to_row", {})
+        metadata = state.setdefault("metadata", {})
+        for r, vid in zip(rows.tolist(), ids):
+            old = row_to_id.get(r)
+            if old is not None and old != vid:
+                id_to_row.pop(old, None)
+                metadata.pop(old, None)
+            if vid is None:
+                row_to_id.pop(r, None)
+            else:
+                id_to_row[vid] = r
+                row_to_id[r] = vid
+                metadata[vid] = dmeta["metadata"].get(vid, {})
+        state["next_row"] = dmeta["next_row"]
+        state["free_rows"] = dmeta["free_rows"]
+        state["version"] = dmeta["version"]
+        state["contig"] = 0  # deltas imply targeted mutations happened
+
+
 def load_store(name: str, root: str | os.PathLike, mesh=None):
-    """Re-hydrate a store from its snapshot; None if no snapshot exists.
-    Sharded snapshots re-hydrate onto ``mesh`` (default: all devices)."""
+    """Re-hydrate a store from its snapshot (base + any incremental deltas);
+    None if no snapshot exists.  Sharded snapshots re-hydrate onto ``mesh``
+    (default: all devices)."""
     sdir = _store_dir(Path(root), name)
     meta_path = sdir / "meta.json"
     npz_path = sdir / "state.npz"
@@ -92,6 +197,7 @@ def load_store(name: str, root: str | os.PathLike, mesh=None):
         from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
 
         return ShardedVectorStore.from_state(state, mesh or make_mesh())
+    _apply_deltas(state, sdir)
     return VectorStore.from_state(state)
 
 
@@ -152,9 +258,13 @@ class PersistenceManager:
         self.compression = compression
         self._tracked: Dict[str, VectorStore] = {}
         self._synced_version: Dict[str, int] = {}
+        self._delta_seq: Dict[str, int] = {}   # deltas written since base
         self._lock = threading.RLock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+
+    MAX_DELTAS = 64           # compaction: full snapshot after this many
+    MAX_DELTA_FRACTION = 0.25  # delta only while touched <= 25% of rows
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -198,19 +308,47 @@ class PersistenceManager:
             self.track(store)
             with self._lock:
                 self._synced_version[name] = store.version
+                # continue the existing delta chain where it left off
+                sdir = _store_dir(self.root, name)
+                self._delta_seq[name] = len(_delta_files(sdir))
+            if isinstance(store, VectorStore):
+                store._touched_reliable = True
         return store
 
     # -- syncing -----------------------------------------------------------
+
+    def _sync_store(self, store) -> None:
+        """Incremental when possible: a store with an anchored delta chain
+        and a small touched set gets an O(delta) delta file; otherwise a
+        full base snapshot (which also compacts the chain)."""
+        name = store.name
+        touched = len(getattr(store, "_touched_rows", ()))
+        seq = self._delta_seq.get(name, 0)
+        use_delta = (
+            getattr(store, "_touched_reliable", False)
+            and not getattr(store, "_contig", 0)
+            and 0 < touched <= max(1, int(self.MAX_DELTA_FRACTION * max(store.count, 1)))
+            and seq < self.MAX_DELTAS
+            and isinstance(store, VectorStore)
+        )
+        if use_delta:
+            save_delta(store, self.root, seq)
+            with self._lock:
+                self._delta_seq[name] = seq + 1
+        else:
+            save_store(store, self.root, compression=self.compression)
+            with self._lock:
+                self._delta_seq[name] = 0
+        with self._lock:
+            self._synced_version[name] = store.version
+        store.dirty = False
 
     def sync(self, name: str) -> bool:
         with self._lock:
             store = self._tracked.get(name)
         if store is None:
             return False
-        save_store(store, self.root, compression=self.compression)
-        with self._lock:
-            self._synced_version[name] = store.version
-        store.dirty = False
+        self._sync_store(store)
         return True
 
     def sync_all(self) -> int:
@@ -221,9 +359,6 @@ class PersistenceManager:
             ]
         n = 0
         for store in pending:
-            save_store(store, self.root, compression=self.compression)
-            with self._lock:
-                self._synced_version[store.name] = store.version
-            store.dirty = False
+            self._sync_store(store)
             n += 1
         return n

@@ -175,3 +175,119 @@ class TestJsonExportImport:
         imported = import_store(path, new_name="q", dtype="int8")
         assert imported.dtype == "int8"
         assert imported.search(data[3], k=1)[0][0] == "v3"
+
+
+class TestIncrementalSnapshots:
+    """Round-2 dirty-range deltas: sync cost proportional to the delta, not
+    the store (the reference rewrote the whole DETS table every 30 s —
+    src/vector_persistence.erl:255-273)."""
+
+    def _mk_manager(self, tmp_path, rng, n=3000, d=24):
+        from erlvectordb_tpu.core.store import VectorStore
+        from erlvectordb_tpu.persist.snapshot import PersistenceManager
+
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore("inc", dim=d)
+        store.insert_batch([f"v{i}" for i in range(n)], data,
+                           [{"i": i} for i in range(n)])
+        pm = PersistenceManager(tmp_path, sync_interval=9999)
+        pm.track(store)
+        return pm, store, data
+
+    def test_delta_written_and_small(self, tmp_path, rng):
+        pm, store, data = self._mk_manager(tmp_path, rng)
+        pm.sync("inc")  # full base
+        sdir = tmp_path / "inc"
+        base_size = (sdir / "state.npz").stat().st_size
+        base_mtime = (sdir / "state.npz").stat().st_mtime_ns
+        store.insert("extra", data[0] * 0.5, {"fresh": True})
+        pm.sync("inc")
+        deltas = list(sdir.glob("delta_*.npz"))
+        assert len(deltas) == 1
+        assert deltas[0].stat().st_size < base_size / 20  # O(delta), not O(N)
+        assert (sdir / "state.npz").stat().st_mtime_ns == base_mtime
+
+    def test_reload_applies_deltas(self, tmp_path, rng):
+        from erlvectordb_tpu.persist.snapshot import load_store
+
+        pm, store, data = self._mk_manager(tmp_path, rng)
+        pm.sync("inc")
+        store.insert("extra", data[7] * 2.0, {"fresh": True})
+        store.insert("v5", data[11], {"i": "overwritten"})  # overwrite
+        store.delete("v9")
+        pm.sync("inc")
+        loaded = load_store("inc", tmp_path)
+        assert loaded.count == store.count
+        assert "v9" not in loaded
+        vec, meta = loaded.get("extra")
+        np.testing.assert_allclose(vec, data[7] * 2.0, atol=1e-6)
+        assert meta == {"fresh": True}
+        assert loaded.get("v5")[1] == {"i": "overwritten"}
+        # search agrees between live and reloaded store (euclidean: cosine
+        # would tie "extra" = 2*data[7] with "v7" = data[7])
+        got = loaded.search(data[7] * 2.0, k=1, metric="euclidean")
+        assert got[0][0] == "extra"
+
+    def test_chain_of_deltas(self, tmp_path, rng):
+        from erlvectordb_tpu.persist.snapshot import load_store
+
+        pm, store, data = self._mk_manager(tmp_path, rng)
+        pm.sync("inc")
+        for j in range(5):
+            store.insert(f"d{j}", data[j] + j, {"j": j})
+            pm.sync("inc")
+        sdir = tmp_path / "inc"
+        assert len(list(sdir.glob("delta_*.npz"))) == 5
+        loaded = load_store("inc", tmp_path)
+        for j in range(5):
+            np.testing.assert_allclose(loaded.get(f"d{j}")[0], data[j] + j,
+                                       atol=1e-6)
+
+    def test_compaction_after_max_deltas(self, tmp_path, rng):
+        from erlvectordb_tpu.persist.snapshot import PersistenceManager
+
+        pm, store, data = self._mk_manager(tmp_path, rng)
+        pm.MAX_DELTAS = 3
+        pm.sync("inc")
+        sdir = tmp_path / "inc"
+        for j in range(5):
+            store.insert(f"c{j}", data[j], {})
+            pm.sync("inc")
+        # 3 deltas then a compacting full snapshot cleared them
+        assert len(list(sdir.glob("delta_*.npz"))) <= 3
+
+    def test_stale_deltas_ignored_after_new_base(self, tmp_path, rng):
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        pm, store, data = self._mk_manager(tmp_path, rng)
+        pm.sync("inc")
+        store.insert("x1", data[3], {})
+        pm.sync("inc")  # delta 0
+        sdir = tmp_path / "inc"
+        # keep a stale copy of the delta around, then write a new base
+        stale_j = (sdir / "delta_000000.json").read_text()
+        stale_n = (sdir / "delta_000000.npz").read_bytes()
+        store.delete("x1")
+        save_store(store, tmp_path)  # new base (clears deltas)
+        (sdir / "delta_000000.json").write_text(stale_j)
+        (sdir / "delta_000000.npz").write_bytes(stale_n)
+        loaded = load_store("inc", tmp_path)
+        assert "x1" not in loaded  # stale delta must not resurrect it
+
+    def test_reopened_store_continues_chain(self, tmp_path, rng):
+        from erlvectordb_tpu.persist.snapshot import PersistenceManager
+
+        pm, store, data = self._mk_manager(tmp_path, rng)
+        pm.sync("inc")
+        store.insert("a", data[0], {})
+        pm.sync("inc")
+        pm2 = PersistenceManager(tmp_path, sync_interval=9999)
+        reloaded = pm2.open_store("inc")
+        assert "a" in reloaded
+        reloaded.insert("b", data[1], {})
+        pm2.sync("inc")
+        sdir = tmp_path / "inc"
+        assert len(list(sdir.glob("delta_*.npz"))) == 2  # chain continued
+        from erlvectordb_tpu.persist.snapshot import load_store
+        final = load_store("inc", tmp_path)
+        assert "a" in final and "b" in final
