@@ -705,9 +705,103 @@ def bench_config7(quick: bool) -> dict:
     }
 
 
+def bench_config8(quick: bool) -> dict:
+    """int4r (cell-residual 4-bit) on the config-3 corpus (VERDICT r1 #8):
+    recall@10 target >= 0.90 at int4 code footprint (round-1 whole-vector
+    int4 measured 0.59), plus QPS through the residual fused kernel."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from erlvectordb_tpu.core.store import VectorStore
+
+    n = 120_000 if quick else 1_200_000
+    d, k, batch, nq = 100, 10, 1024, 256
+    log(f"[config8] generating corpus n={n} x {d} ...")
+    data = make_corpus(jax.random.PRNGKey(0), n, d)
+    norms = jnp.linalg.norm(data, axis=1)
+    queries = make_corpus(jax.random.PRNGKey(1), max(nq, batch), d)
+
+    data_np = np.asarray(data)
+    t0 = time.perf_counter()
+    store = VectorStore.from_matrix("r4", data_np, dtype="int4r")
+    jax.block_until_ready(store._valid)
+    build_s = time.perf_counter() - t0
+    log(f"[config8] int4r build (k-means + balanced cells + encode): "
+        f"{build_s:.1f}s -> {n/build_s/1e6:.2f} M vec/s")
+    i8 = VectorStore.from_matrix("i8ref", data_np, dtype="int8")
+    p4 = VectorStore.from_matrix("p4ref", data_np, dtype="int4")
+
+    log("[config8] computing exact ground truth ...")
+    gt = exact_ground_truth(data, norms, queries[:nq], k)
+
+    def recall_of(st):
+        # compare by id (int4r permutes device rows into cell-major order)
+        t = st.search_batch_submit(np.asarray(queries[:nq]), k=k)
+        _d, _rows, ids = st.search_batch_complete_raw(t)
+        got = np.array([[int(v) if v is not None else -1 for v in row]
+                        for row in ids.tolist()])
+        return float(np.mean(
+            [len(set(gt[i]) & set(got[i])) / k for i in range(nq)]))
+
+    r_resid = recall_of(store)
+    r_i8 = recall_of(i8)
+    r_p4 = recall_of(p4)
+    log(f"[config8] recall@10: int4r={r_resid:.4f}  int8={r_i8:.4f}  "
+        f"plain-int4={r_p4:.4f}")
+
+    # QPS through the residual fused kernel, T batches inside ONE executable
+    # (amortizes this rig's ~50 ms serialized readback, like config 3)
+    from jax import lax
+
+    from erlvectordb_tpu.ops import fused_topk as ft
+
+    T = 4 if quick else 8
+    width = store._vectors.shape[1] * 2
+    nt = ft.n_tiles_for(store.capacity, store.capacity)
+    qpad = np.zeros((T, batch, width), np.float32)
+    qpad[:, :, :d] = np.asarray(queries[:batch])[None]
+    qstack = jax.device_put(qpad)
+    kb = 16
+
+    @jax.jit
+    def many(codes, scales, norms, valid, cents, qstack):
+        return lax.map(
+            lambda q: ft.fused_topk_residual(
+                codes, scales, norms, valid, cents, q,
+                metric="cosine", k=kb, n_tiles=nt,
+                cell_cap=store._cell_cap), qstack)
+
+    def run():
+        dv, _ = many(store._vectors, store._scales, store._norms,
+                     store._valid, store._centroids, qstack)
+        float(dv[0, 0, 0])
+    sec = _timeit(run, iters=3, warmup=1) / T
+    qps = batch / sec
+    log(f"[config8] {sec*1e3:.2f} ms / {batch} queries -> {qps:,.0f} QPS")
+
+    mem = store.device_memory_bytes()
+    mem_i8 = i8.device_memory_bytes()
+    return {
+        "metric": "int4r recall@10 at int4 footprint (config-3 corpus)",
+        "value": round(r_resid, 4),
+        "unit": "recall",
+        "vs_baseline": round(r_resid / 0.90, 3),
+        "recall_target": 0.90,
+        "recall_int8": round(r_i8, 4),
+        "recall_plain_int4": round(r_p4, 4),
+        "qps": round(qps, 1),
+        "build_vectors_per_sec": round(n / build_s, 1),
+        "memory_vs_int8": round(mem / mem_i8, 3),
+        "n": n,
+    }
+
+
 CONFIGS = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            4: bench_config4, 5: bench_config5, 6: bench_config6,
-           7: bench_config7}
+           7: bench_config7, 8: bench_config8}
 
 
 def main():

@@ -37,7 +37,7 @@ import numpy as np
 
 from erlvectordb_tpu.core.store import VectorStore
 
-INDEX_TYPES = ("flat", "int8", "pq", "opq", "ivf")
+INDEX_TYPES = ("flat", "int8", "pq", "opq", "ivf", "ep_ivf")
 
 
 class IndexError_(ValueError):
@@ -160,6 +160,8 @@ class IndexManager:
                                              rotated=info.type == "opq")
         elif info.type == "ivf":
             artifact, stats = self._build_ivf(store, info.parameters)
+        elif info.type == "ep_ivf":
+            artifact, stats = self._build_ep_ivf(store, info.parameters)
         else:  # pragma: no cover
             raise IndexError_(f"unknown type {info.type}")
         dt = time.perf_counter() - t0
@@ -235,6 +237,29 @@ class IndexManager:
         artifact = {"ivf": idx, "nprobe": int(params.get("nprobe", 8))}
         return artifact, idx.stats()
 
+    def _build_ep_ivf(self, store: VectorStore, params: dict):
+        """Expert-parallel IVF: cells sharded across the data axis of the
+        (all-devices) mesh — the scale-out form of the ivf type."""
+        import jax
+
+        from erlvectordb_tpu.parallel.ep_ivf import EPIVFIndex
+        from erlvectordb_tpu.parallel.mesh import make_mesh
+
+        if store.count == 0:
+            raise IndexError_("store is empty")
+        allv = store.get_all_vectors()
+        mat = np.stack([v[1] for v in allv]).astype(np.float32)
+        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
+        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        mesh = make_mesh(n_data=len(jax.devices()), n_replica=1)
+        idx = EPIVFIndex.build(
+            mat, rows, norms, mesh,
+            n_cells=int(params.get("n_cells", 64)),
+            iters=int(params.get("iters", 15)),
+        )
+        artifact = {"ep_ivf": idx, "nprobe": int(params.get("nprobe", 8))}
+        return artifact, idx.stats()
+
     # --------------------------------------------------------------- search
 
     def is_stale(self, name: str) -> bool:
@@ -257,9 +282,9 @@ class IndexManager:
         if info.type == "flat" or (info.type == "int8" and info.artifact is None):
             return store.search(query, k=k)
         q = np.asarray(query, np.float32)
-        if info.type == "ivf":
+        if info.type in ("ivf", "ep_ivf"):
             a = info.artifact
-            dists, rows = a["ivf"].search(
+            dists, rows = a[info.type].search(
                 q, k=k, nprobe=a["nprobe"],
                 metric=store.metric if store.metric != "manhattan" else "euclidean",
             )
@@ -317,8 +342,8 @@ class IndexManager:
             arrays["codes"] = np.asarray(a["codes"])
             arrays["rows"] = np.asarray(a["rows"])
             meta["pad_dim"] = int(a["pad_dim"])
-        elif info.type == "ivf" and a is not None:
-            arrays = a["ivf"].to_arrays()
+        elif info.type in ("ivf", "ep_ivf") and a is not None:
+            arrays = a[info.type].to_arrays()
             meta["nprobe"] = int(a["nprobe"])
         idir = Path(root) / f"idx_{name}"
         idir.mkdir(parents=True, exist_ok=True)
@@ -380,6 +405,11 @@ class IndexManager:
                 from erlvectordb_tpu.core.ivf import IVFIndex
 
                 info.artifact = {"ivf": IVFIndex.from_arrays(arrays),
+                                 "nprobe": int(meta.get("nprobe", 8))}
+            elif info.type == "ep_ivf" and arrays:
+                from erlvectordb_tpu.parallel.ep_ivf import EPIVFIndex
+
+                info.artifact = {"ep_ivf": EPIVFIndex.from_arrays(arrays),
                                  "nprobe": int(meta.get("nprobe", 8))}
             with self._lock:
                 self._indexes.setdefault(meta["name"], info)

@@ -74,6 +74,8 @@ def _balanced_assign(data: np.ndarray, centroids: np.ndarray, cap: int,
     n = data.shape[0]
     c = centroids.shape[0]
     j = min(j, c)
+    # bound the [chunk, C] distance intermediate for large cell counts
+    chunk = min(chunk, max(4096, (1 << 27) // max(c, 1)))
     ch_d = np.empty((n, j), np.float32)
     ch_i = np.empty((n, j), np.int32)
     cj = jnp.asarray(centroids)

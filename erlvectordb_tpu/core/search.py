@@ -170,6 +170,60 @@ def exact_topk_int4(
     return -neg, rows
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "k", "cell_cap"))
+def exact_topk_int4r(
+    packed: jax.Array,     # [N_cap, W/2] packed signed nibbles (RESIDUALS)
+    scales: jax.Array,     # [N_cap] f32 residual scales
+    norms: jax.Array,      # [N_cap] f32 norms of the ORIGINAL rows
+    valid: jax.Array,      # [N_cap] bool
+    centroids: jax.Array,  # [K, W] f32 cell centroids
+    queries: jax.Array,    # [B, W] f32
+    *,
+    metric: Metric,
+    k: int,
+    cell_cap: int,         # rows per cell; N_cap == K * cell_cap
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k over a cell-residual int4 store (XLA path; the fused Pallas
+    version is ops/fused_topk.fused_topk_residual).  Row r's vector is
+    ``centroids[r // cell_cap] + unpack(packed[r]) * scales[r]``, so the raw
+    dot decomposes into the centroid table plus the quantized residual dot —
+    4-bit codes quantize only the (much smaller) residual."""
+    codes = unpack_int4(packed)
+    n = packed.shape[0]
+    q_absmax = jnp.max(jnp.abs(queries), axis=-1, keepdims=True)
+    q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)
+    q_codes = jnp.clip(jnp.round(queries / q_scale), -127, 127).astype(jnp.int8)
+    rdots = jnp.dot(q_codes, codes.T, preferred_element_type=jnp.int32
+                    ).astype(jnp.float32) * q_scale * scales[None, :]
+    table = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    cells = jnp.arange(n, dtype=jnp.int32) // cell_cap
+    dots = rdots + table[:, cells]
+
+    if metric == "dot":
+        dists = -dots
+    elif metric == "cosine":
+        qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1))
+        denom = qn[:, None] * norms[None, :]
+        sim = jnp.where(denom > 0, dots / jnp.where(denom > 0, denom, 1.0), 0.0)
+        dists = 1.0 - sim
+    elif metric == "euclidean":
+        qsq = jnp.sum(queries * queries, axis=-1)
+        d2 = qsq[:, None] - 2.0 * dots + (norms * norms)[None, :]
+        dists = jnp.sqrt(jnp.maximum(d2, 0.0))
+    elif metric == "manhattan":
+        deq = centroids[cells] + codes.astype(jnp.float32) * scales[:, None]
+
+        def per_query(q):
+            return jnp.sum(jnp.abs(deq - q[None, :]), axis=-1)
+
+        dists = lax.map(per_query, queries)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    dists = jnp.where(valid[None, :], dists, _INF)
+    neg, rows = lax.top_k(-dists, k)
+    return -neg, rows
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "k"))
 def exact_topk_int8(
     codes: jax.Array,    # [N_cap, D] int8 symmetric-quantized rows

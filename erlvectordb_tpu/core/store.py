@@ -111,6 +111,62 @@ def _scatter_insert_int4(packed, scales, norms, valid, rows, new_vecs):
     return packed, scales, norms, valid
 
 
+def _quantize_residual(res):
+    """4-bit residual quantization with per-row optimal clipping: try a few
+    clip fractions of absmax and keep the min-MSE one (clipping trades rare
+    saturation for finer steps everywhere — worth ~half a recall point)."""
+    absmax = jnp.max(jnp.abs(res), axis=-1)
+    best_q = best_s = best_e = None
+    for c in (0.7, 0.8, 0.9, 1.0):
+        s = jnp.where(absmax > 0, c * absmax / 7.0, 1.0)
+        q = jnp.clip(jnp.round(res / s[:, None]), -7, 7).astype(jnp.int8)
+        e = jnp.sum((q.astype(jnp.float32) * s[:, None] - res) ** 2, axis=-1)
+        if best_q is None:
+            best_q, best_s, best_e = q, s, e
+        else:
+            take = e < best_e
+            best_q = jnp.where(take[:, None], q, best_q)
+            best_s = jnp.where(take, s, best_s)
+            best_e = jnp.minimum(e, best_e)
+    return best_q, best_s
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_insert_int4r(packed, scales, norms, valid, rows, new_vecs,
+                          cents_rows):
+    """Residual insert: quantize (x - centroid) to packed int4.  Stored
+    norms are RECONSTRUCTION norms |c + q*s| — cosine/euclidean then rank by
+    the quantized vector's own geometry (consistent numerator/denominator
+    beats mixing the exact norm with a quantized dot)."""
+    res = new_vecs - cents_rows
+    q, scale = _quantize_residual(res)
+    recon = cents_rows + q.astype(jnp.float32) * scale[:, None]
+    packed = packed.at[rows].set(_pack_int4(q), mode="drop")
+    scales = scales.at[rows].set(scale, mode="drop")
+    norms = norms.at[rows].set(
+        jnp.sqrt(jnp.sum(recon * recon, axis=-1)), mode="drop")
+    valid = valid.at[rows].set(True, mode="drop")
+    return packed, scales, norms, valid
+
+
+@functools.partial(jax.jit, static_argnames=("n_rows",))
+def _bulk_build_int4r(xp, cents_rows, pos, n_rows):
+    """Bulk residual build: quantize all residuals and scatter into the
+    cell-major layout in one program.  xp [n, W] f32; cents_rows [n, W]
+    (each row's centroid, pre-gathered); pos [n] target rows.  Norms are
+    reconstruction norms (see _scatter_insert_int4r)."""
+    res = xp - cents_rows
+    q, scale = _quantize_residual(res)
+    recon = cents_rows + q.astype(jnp.float32) * scale[:, None]
+    packed = jnp.zeros((n_rows, xp.shape[1] // 2), jnp.uint8)
+    packed = packed.at[pos].set(_pack_int4(q))
+    scales = jnp.ones((n_rows,), jnp.float32).at[pos].set(scale)
+    norms = jnp.zeros((n_rows,), jnp.float32).at[pos].set(
+        jnp.sqrt(jnp.sum(recon * recon, axis=-1)))
+    valid = jnp.zeros((n_rows,), bool).at[pos].set(True)
+    return packed, scales, norms, valid
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_delete(valid, rows):
     return valid.at[rows].set(False, mode="drop")
@@ -208,9 +264,10 @@ class VectorStore:
     ):
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
-        if dtype not in ("float32", "int8", "int4"):
+        if dtype not in ("float32", "int8", "int4", "int4r"):
             raise ValueError(
-                f"dtype must be 'float32', 'int8' or 'int4', got {dtype!r}"
+                "dtype must be 'float32', 'int8', 'int4' or 'int4r', "
+                f"got {dtype!r}"
             )
         self.name = name
         self.metric = metric
@@ -225,6 +282,16 @@ class VectorStore:
         self._scales: Optional[jax.Array] = None    # int8 stores only
         self._norms: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
+
+        # int4r (cell-residual) state: rows live at cell*cell_cap + slot,
+        # codes are 4-bit RESIDUALS against the row's cell centroid — the
+        # quantizer sees a 3-4x smaller dynamic range than whole-vector int4,
+        # which is what makes 4-bit rows search-grade (recall ~0.9 vs ~0.6).
+        self._centroids: Optional[jax.Array] = None  # [K, W] f32
+        self._cell_cap = 0
+        self._cell_next: Optional[np.ndarray] = None   # per-cell slot HWM
+        self._cell_avail: Optional[np.ndarray] = None  # free slots per cell
+        self._cell_free: Dict[int, List[int]] = {}     # freed rows per cell
 
         # Host state.
         self._id_to_row: Dict[str, int] = {}
@@ -339,9 +406,24 @@ class VectorStore:
             self._dim = dim
         if self._vectors is not None:
             return
+        width = _pad128(self._dim)
+        if self.dtype == "int4r":
+            # cell-residual stores start with zero cells; capacity grows by
+            # appending cells as inserts arrive (_place_in_cells)
+            self._cell_cap = self._cell_cap or 128
+            self._capacity = 0
+            self._vectors = self._put(np.zeros((0, width // 2), np.uint8))
+            self._scales = self._put(np.ones((0,), np.float32))
+            self._norms = self._put(np.zeros((0,), np.float32))
+            self._valid = self._put(np.zeros((0,), bool))
+            self._centroids = self._put(np.zeros((0, width), np.float32))
+            self._cell_next = np.zeros((0,), np.int64)
+            self._cell_avail = np.zeros((0,), np.int64)
+            if self._ids_np is None:
+                self._ids_np = np.full((0,), None, object)
+            return
         cap = MIN_CAPACITY
         self._capacity = cap
-        width = _pad128(self._dim)
         if self.dtype == "int8":
             self._vectors = self._put(np.zeros((cap, width), np.int8))
             self._scales = self._put(np.ones((cap,), np.float32))
@@ -359,6 +441,9 @@ class VectorStore:
         new_cap = max(_next_pow2(new_cap), MIN_CAPACITY)
         if new_cap <= self._capacity:
             return
+        self._pad_capacity(new_cap)
+
+    def _pad_capacity(self, new_cap: int) -> None:
         pad = new_cap - self._capacity
         self._vectors = jnp.pad(self._vectors, ((0, pad), (0, 0)))
         if self._scales is not None:
@@ -376,6 +461,102 @@ class VectorStore:
         self._capacity = new_cap
         # array shapes changed: the delta chain no longer applies cleanly
         self._touched_reliable = False
+
+    # ------------------------------------------------- int4r cell machinery
+
+    CELL_BLOCK = 64  # cells appended per growth step; keeps K a multiple of
+    #                  TILE_N / cell_cap so the fused scan stays tile-aligned
+
+    def _take_slot(self, cell: int) -> int:
+        free = self._cell_free.get(cell)
+        if free:
+            row = free.pop()
+            if not free:
+                self._cell_free.pop(cell, None)
+        else:
+            row = cell * self._cell_cap + int(self._cell_next[cell])
+            self._cell_next[cell] += 1
+        self._cell_avail[cell] -= 1
+        return row
+
+    def _append_cells(self, new_cents: np.ndarray) -> int:
+        """Append real cells (padded to a CELL_BLOCK multiple with blocked
+        dummy cells so capacity stays scan-tile-aligned).  Returns the index
+        of the first new real cell."""
+        k_old = int(self._cell_next.shape[0])
+        a_real = new_cents.shape[0]
+        a_total = -(-(k_old + a_real) // self.CELL_BLOCK) * self.CELL_BLOCK - k_old
+        width = self._centroids.shape[1] if self._centroids is not None else new_cents.shape[1]
+        cents_pad = np.zeros((a_total, width), np.float32)
+        cents_pad[:a_real] = new_cents
+        self._centroids = jnp.concatenate(
+            [self._centroids, self._put(cents_pad)], axis=0)
+        next_pad = np.full((a_total,), 0, np.int64)
+        next_pad[a_real:] = self._cell_cap  # blocked padding cells: full
+        avail_pad = np.full((a_total,), self._cell_cap, np.int64)
+        avail_pad[a_real:] = 0
+        self._cell_next = np.concatenate([self._cell_next, next_pad])
+        self._cell_avail = np.concatenate([self._cell_avail, avail_pad])
+        self._pad_capacity(self._capacity + a_total * self._cell_cap)
+        return k_old
+
+    def _place_in_cells(self, vecs: np.ndarray) -> np.ndarray:
+        """Assign fresh vectors to cells: nearest cell with space (top-J
+        preference walk), overflow spawning new cells trained on the
+        overflow itself.  Returns target rows."""
+        m = vecs.shape[0]
+        rows = np.empty(m, np.int64)
+        unplaced = list(range(m))
+        k_cur = int(self._cell_next.shape[0])
+        if k_cur and int(self._cell_avail.sum()) > 0:
+            from erlvectordb_tpu.core.ivf import _top_choices
+
+            j = min(8, k_cur)
+            width = self._centroids.shape[1]
+            vp = np.zeros((m, width), np.float32)
+            vp[:, : vecs.shape[1]] = vecs
+            _, choices = _top_choices(jnp.asarray(vp), self._centroids, j=j)
+            choices = np.asarray(choices)
+            still = []
+            for i in unplaced:
+                for jj in range(j):
+                    c = int(choices[i, jj])
+                    if self._cell_avail[c] > 0:
+                        rows[i] = self._take_slot(c)
+                        break
+                else:
+                    still.append(i)
+            unplaced = still
+        if unplaced:
+            ov = np.asarray(vecs[unplaced], np.float32)
+            width = _pad128(self._dim)
+            ovp = np.zeros((len(unplaced), width), np.float32)
+            ovp[:, : ov.shape[1]] = ov
+            # target half-full new cells so neighbors of these rows have room
+            k_new = max(1, -(-len(unplaced) // max(1, self._cell_cap // 2)))
+            if k_new == 1 or len(unplaced) <= 2:
+                cents = ovp[:1]
+                k_new = 1
+            else:
+                from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+                cj, _ = kmeans_fit(jnp.asarray(ovp), jnp.uint32(7), k=k_new,
+                                   iters=5)
+                cents = np.asarray(cj)
+            first = self._append_cells(cents)
+            # nearest NEW cell with space (small set: host loop)
+            d2 = ((ovp[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            pref = np.argsort(d2, axis=1)
+            for i_local, i in enumerate(unplaced):
+                for c_local in pref[i_local]:
+                    c = first + int(c_local)
+                    if self._cell_avail[c] > 0:
+                        rows[i] = self._take_slot(c)
+                        break
+                else:  # every new cell full: spawn a singleton cell
+                    c = first2 = self._append_cells(ovp[i_local:i_local + 1])
+                    rows[i] = self._take_slot(first2)
+        return rows
 
     def _alloc_rows(self, n: int) -> List[int]:
         rows: List[int] = []
@@ -427,6 +608,15 @@ class VectorStore:
             raise ValueError("ids and vectors length mismatch")
         if metadatas is None:
             metadatas = [{}] * len(ids)
+        if self.dtype == "int4r" and len(ids) > 1:
+            # int4r re-places overwrites into fresh slots, so batch-internal
+            # duplicates must collapse to the last occurrence up front
+            last = {str(v): i for i, v in enumerate(ids)}
+            if len(last) != len(ids):
+                keep = sorted(last.values())
+                ids = [ids[i] for i in keep]
+                arr = arr[keep]
+                metadatas = [metadatas[i] for i in keep]
         # Last write wins for duplicate ids within one batch.
         with self._lock.write(), metrics.timed("store.insert"):
             self._materialize()
@@ -438,6 +628,7 @@ class VectorStore:
             fast = (
                 not self._id_to_row
                 and not self._free_rows
+                and self.dtype != "int4r"  # rows place by cell, not append
                 and len(set(map(str, ids))) == len(ids)
             ) if len(ids) >= 1024 else False
             if fast:
@@ -457,9 +648,39 @@ class VectorStore:
                         rows[i] = existing
                     else:
                         fresh_needed.append(i)
-                fresh_rows = self._alloc_rows(len(fresh_needed))
-                for i, row in zip(fresh_needed, fresh_rows):
-                    rows[i] = row
+                if self.dtype == "int4r":
+                    # overwrites RE-PLACE: the residual of the new vector
+                    # against the old cell's centroid can be whole-vector
+                    # sized, which would quantize as badly as plain int4
+                    stale = []
+                    for i, vid in enumerate(ids):
+                        vid = str(vid)
+                        old = self._id_to_row.get(vid)
+                        if old is not None:
+                            stale.append(old)
+                            cell = old // self._cell_cap
+                            self._cell_free.setdefault(cell, []).append(old)
+                            self._cell_avail[cell] += 1
+                            del self._id_to_row[vid]
+                            del self._row_to_id[old]
+                            self._ids_np[old] = None
+                            for col in self._tag_cols.values():
+                                col[old] = 0
+                    rows[:] = self._place_in_cells(arr)
+                    if stale:
+                        # freed slots not reused by this batch become invalid
+                        dead = [r for r in stale if r not in set(rows.tolist())]
+                        if dead:
+                            bucket_d = _next_pow2(len(dead))
+                            padded_d = dead + [self._capacity] * (bucket_d - len(dead))
+                            self._valid = _scatter_delete(
+                                self._valid,
+                                self._put(np.asarray(padded_d, np.int32)))
+                            self._touched_rows.update(dead)
+                else:
+                    fresh_rows = self._alloc_rows(len(fresh_needed))
+                    for i, row in zip(fresh_needed, fresh_rows):
+                        rows[i] = row
             # Bucket the batch to a power of two; padding lanes scatter to an
             # out-of-range row and are dropped on device.
             bucket = _next_pow2(len(ids))
@@ -473,7 +694,14 @@ class VectorStore:
                 rows_dev, arr_dev = rows, arr
             rows_j = self._put(rows_dev.astype(np.int32))
             vecs_j = self._put(arr_dev)
-            if self.dtype == "int8":
+            if self.dtype == "int4r":
+                cells_j = self._put((rows_dev // self._cell_cap).astype(np.int32))
+                cents_rows = self._centroids[cells_j]  # clip-gather; pad rows drop
+                (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int4r(
+                    self._vectors, self._scales, self._norms, self._valid,
+                    rows_j, vecs_j, cents_rows,
+                )
+            elif self.dtype == "int8":
                 (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int8(
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
                 )
@@ -537,7 +765,12 @@ class VectorStore:
                 del self._id_to_row[vid]
                 del self._row_to_id[row]
                 self._metadata.pop(vid, None)
-                self._free_rows.append(row)
+                if self.dtype == "int4r":
+                    cell = row // self._cell_cap
+                    self._cell_free.setdefault(cell, []).append(row)
+                    self._cell_avail[cell] += 1
+                else:
+                    self._free_rows.append(row)
                 self._ids_np[row] = None
             for col in self._tag_cols.values():
                 col[rows] = 0
@@ -771,6 +1004,29 @@ class VectorStore:
             valid = jnp.logical_and(valid, self._put(fmask))
         from erlvectordb_tpu.ops import fused_topk as ft
 
+        if self.dtype == "int4r":
+            nt = ft.n_tiles_for(self._capacity, self._capacity)
+            if (
+                jax.default_backend() == "tpu"
+                and metric in ("cosine", "euclidean", "dot")
+                and self._capacity >= ft.TILE_N
+                and self._capacity % ft.TILE_N == 0
+                and ft.TILE_N % self._cell_cap == 0
+                and kb <= ft.MAX_T_PER_TILE * nt
+            ):
+                dists, rows = ft.fused_topk_residual(
+                    self._vectors, self._scales, self._norms, valid,
+                    self._centroids, q_j, metric=metric, k=kb,
+                    n_tiles=nt, cell_cap=self._cell_cap,
+                )
+            else:
+                dists, rows = search_mod.exact_topk_int4r(
+                    self._vectors, self._scales, self._norms, valid,
+                    self._centroids, q_j, metric=metric, k=kb,
+                    cell_cap=self._cell_cap,
+                )
+            return SearchTicket(dists, rows, nq, min(k, self.count), kb)
+
         if ft.fused_topk_available(
             self.count, self._capacity, metric, jax.default_backend(), kb
         ):
@@ -814,6 +1070,11 @@ class VectorStore:
             if self.dtype == "int4":
                 vec = _unpack_int4_np(np.asarray(self._vectors[row])[None, :])[0]
                 vec = vec[: self._dim].astype(np.float32) * float(self._scales[row])
+            elif self.dtype == "int4r":
+                res = _unpack_int4_np(np.asarray(self._vectors[row])[None, :])[0]
+                cent = np.asarray(self._centroids[row // self._cell_cap])
+                vec = (cent + res.astype(np.float32)
+                       * float(self._scales[row]))[: self._dim]
             else:
                 vec = np.asarray(self._vectors[row])[: self._dim]
                 if self.dtype == "int8":
@@ -829,16 +1090,20 @@ class VectorStore:
                 return []
             rows = sorted(self._row_to_id)
             mat = np.asarray(self._vectors)  # one transfer
-            if self.dtype == "int4":
+            if self.dtype in ("int4", "int4r"):
                 mat = _unpack_int4_np(mat)
-            if self.dtype in ("int8", "int4"):
+            if self.dtype in ("int8", "int4", "int4r"):
                 scales = np.asarray(self._scales)
+            cents = (np.asarray(self._centroids)
+                     if self.dtype == "int4r" else None)
             out = []
             for row in rows:
                 vid = self._row_to_id[row]
                 vec = mat[row][: self._dim]
-                if self.dtype in ("int8", "int4"):
+                if self.dtype in ("int8", "int4", "int4r"):
                     vec = vec.astype(np.float32) * scales[row]
+                if cents is not None:
+                    vec = vec + cents[row // self._cell_cap][: self._dim]
                 out.append((vid, vec, self._metadata.get(vid, {})))
             return out
 
@@ -862,6 +1127,8 @@ class VectorStore:
         total += self._norms.size * 4 + self._valid.size
         if self._scales is not None:
             total += self._scales.size * 4
+        if self._centroids is not None:
+            total += self._centroids.size * 4
         return int(total)
 
     # ----------------------------------------------------- state export/import
@@ -889,6 +1156,13 @@ class VectorStore:
                 state["valid"] = np.asarray(self._valid)
                 if self._scales is not None:
                     state["scales"] = np.asarray(self._scales)
+            if self.dtype == "int4r" and self._centroids is not None:
+                state["centroids"] = np.asarray(self._centroids)
+                state["cell_cap"] = self._cell_cap
+                state["cell_next"] = [int(x) for x in self._cell_next]
+                state["cell_free"] = {
+                    str(c): list(v) for c, v in self._cell_free.items()
+                }
             return state
 
     @classmethod
@@ -910,6 +1184,20 @@ class VectorStore:
             store._valid = store._put(np.asarray(state["valid"], bool))
             if "scales" in state and state["scales"] is not None:
                 store._scales = store._put(np.asarray(state["scales"], np.float32))
+        if store.dtype == "int4r" and "centroids" in state:
+            store._centroids = store._put(
+                np.asarray(state["centroids"], np.float32))
+            store._cell_cap = int(state.get("cell_cap", 64))
+            store._cell_next = np.asarray(state.get("cell_next", []), np.int64)
+            store._cell_free = {
+                int(c): [int(r) for r in v]
+                for c, v in (state.get("cell_free") or {}).items()
+            }
+            store._cell_avail = (
+                store._cell_cap - store._cell_next
+                + np.array([len(store._cell_free.get(c, []))
+                            for c in range(len(store._cell_next))], np.int64)
+            )
         store._id_to_row = {str(k): int(v) for k, v in state.get("id_to_row", {}).items()}
         store._row_to_id = {v: k for k, v in store._id_to_row.items()}
         if store._capacity and store._id_to_row:
@@ -941,6 +1229,88 @@ class VectorStore:
 
     # ------------------------------------------------------------ bulk build
 
+    def _build_int4r(self, matrix, ids: Optional[Sequence[str]]) -> None:
+        """Bulk cell-residual build: k-means cells (~48 rows each), balanced
+        capacity-64 assignment, residual int4 quantization — one device
+        program for the quantize+scatter.  See fused_topk_residual for why
+        residual coding rescues 4-bit recall."""
+        from erlvectordb_tpu.core.ivf import _balanced_assign
+        from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+        x = np.asarray(matrix, np.float32)
+        n, d = x.shape
+        width = _pad128(d)
+        xp = x if width == d else np.pad(x, ((0, 0), (0, width - d)))
+        cap_c = 128  # Mosaic lane width: the kernel's bias expand needs cap % 128 == 0
+        k_real = max(1, -(-n // 96))  # 75% occupancy of cap-128 cells
+        k_total = -(-k_real // self.CELL_BLOCK) * self.CELL_BLOCK
+        # train on the FULL corpus when feasible: with ~n/96 cells a 200k
+        # sample would give each centroid only ~20 members (noisy); the
+        # chunked-assign + segment-sum kmeans makes full-data training
+        # affordable up to millions of rows
+        if n > 2_000_000:
+            sel = np.random.default_rng(0).choice(n, 2_000_000, replace=False)
+            train = xp[sel]
+        else:
+            train = xp
+        cents_j, _ = kmeans_fit(jnp.asarray(train), jnp.uint32(0),
+                                k=k_real, iters=10)
+        cents_np = np.asarray(cents_j)
+        owner = _balanced_assign(xp, cents_np, cap_c)
+        # capacity-constrained Lloyd refinement: refit each centroid to the
+        # members it actually GOT (capacity may have parked rows away from
+        # their unconstrained nearest cell), then reassign.  This is what
+        # keeps residuals small at 75% occupancy — without it, spilled rows
+        # carry whole-vector-sized residuals and lose the 4-bit recall win.
+        xp_j = self._put(xp)
+        for _ in range(2):
+            owner_j = self._put(owner.astype(np.int32))
+            sums = jax.ops.segment_sum(xp_j, owner_j, num_segments=k_real)
+            cnt = jax.ops.segment_sum(
+                jnp.ones((n,), jnp.float32), owner_j, num_segments=k_real)
+            cents_np = np.asarray(sums / jnp.maximum(cnt, 1.0)[:, None])
+            owner = _balanced_assign(xp, cents_np, cap_c)
+        order = np.argsort(owner, kind="stable")
+        counts = np.bincount(owner, minlength=k_real)
+        starts = np.zeros(k_real, np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n) - starts[owner[order]]
+        pos = owner * cap_c + rank
+
+        n_rows = k_total * cap_c
+        xp_j = self._put(xp)
+        cents_rows = self._put(cents_np)[self._put(owner.astype(np.int32))]
+        packed, scales, norms, valid = _bulk_build_int4r(
+            xp_j, cents_rows, self._put(pos.astype(np.int32)), n_rows=n_rows)
+        self._vectors, self._scales, self._norms, self._valid = (
+            packed, scales, norms, valid)
+        cents_pad = np.zeros((k_total, width), np.float32)
+        cents_pad[:k_real] = cents_np
+        self._centroids = self._put(cents_pad)
+        self._cell_cap = cap_c
+        self._capacity = n_rows
+        self._next_row = n_rows
+        cell_next = np.zeros(k_total, np.int64)
+        cell_next[:k_real] = counts
+        cell_next[k_real:] = cap_c  # blocked padding cells
+        self._cell_next = cell_next
+        self._cell_avail = np.where(
+            np.arange(k_total) < k_real, cap_c - cell_next, 0)
+        self._cell_free = {}
+        # rows are permuted by cell, so ids materialize eagerly
+        sids = ([str(v) for v in ids] if ids is not None
+                else [str(i) for i in range(n)])
+        if ids is not None and len(sids) != n:
+            raise ValueError("ids and matrix length mismatch")
+        if len(set(sids)) != n:
+            raise ValueError("duplicate ids in bulk build")
+        pos_l = pos.tolist()
+        self._id_to_row = dict(zip(sids, pos_l))
+        self._row_to_id = dict(zip(pos_l, sids))
+        self._ids_np = np.full((n_rows,), None, object)
+        self._ids_np[pos] = sids
+
     @classmethod
     def from_matrix(
         cls,
@@ -971,6 +1341,18 @@ class VectorStore:
         arr_dev = store._put(arr)
         if width != d:
             arr_dev = _pad_width(arr_dev, width)
+        if store.dtype == "int4r":
+            store._build_int4r(arr, ids)
+            if metadatas is not None:
+                if len(metadatas) != n:
+                    raise ValueError("metadatas and matrix length mismatch")
+                eff = ids if ids is not None else range(n)
+                store._metadata = {
+                    str(v): (m or {}) for v, m in zip(eff, metadatas)
+                }
+            store.version = 1
+            store.dirty = True
+            return store
         if store.dtype == "int8":
             codes, scales, norms, valid = _bulk_build_int8(arr_dev, cap)
             store._vectors, store._scales, store._norms, store._valid = (

@@ -59,7 +59,8 @@ def _pick_bt(b: int) -> int:
     return bt
 
 
-def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False):
+def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False,
+                      cell_cap: int = 0):
     """``sub`` sub-tiles of TILE_N rows are processed per grid step: the
     scores buffer stays [B_T, TILE_N] (VMEM-friendly) while the grid has
     ``sub``x fewer steps — measured ~7% on v5e (per-step overhead).
@@ -72,7 +73,14 @@ def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False):
     halves vs int8."""
 
     def _scan_kernel(q_ref, qmult_ref, codes_ref, rowmult_ref, rowbias_ref,
-                     vals_ref, rows_ref):
+                     *rest):
+        if cell_cap:
+            # residual stores: per-(query, cell) bias table, expanded to
+            # lanes by an element repeat (cell-major fixed-capacity layout
+            # makes the cluster term a cheap block broadcast)
+            qmult2_ref, rowmult2_ref, table_ref, vals_ref, rows_ref = rest
+        else:
+            vals_ref, rows_ref = rest
         j = pl.program_id(0)  # big-tile index (sub * TILE_N rows)
 
         q = q_ref[:]            # [B_T, W] int8/f32 ([evens|odds] if packed)
@@ -110,6 +118,18 @@ def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False):
             # [B_T, TILE_N] affine-scored similarities (bigger = closer)
             sims = (dots * qmult_ref[:] * rowmult_ref[:, sl]
                     + rowbias_ref[:, sl])
+            if cell_cap:
+                cpt = TILE_N // cell_cap
+                # table arrives TRANSPOSED [cells, B_T] (Mosaic block-shape
+                # rules: lane dim must be 128-aligned, and B_T is); small
+                # in-kernel transpose, then element-repeat each cell's bias
+                # across its cap lanes (pltpu.repeat TILES — wrong shape —
+                # so broadcast+reshape)
+                tblk = table_ref[t * cpt:(t + 1) * cpt, :].T  # [B_T, cpt]
+                trep = jnp.broadcast_to(
+                    tblk[:, :, None], (tblk.shape[0], cpt, cell_cap)
+                ).reshape(tblk.shape[0], TILE_N)
+                sims = sims + trep * qmult2_ref[:] * rowmult2_ref[:, sl]
 
             lane = lax.broadcasted_iota(jnp.int32, sims.shape, 1)
 
@@ -143,11 +163,17 @@ def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False):
 MAX_T_PER_TILE = 8
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "t_per_tile"))
-def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
+@functools.partial(jax.jit,
+                   static_argnames=("n_tiles", "t_per_tile", "cell_cap"))
+def _fused_scan(codes, q, qmult, rowmult, rowbias, qmult2=None, rowmult2=None,
+                table=None, *, n_tiles, t_per_tile, cell_cap=0):
     """Run the scan kernel. codes [N, W] (or packed uint8 [N, W/2]);
     q [B, W]; qmult [B, 1]; rowmult/rowbias [1, N].  Returns
-    (vals [B, T*sub*n_big], rows) covering at least n_tiles*TILE_N rows."""
+    (vals [B, T*sub*n_big], rows) covering at least n_tiles*TILE_N rows.
+
+    Residual (int4r) stores additionally pass ``cell_cap`` (rows per cell,
+    dividing TILE_N), ``table`` [B, K] per-(query, cell) raw dots, and the
+    second affine pair qmult2 [B,1] / rowmult2 [1, N] scaling the table term."""
     b, w = q.shape
     packed = codes.dtype == jnp.uint8
     if packed:
@@ -166,6 +192,7 @@ def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
     sub = (
         2
         if n_cap % (2 * TILE_N) == 0 and n_tiles > 1 and bytes_per_row <= 256
+        and not cell_cap  # residual path: keep VMEM room for the bias expand
         else 1
     )
     n_big = -(-n_tiles // sub)
@@ -177,16 +204,30 @@ def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
         n_big * big_n * w * codes.dtype.itemsize + b * w + b * n_big * t * sub * 8
     )
 
-    vals, rows = pl.pallas_call(
-        _make_scan_kernel(t, sub, packed),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bt, w), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((bt, w), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bt, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((big_n, cw), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+    ]
+    operands = [q, qmult, codes, rowmult, rowbias]
+    if cell_cap:
+        cells_per_big = big_n // cell_cap
+        in_specs += [
             pl.BlockSpec((bt, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((big_n, cw), lambda j, i: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, big_n), lambda j, i: (0, j), memory_space=pltpu.VMEM),
-        ],
+            # transposed [cells, B]: (cells_per_big, bt) satisfies Mosaic's
+            # (sublane % 8, lane % 128) block rules where (bt, cpb) cannot
+            pl.BlockSpec((cells_per_big, bt), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands += [qmult2, rowmult2, table]
+
+    vals, rows = pl.pallas_call(
+        _make_scan_kernel(t, sub, packed, cell_cap),
+        grid=grid,
+        in_specs=in_specs,
         # Outputs are [n_big, B, T*sub] so each block's trailing dims equal
         # the array dims (a Mosaic layout requirement); flattened for the
         # caller's merge.
@@ -204,7 +245,7 @@ def _fused_scan(codes, q, qmult, rowmult, rowbias, *, n_tiles, t_per_tile):
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),
         interpret=jax.default_backend() != "tpu",  # CPU CI runs interpreted
-    )(q, qmult, codes, rowmult, rowbias)
+    )(*operands)
     vals = vals.transpose(1, 0, 2).reshape(b, t * sub * n_big)
     rows = rows.transpose(1, 0, 2).reshape(b, t * sub * n_big)
     return vals, rows
@@ -290,14 +331,15 @@ def fused_topk(
         t_per_tile=t_per_tile,
     )
     kk = min(k, vals.shape[1])
-    top_vals, sel = lax.top_k(vals, kk)                    # [B+pad, kk]
+    pool = min(max(4 * kk, 32), vals.shape[1])
+    _pv, sel = lax.top_k(vals, pool)                       # [B+pad, pool]
     top_rows = jnp.take_along_axis(rows, sel, axis=1)
-    # Exact rescore of the k winners: the packed in-kernel extraction keeps
-    # only an 11-bit value mantissa (selection-grade).  One tiny gather +
-    # batched dot recomputes their exact affine scores, so reported
-    # distances match the unfused XLA path bit-for-bit-ish.
-    cand = codes[top_rows]                                 # [B+pad, kk, W|W/2]
-    if codes.dtype == jnp.uint8:  # packed int4: unpack the kk winners only
+    # Exact rescore of a 4x candidate pool: the in-kernel packed extraction
+    # keeps only an 11-bit value mantissa (selection-grade); one tiny
+    # gather + batched dot recomputes the pool's exact affine scores, so
+    # selection AND reported distances match the unfused XLA path.
+    cand = codes[top_rows]                                 # [B+pad, pool, *]
+    if codes.dtype == jnp.uint8:  # packed int4: unpack the pool only
         hi = (cand >> 4).astype(jnp.int8)
         lo = (cand & 0xF).astype(jnp.int8)
         hi = jnp.where(hi > 7, hi - 16, hi)
@@ -310,12 +352,117 @@ def fused_topk(
         else jnp.float32,
     ).astype(jnp.float32)
     exact_vals = dots * qmult * rowmult[top_rows] + rowbias[top_rows]
-    # re-sort by the exact scores (truncation could invert near-ties)
+    # re-sort by the exact scores
     exact_sorted, sel2 = lax.top_k(exact_vals, kk)
     top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
     qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
     dists = post(exact_sorted, qsq)
     # candidates that were only padding/invalid come back as -1e30 scores
+    dists = jnp.where(exact_sorted <= _NEG / 2, jnp.inf, dists)
+    if pad_b:
+        dists, top_rows = dists[:b], top_rows[:b]
+    return dists, top_rows
+
+
+def _affine_factors_residual(metric, scales, norms, valid, queries, qn):
+    """Second affine pair for the residual (cluster-bias) term: the score is
+    dot(q, x) = dot(q, c_cell) + dot(q, res); the kernel computes
+    ``dots_res * qmult * rowmult + table * qmult2 * rowmult2 + rowbias``.
+    Returns (qmult2 [B,1], rowmult2 [N])."""
+    if metric == "cosine":
+        qmult2 = jnp.where(qn > 0, 1.0 / jnp.where(qn > 0, qn, 1.0), 0.0)
+        rowmult2 = jnp.where(norms > 0, 1.0 / jnp.where(norms > 0, norms, 1.0),
+                             0.0)
+    elif metric == "dot":
+        qmult2 = jnp.ones_like(qn)
+        rowmult2 = jnp.ones_like(norms)
+    elif metric == "euclidean":
+        qmult2 = jnp.full_like(qn, 2.0)
+        rowmult2 = jnp.ones_like(norms)
+    else:
+        raise ValueError(f"residual path does not support metric {metric!r}")
+    return qmult2, rowmult2
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "k", "n_tiles", "cell_cap"))
+def fused_topk_residual(
+    codes: jax.Array,       # [N_cap, W/2] packed int4 RESIDUAL codes
+    scales: jax.Array,      # [N_cap] f32 residual scales
+    norms: jax.Array,       # [N_cap] f32 norms of the ORIGINAL rows
+    valid: jax.Array,       # [N_cap] bool
+    centroids: jax.Array,   # [K, W] f32 cell centroids
+    queries: jax.Array,     # [B, W] f32
+    *,
+    metric: str,
+    k: int,
+    n_tiles: int,
+    cell_cap: int,          # rows per cell; divides TILE_N; N_cap == K*cell_cap
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused scan over a cell-residual int4 store: per-row int4 residual dot
+    on the MXU + per-(query, cell) centroid-dot bias expanded in-kernel.
+    Quantization error shrinks by the residual/full norm ratio (~3-4x on
+    clustered corpora), which is what makes 4-bit rows usable for search."""
+    b = queries.shape[0]
+    bt = _pick_bt(b)
+    pad_b = (-b) % bt
+    if pad_b:
+        queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
+
+    t_per_tile = 2
+    while t_per_tile < MAX_T_PER_TILE and t_per_tile * n_tiles < max(k, 512):
+        t_per_tile *= 2
+
+    q_in, qmult, rowmult, rowbias, post = _affine_factors(
+        metric, scales, norms, valid, queries,
+    )
+    qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
+    qmult2, rowmult2 = _affine_factors_residual(
+        metric, scales, norms, valid, queries, qn)
+    # per-(query, cell) raw centroid dots; pad the cell axis to cover the
+    # scan's big tiles exactly.  Kept [B, K] for the rescore gather; the
+    # scan takes the TRANSPOSE (Mosaic lane-alignment, see _fused_scan).
+    table = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
+    need_cells = -(-n_tiles * TILE_N // cell_cap)
+    if table.shape[1] < need_cells:
+        table = jnp.pad(table, ((0, 0), (0, need_cells - table.shape[1])))
+    vals, rows = _fused_scan(
+        codes,
+        q_in,
+        qmult,
+        rowmult.reshape(1, -1),
+        rowbias.reshape(1, -1),
+        qmult2,
+        rowmult2.reshape(1, -1),
+        table.T,
+        n_tiles=n_tiles,
+        t_per_tile=t_per_tile,
+        cell_cap=cell_cap,
+    )
+    kk = min(k, vals.shape[1])
+    pool = min(max(4 * kk, 32), vals.shape[1])
+    _pv, sel = lax.top_k(vals, pool)
+    top_rows = jnp.take_along_axis(rows, sel, axis=1)
+    # f32-query rescore of a 4x candidate pool: the scan quantizes queries
+    # to int8 for the MXU; re-scoring the pool with the RAW query removes
+    # that noise from the final ranking (the per-metric query factor for a
+    # raw-dot is exactly qmult2 — the same one the centroid table uses)
+    cand = codes[top_rows]
+    hi = (cand >> 4).astype(jnp.int8)
+    lo = (cand & 0xF).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    cand = jnp.stack([hi, lo], axis=-1).reshape(
+        cand.shape[0], cand.shape[1], -1)
+    dots = jnp.einsum("bkw,bw->bk", cand.astype(jnp.float32), queries,
+                      preferred_element_type=jnp.float32)
+    tgath = jnp.take_along_axis(table, top_rows // cell_cap, axis=1)
+    exact_vals = ((dots * rowmult[top_rows] + tgath * rowmult2[top_rows])
+                  * qmult2 + rowbias[top_rows])
+    exact_sorted, sel2 = lax.top_k(exact_vals, kk)
+    top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
+    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    dists = post(exact_sorted, qsq)
     dists = jnp.where(exact_sorted <= _NEG / 2, jnp.inf, dists)
     if pad_b:
         dists, top_rows = dists[:b], top_rows[:b]

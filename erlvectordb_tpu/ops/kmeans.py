@@ -22,19 +22,42 @@ import jax.numpy as jnp
 from jax import lax
 
 
+_ELEMS_BUDGET = 1 << 26  # cap on materialized [rows, K] f32 intermediates
+
+
 def _assign(x: jax.Array, cents: jax.Array) -> jax.Array:
-    """x [N, D], cents [K, D] -> nearest-centroid index [N] (squared L2)."""
-    dots = jnp.dot(x, cents.T, preferred_element_type=jnp.float32)  # [N, K]
+    """x [N, D], cents [K, D] -> nearest-centroid index [N] (squared L2).
+    Large N*K runs chunked over rows so the [N, K] distance matrix never
+    materializes (25k-cell codebooks at 200k training rows would need 20 GB)."""
+    n = x.shape[0]
+    k = cents.shape[0]
     cn = jnp.sum(cents * cents, axis=-1)  # [K]
-    d2 = cn[None, :] - 2.0 * dots  # x-norm is constant per row; argmin unaffected
-    return jnp.argmin(d2, axis=-1)
+
+    def assign_rows(rows):
+        dots = jnp.dot(rows, cents.T, preferred_element_type=jnp.float32)
+        return jnp.argmin(cn[None, :] - 2.0 * dots, axis=-1)
+
+    if n * k <= _ELEMS_BUDGET:
+        return assign_rows(x)
+    chunk = max(1024, _ELEMS_BUDGET // k)
+    pad = (-n) % chunk
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    out = lax.map(assign_rows, xp.reshape(-1, chunk, x.shape[1]))
+    return out.reshape(-1)[:n]
 
 
 def _update(x: jax.Array, assign: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Mean per cluster via one-hot matmul. Returns (centroids [K,D], counts [K])."""
-    onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [N, K]
-    sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)  # [K, D]
-    counts = jnp.sum(onehot, axis=0)  # [K]
+    """Mean per cluster. Small K: one-hot matmul (MXU). Large K (the [N, K]
+    one-hot would blow HBM): segment-sum scatter-add."""
+    n = x.shape[0]
+    if n * k <= _ELEMS_BUDGET:
+        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # [N, K]
+        sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=0)
+    else:
+        sums = jax.ops.segment_sum(x, assign, num_segments=k)
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), assign,
+                                     num_segments=k)
     cents = sums / jnp.maximum(counts, 1.0)[:, None]
     return cents, counts
 

@@ -37,7 +37,7 @@ from erlvectordb_tpu.core.store import VectorStore
 SNAPSHOT_FORMAT = 1
 DEFAULT_SYNC_INTERVAL = 30.0
 
-_ARRAY_KEYS = ("vectors", "norms", "valid", "scales")
+_ARRAY_KEYS = ("vectors", "norms", "valid", "scales", "centroids")
 
 
 def _store_dir(root: Path, name: str) -> Path:

@@ -278,7 +278,7 @@ TOOLS: Dict[str, dict] = {
                 "name": {"type": "string"},
                 "store": {"type": "string"},
                 "type": {"type": "string",
-                         "enum": ["flat", "int8", "pq", "opq", "ivf"]},
+                         "enum": ["flat", "int8", "pq", "opq", "ivf", "ep_ivf"]},
                 "parameters": {"type": "object"},
             },
             ["name", "store", "type"],

@@ -1,0 +1,142 @@
+"""Cell-residual int4 stores (dtype="int4r"): 4-bit codes quantize only the
+row's residual against its cell centroid, rescuing int4 recall (round-1
+whole-vector int4 measured 0.59 recall@10; residual coding reaches ~0.9 at
+the same 0.5 byte/dim code footprint).  VERDICT r1 item #8."""
+
+import numpy as np
+import pytest
+
+from erlvectordb_tpu.core.store import VectorStore
+
+
+@pytest.fixture
+def corpus(rng):
+    # clustered corpus: residuals ~3x smaller than vectors (center norm ~5,
+    # noise norm ~1.5) — GloVe-like separation, not degenerate near-ties
+    centers = rng.standard_normal((32, 24)).astype(np.float32)
+    assign = rng.integers(0, 32, 3000)
+    return (centers[assign]
+            + 0.3 * rng.standard_normal((3000, 24)).astype(np.float32))
+
+
+class TestBulkBuild:
+    def test_build_and_search(self, corpus):
+        st = VectorStore.from_matrix("r4", corpus, dtype="int4r")
+        assert st.count == 3000
+        assert st.dtype == "int4r"
+        hits = st.search_batch(corpus[:16], k=1)
+        top1 = [h[0][0] for h in hits]
+        assert sum(top1[i] == str(i) for i in range(16)) >= 12
+
+    def test_recall_beats_plain_int4(self, corpus, rng):
+        """Relative gates on a deliberately hard fixture (int8 itself only
+        reaches ~0.93 here): int4r must crush plain int4 and recover most of
+        the int8 ceiling.  The absolute >=0.90 gate runs on the config-3
+        corpus in bench.py --config 8 (d=100, realistic separations)."""
+        q = corpus[:64]
+        exact = VectorStore.from_matrix("ex", corpus)
+        gt = [[h[0] for h in row] for row in exact.search_batch(q, k=5)]
+        plain = VectorStore.from_matrix("p4", corpus, dtype="int4")
+        resid = VectorStore.from_matrix("r4b", corpus, dtype="int4r")
+        i8 = VectorStore.from_matrix("i8b", corpus, dtype="int8")
+        def recall(st):
+            got = [[h[0] for h in row] for row in st.search_batch(q, k=5)]
+            return np.mean([len(set(g) & set(w)) / 5 for g, w in zip(got, gt)])
+        r_plain, r_resid, r_i8 = recall(plain), recall(resid), recall(i8)
+        assert r_resid >= r_plain + 0.2   # int4: ~0.43, int4r: ~0.74 here
+        assert r_resid >= 0.75 * r_i8     # recovers most of the 8-bit ceiling
+
+    def test_all_metrics(self, corpus):
+        st = VectorStore.from_matrix("rm", corpus, dtype="int4r")
+        for metric in ("cosine", "euclidean", "dot", "manhattan"):
+            hits = st.search(corpus[7], k=3, metric=metric)
+            assert len(hits) == 3
+            assert hits[0][0] == "7"
+
+    def test_get_dequantizes(self, corpus):
+        st = VectorStore.from_matrix("rg", corpus, dtype="int4r")
+        vec, meta = st.get("42")
+        # residual coding: reconstruction error bounded by residual scale
+        rel = np.linalg.norm(vec - corpus[42]) / np.linalg.norm(corpus[42])
+        assert rel < 0.08
+
+    def test_memory_at_int4_footprint(self, rng):
+        # at 3k rows CELL_BLOCK padding dominates; measure at a size where
+        # the layout amortizes (config-8 on TPU measures 0.70x of int8 @ 120k)
+        big = rng.standard_normal((30_000, 16)).astype(np.float32)
+        r4 = VectorStore.from_matrix("rmem", big, dtype="int4r")
+        i8 = VectorStore.from_matrix("imem", big, dtype="int8")
+        # codes are half of int8's; centroids+padding overhead stays small
+        assert r4.device_memory_bytes() < i8.device_memory_bytes()
+
+
+class TestMutation:
+    def test_insert_into_empty(self, corpus):
+        st = VectorStore("mut", dim=24, dtype="int4r")
+        st.insert_batch([f"v{i}" for i in range(200)], corpus[:200])
+        assert st.count == 200
+        assert st.search(corpus[5], k=1)[0][0] == "v5"
+        st.insert("late", corpus[500], {"tag": "x"})
+        hit = st.search(corpus[500], k=1)
+        assert hit[0][0] == "late"
+        assert hit[0][1] == {"tag": "x"}
+
+    def test_insert_after_bulk_build(self, corpus):
+        st = VectorStore.from_matrix("mut2", corpus[:1000], dtype="int4r")
+        st.insert("new", corpus[2000])
+        assert st.search(corpus[2000], k=1)[0][0] == "new"
+        assert st.count == 1001
+
+    def test_delete_and_slot_reuse(self, corpus):
+        st = VectorStore.from_matrix("mut3", corpus[:500], dtype="int4r")
+        cap_before = st.capacity
+        row = st._id_to_row["17"]
+        assert st.delete("17")
+        assert st.search(corpus[17], k=1)[0][0] != "17"
+        st.insert("again", corpus[17])
+        assert st.search(corpus[17], k=1)[0][0] == "again"
+        assert st._id_to_row["again"] == row  # freed slot reused
+        assert st.capacity == cap_before
+
+    def test_overwrite(self, corpus):
+        st = VectorStore.from_matrix("mut4", corpus[:300], dtype="int4r")
+        st.insert("9", corpus[2500])  # overwrite id 9 with a new vector
+        assert st.count == 300
+        assert st.search(corpus[2500], k=1)[0][0] == "9"
+
+    def test_growth_appends_cells(self, corpus):
+        st = VectorStore("grow", dim=24, dtype="int4r")
+        st.insert_batch([f"a{i}" for i in range(100)], corpus[:100])
+        k1 = len(st._cell_next)
+        st.insert_batch([f"b{i}" for i in range(2000)], corpus[100:2100])
+        assert len(st._cell_next) > k1
+        assert st.capacity % 4096 == 0  # stays scan-tile-aligned
+        assert st.search(corpus[150], k=1)[0][0] == "b50"
+
+
+class TestPersistence:
+    def test_snapshot_roundtrip(self, corpus, tmp_path):
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        st = VectorStore.from_matrix("snap", corpus[:800], dtype="int4r")
+        st.insert("extra", corpus[900], {"m": 1})
+        save_store(st, tmp_path)
+        ld = load_store("snap", tmp_path)
+        assert ld.dtype == "int4r"
+        assert ld.count == st.count
+        assert ld.search(corpus[3], k=1)[0][0] == "3"
+        assert ld.search(corpus[900], k=1)[0][0] == "extra"
+        # mutation after reload keeps working (cell state restored)
+        ld.insert("post", corpus[901])
+        assert ld.search(corpus[901], k=1)[0][0] == "post"
+
+    def test_backup_restore_path(self, corpus, tmp_path):
+        from erlvectordb_tpu.persist import backup as bk
+
+        st = VectorStore.from_matrix("bkr", corpus[:400], dtype="int4r")
+        # get_all_vectors dequantizes (used by export/migration)
+        allv = st.get_all_vectors()
+        assert len(allv) == 400
+        vid, vec, _ = allv[0]
+        rel = np.linalg.norm(vec - corpus[int(vid)]) / np.linalg.norm(corpus[int(vid)])
+        assert rel < 0.08
