@@ -1234,8 +1234,22 @@ class VectorStore:
         capacity-64 assignment, residual int4 quantization — one device
         program for the quantize+scatter.  See fused_topk_residual for why
         residual coding rescues 4-bit recall."""
+        import os
+        import sys
+
         from erlvectordb_tpu.core.ivf import _balanced_assign
         from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+        _dbg = os.environ.get("EVDB_BUILD_TIMING") == "1"
+        _t0 = time.perf_counter()
+
+        def _tick(label):
+            nonlocal _t0
+            if _dbg:
+                now = time.perf_counter()
+                print(f"[int4r-build] {label}: {now - _t0:.2f}s",
+                      file=sys.stderr, flush=True)
+                _t0 = now
 
         x = np.asarray(matrix, np.float32)
         n, d = x.shape
@@ -1244,19 +1258,23 @@ class VectorStore:
         cap_c = 128  # Mosaic lane width: the kernel's bias expand needs cap % 128 == 0
         k_real = max(1, -(-n // 96))  # 75% occupancy of cap-128 cells
         k_total = -(-k_real // self.CELL_BLOCK) * self.CELL_BLOCK
-        # train on the FULL corpus when feasible: with ~n/96 cells a 200k
-        # sample would give each centroid only ~20 members (noisy); the
-        # chunked-assign + segment-sum kmeans makes full-data training
-        # affordable up to millions of rows
-        if n > 2_000_000:
-            sel = np.random.default_rng(0).choice(n, 2_000_000, replace=False)
+        # the initial k-means only SEEDS the cells — the capacity-constrained
+        # refit rounds below run full-data Lloyd steps via segment-sums, so a
+        # 300k sample here costs almost nothing in final quality while
+        # keeping the seeding program small (full-data k-means at 12.5k
+        # cells compiled for many minutes through the remote compiler)
+        if n > 300_000:
+            sel = np.random.default_rng(0).choice(n, 300_000, replace=False)
             train = xp[sel]
         else:
             train = xp
+        _tick("prep")
         cents_j, _ = kmeans_fit(jnp.asarray(train), jnp.uint32(0),
                                 k=k_real, iters=10)
         cents_np = np.asarray(cents_j)
+        _tick(f"kmeans k={k_real}")
         owner = _balanced_assign(xp, cents_np, cap_c)
+        _tick("balanced_assign #1")
         # capacity-constrained Lloyd refinement: refit each centroid to the
         # members it actually GOT (capacity may have parked rows away from
         # their unconstrained nearest cell), then reassign.  This is what
@@ -1270,6 +1288,7 @@ class VectorStore:
                 jnp.ones((n,), jnp.float32), owner_j, num_segments=k_real)
             cents_np = np.asarray(sums / jnp.maximum(cnt, 1.0)[:, None])
             owner = _balanced_assign(xp, cents_np, cap_c)
+            _tick("refit+reassign")
         order = np.argsort(owner, kind="stable")
         counts = np.bincount(owner, minlength=k_real)
         starts = np.zeros(k_real, np.int64)
@@ -1283,6 +1302,8 @@ class VectorStore:
         cents_rows = self._put(cents_np)[self._put(owner.astype(np.int32))]
         packed, scales, norms, valid = _bulk_build_int4r(
             xp_j, cents_rows, self._put(pos.astype(np.int32)), n_rows=n_rows)
+        jax.block_until_ready(valid)
+        _tick("quantize+scatter")
         self._vectors, self._scales, self._norms, self._valid = (
             packed, scales, norms, valid)
         cents_pad = np.zeros((k_total, width), np.float32)
@@ -1306,6 +1327,7 @@ class VectorStore:
         if len(set(sids)) != n:
             raise ValueError("duplicate ids in bulk build")
         pos_l = pos.tolist()
+        _tick("id prep")
         self._id_to_row = dict(zip(sids, pos_l))
         self._row_to_id = dict(zip(pos_l, sids))
         self._ids_np = np.full((n_rows,), None, object)
