@@ -242,6 +242,31 @@ class Database:
             self.persistence.track(sharded)
         return sharded.get_stats()
 
+    def create_dim_sharded_store(self, name: str, dim: Optional[int] = None,
+                                 metric: str = "cosine",
+                                 n_model: Optional[int] = None) -> dict:
+        """Create a store whose FEATURE dimension is split across devices
+        (tensor-parallel axis; for embeddings too wide for one chip's HBM).
+        Full store API applies; searches psum partial dot products."""
+        import jax
+
+        from erlvectordb_tpu.core.registry import StoreExists
+        from erlvectordb_tpu.parallel.dim_sharded import (
+            DimShardedVectorStore,
+            make_dim_mesh,
+        )
+
+        if self.registry.exists(name) or (
+            self._cluster is not None and self.cluster.get_store(name)
+        ):
+            raise StoreExists(f"store {name!r} already exists")
+        mesh = make_dim_mesh(n_model or len(jax.devices()))
+        store = DimShardedVectorStore(name, mesh, dim=dim, metric=metric)
+        self.registry.adopt(store)
+        if self.persistence is not None:
+            self.persistence.track(store)
+        return store.get_stats()
+
     def distribute_store(self, name: str) -> dict:
         """Move an existing local store onto the mesh."""
         local = self.registry.get(name)

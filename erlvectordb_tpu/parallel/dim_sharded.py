@@ -18,7 +18,7 @@ using a mesh whose DATA axis splits rows and whose model axis splits D.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -109,3 +109,107 @@ def dim_sharded_topk(
     rep = NamedSharding(mesh, P(None))
     fn = _build(mesh, metric, min(k, vectors.shape[0]))
     return fn(vecs, jax.device_put(norms, rep), jax.device_put(valid, rep), q)
+
+
+from erlvectordb_tpu.core.store import VectorStore as _VectorStore  # noqa: E402
+from erlvectordb_tpu.core.store import SearchTicket as _SearchTicket  # noqa: E402
+
+
+class DimShardedVectorStore(_VectorStore):
+    """A store whose FEATURE dimension is split across a 'model' mesh axis —
+    the tensor-parallel store for embeddings too wide for one chip's HBM
+    (e.g. 32k-d embeddings at 100M rows).  The full VectorStore API applies
+    (insert/overwrite/delete/search/stats/snapshots); every [N, D] buffer is
+    placed P(None, 'model'), searches run one psum of partial dot products
+    per batch (see module docstring), and host tables are inherited.
+
+    float32 only: per-row quantization scales depend on the WHOLE row, which
+    a D-sharded layout cannot compute locally without an extra collective —
+    quantized stores belong on the row-sharded layout instead."""
+
+    def __init__(self, name: str, mesh: Mesh, dim=None, metric: str = "cosine"):
+        super().__init__(name, dim=dim, metric=metric, dtype="float32")
+        self.mesh = mesh
+        self.n_model = mesh.shape[MODEL_AXIS]
+        if 128 % self.n_model:
+            raise ValueError("model axis must divide the 128-lane pad width")
+
+    # placement: 2D row×feature buffers split by feature, all else replicated
+    def _put(self, x):
+        arr = jnp.asarray(x)
+        if arr.ndim == 2 and arr.shape[1] % self.n_model == 0 and arr.shape[1]:
+            return jax.device_put(arr, NamedSharding(self.mesh, P(None, MODEL_AXIS)))
+        return jax.device_put(
+            arr, NamedSharding(self.mesh, P(*([None] * arr.ndim))))
+
+    def _pad_capacity(self, new_cap: int) -> None:
+        super()._pad_capacity(new_cap)
+        # jnp.pad may have dropped the placement; re-pin
+        self._vectors = self._put(self._vectors)
+        self._norms = self._put(self._norms)
+        self._valid = self._put(self._valid)
+
+    def _dispatch_locked(self, q, k, metric, fmask=None) -> _SearchTicket:
+        from erlvectordb_tpu.core.search import k_bucket
+        from erlvectordb_tpu.core.store import _next_pow2, _pad128
+
+        nq = q.shape[0]
+        if self._vectors is None or self.count == 0 or k <= 0:
+            return _SearchTicket(None, None, nq, k, 0)
+        kb = k_bucket(min(k, self.count), self._capacity)
+        width = _pad128(q.shape[1])
+        bq = _next_pow2(max(nq, 8))
+        if width != q.shape[1] or bq != nq:
+            import numpy as _np
+
+            qp = _np.zeros((bq, width), _np.float32)
+            qp[:nq, : q.shape[1]] = q
+            q = qp
+        valid = self._valid
+        if fmask is not None:
+            valid = jnp.logical_and(valid, self._put(fmask))
+        fn = _build(self.mesh, metric, kb)
+        dists, rows = fn(self._vectors, self._norms, valid, self._put(q))
+        return _SearchTicket(dists, rows, nq, min(k, self.count), kb)
+
+    def export_state(self) -> dict:
+        state = super().export_state()
+        state["dim_sharded"] = True
+        state["n_model"] = self.n_model
+        return state
+
+    @classmethod
+    def from_state(cls, state: dict, mesh: Optional[Mesh] = None,
+                   device=None) -> "DimShardedVectorStore":
+        mesh = mesh or make_dim_mesh(int(state.get("n_model", 1)))
+        base = _VectorStore.from_state(state)
+        store = cls(state["name"], mesh, dim=base.dim, metric=base.metric)
+        for attr in ("_capacity", "_id_to_row", "_row_to_id", "_metadata",
+                     "_free_rows", "_next_row", "_contig", "_ids_np",
+                     "version", "created_at"):
+            setattr(store, attr, getattr(base, attr))
+        if base._vectors is not None:
+            store._vectors = store._put(base._vectors)
+            store._norms = store._put(base._norms)
+            store._valid = store._put(base._valid)
+        return store
+
+    @classmethod
+    def from_matrix(cls, name: str, matrix, mesh: Optional[Mesh] = None,
+                    ids=None, metric: str = "cosine",
+                    metadatas=None) -> "DimShardedVectorStore":
+        import numpy as _np
+
+        mesh = mesh or make_dim_mesh(len(jax.devices()))
+        arr = _np.asarray(matrix, _np.float32)
+        base = _VectorStore.from_matrix(name, arr, ids=ids, metric=metric,
+                                        metadatas=metadatas)
+        state = base.export_state()
+        state["n_model"] = mesh.shape[MODEL_AXIS]
+        return cls.from_state(state, mesh=mesh)
+
+    def get_stats(self) -> dict:
+        stats = super().get_stats()
+        stats["dim_sharded"] = True
+        stats["model_shards"] = self.n_model
+        return stats

@@ -198,6 +198,10 @@ def load_store(name: str, root: str | os.PathLike, mesh=None):
 
         return ShardedVectorStore.from_state(state, mesh or make_mesh())
     _apply_deltas(state, sdir)
+    if state.get("dim_sharded"):
+        from erlvectordb_tpu.parallel.dim_sharded import DimShardedVectorStore
+
+        return DimShardedVectorStore.from_state(state)
     return VectorStore.from_state(state)
 
 

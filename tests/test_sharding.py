@@ -347,3 +347,68 @@ class TestStreamingBuild:
         with pytest.raises(ValueError):
             ShardedVectorStore.from_chunks(
                 "sb_bad", mesh8, [data], n=200, dim=8, dtype="int8")
+
+
+class TestDimShardedStore:
+    """DimShardedVectorStore: the tensor-parallel store (round-2 facade
+    integration of the D-axis kernel that was previously an orphan)."""
+
+    def test_matches_plain_store(self, rng):
+        from erlvectordb_tpu.parallel.dim_sharded import (
+            DimShardedVectorStore,
+            make_dim_mesh,
+        )
+
+        mesh = make_dim_mesh(4)
+        data = rng.standard_normal((500, 256)).astype(np.float32)
+        ids = [f"v{i}" for i in range(500)]
+        ds = DimShardedVectorStore("dstore", mesh, dim=256)
+        ds.insert_batch(ids, data, [{"i": i} for i in range(500)])
+        ref = VectorStore("dref", dim=256)
+        ref.insert_batch(ids, data)
+        q = data[:8]
+        for metric in ("cosine", "euclidean", "dot", "manhattan"):
+            got = ds.search_batch(q, k=5, metric=metric)
+            want = ref.search_batch(q, k=5, metric=metric)
+            for g, w in zip(got, want):
+                assert [h[0] for h in g] == [h[0] for h in w], metric
+        # mutation + filter
+        assert ds.delete("v3")
+        assert ds.search(data[3], k=1)[0][0] != "v3"
+        hits = ds.search(data[5], k=3, where={"i": 5})
+        assert hits[0][0] == "v5" and len(hits) == 1
+
+    def test_bulk_build_and_snapshot(self, rng, tmp_path):
+        from erlvectordb_tpu.parallel.dim_sharded import (
+            DimShardedVectorStore,
+            make_dim_mesh,
+        )
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        mesh = make_dim_mesh(8)
+        data = rng.standard_normal((300, 128)).astype(np.float32)
+        ds = DimShardedVectorStore.from_matrix("dbulk", data, mesh=mesh)
+        assert ds.get_stats()["model_shards"] == 8
+        assert ds.search(data[9], k=1)[0][0] == "9"
+        save_store(ds, tmp_path)
+        ld = load_store("dbulk", tmp_path)
+        assert type(ld).__name__ == "DimShardedVectorStore"
+        assert ld.search(data[9], k=1)[0][0] == "9"
+        ld.insert("post", data[0] * 2)
+        assert "post" in ld
+
+    def test_facade_verb(self, rng, tmp_path):
+        from erlvectordb_tpu.api import Database
+        from erlvectordb_tpu.infra.config import load_config
+
+        db = Database(load_config(overrides={
+            "persistence_dir": str(tmp_path / "d"),
+            "backup_dir": str(tmp_path / "b"),
+            "sync_interval": 9999}, env={}))
+        stats = db.create_dim_sharded_store("wide", dim=256, n_model=4)
+        assert stats["dim_sharded"] and stats["model_shards"] == 4
+        data = rng.standard_normal((50, 256)).astype(np.float32)
+        st = db.any_store("wide")
+        st.insert_batch([f"x{i}" for i in range(50)], data)
+        assert db.search("wide", data[11], k=1)[0][0] == "x11"
+        db.stop()
