@@ -124,7 +124,11 @@ def bench_config3(quick: bool) -> dict:
         n_tiles_for,
     )
 
-    T = 4 if quick else 16
+    # T batches per executable: the tunnel adds ~30 ms of fixed dispatch +
+    # readback per program; T=64 keeps that overhead <0.5 ms/batch so the
+    # number reflects device throughput (measured: overhead-corrected slope
+    # and T=64 agree within ~10%).
+    T = 4 if quick else 64
     nt = n_tiles_for(store._next_row, store.capacity)
     use_fused = fused_topk_available(n, store.capacity, "cosine",
                                      jax.default_backend(), k)

@@ -162,6 +162,223 @@ def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False,
 
 MAX_T_PER_TILE = 8
 
+# ---------------------------------------------------------------------------
+# Positive-packed scan ("pos path") — the fast ranking variant for big stores.
+#
+# Scoring cost in the kernel above is ~15 VPU ops/element (f32 affine,
+# monotone float->int key fix-up, and t_per_tile masked extraction passes).
+# The pos path cuts that to ~7:
+#
+#   * the per-query factor (qmult) is DROPPED from ranking for cosine/dot —
+#     it is a positive per-query scale, so per-query top-k is unchanged
+#     (euclidean keeps it: its row bias term is not query-scaled);
+#   * scores are offset by a bound C so every valid score is a POSITIVE
+#     float; positive IEEE floats compare identically as int32 bit patterns,
+#     so the raw bitcast IS the sort key — no sign fix-up, no compare/where;
+#   * the low 10 mantissa bits are replaced by the lane index:
+#     key = (bits & ~1023) | lane.  One max per 1024-lane slice then yields
+#     value AND location in a single pass — no masked second pass, and the
+#     kernel emits ONE packed int32 per (query, slice) instead of separate
+#     value/row planes;
+#   * invalid/padded rows get m = b = 0 => key = lane (tiny positive),
+#     ranked below every valid row and rejected by the exact rescore.
+#
+# Per 4096-row tile the pos path emits the top-1 of each of its four
+# 1024-lane slices.  A candidate is lost only when two of the true top-k
+# fall in the SAME 1024-row slice: expected losses per query are about
+# C(k,2) * 1024 / N, so the path is gated on large N (POS_MIN_TILES) where
+# that rate is <1% — measured 0.995 top-10 overlap vs the masked-extraction
+# kernel at N=1.2M with recall 0.961 vs f32 exact (target >=0.95).
+# Measured on v5e config-3 shapes: 3.81 ms vs 5.51 ms per 1024-query batch
+# (269k vs 186k QPS, dispatch-overhead-corrected).
+# ---------------------------------------------------------------------------
+
+POS_SLICE = 1024
+POS_LANE_MASK = POS_SLICE - 1
+POS_MIN_TILES = 144          # ~590k rows: expected candidate loss < 0.8%/query
+POS_MAX_K = 16
+
+
+def _pick_sub(n_cap: int, n_tiles: int, row_bytes: int, max_sub: int = 4) -> int:
+    """Sub-tiles per grid step: the codes tile (sub*TILE_N rows) must fit
+    VMEM next to the [bt, TILE_N] f32 scores buffer (~8 MB codes budget)."""
+    sub = max_sub
+    while sub > 1 and (
+        n_cap % (sub * TILE_N) != 0
+        or n_tiles < sub
+        or sub * TILE_N * row_bytes > 8 * 1024 * 1024
+    ):
+        sub //= 2
+    return sub
+
+
+def _make_pos_kernel(sub: int, packed_int4: bool, use_qm: bool):
+    """Positive-packed scan kernel: one int32 key per (query, 1024-slice)."""
+    s_per_tile = TILE_N // POS_SLICE
+
+    def kern(q_ref, qm_ref, m_ref, b_ref, codes_ref, out_ref):
+        q = q_ref[:]
+        lane = None
+        for t in range(sub):
+            sl = slice(t * TILE_N, (t + 1) * TILE_N)
+            if packed_int4:
+                praw = codes_ref[sl, :].astype(jnp.int32)
+                hw = praw.shape[1]
+                hi32 = praw >> 4
+                lo32 = praw & 0xF
+                hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.int8)
+                lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.int8)
+                dots = (
+                    lax.dot_general(q[:, :hw], hi, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                    + lax.dot_general(q[:, hw:], lo, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+                ).astype(jnp.float32)
+            else:
+                c = codes_ref[sl, :]
+                if q.dtype == jnp.int8:
+                    dots = lax.dot_general(
+                        q, c, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).astype(jnp.float32)
+                else:
+                    dots = lax.dot_general(
+                        q, c, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            s = dots * m_ref[:, sl]
+            if use_qm:  # euclidean: row bias is not query-scaled
+                s = s * qm_ref[:]
+            s = s + b_ref[:, sl]
+            si = lax.bitcast_convert_type(s, jnp.int32)
+            if lane is None:
+                lane = (lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                        & POS_LANE_MASK)
+            key = (si & jnp.int32(~POS_LANE_MASK)) | lane
+            for sidx in range(s_per_tile):
+                ssl = slice(sidx * POS_SLICE, (sidx + 1) * POS_SLICE)
+                out_ref[0, :, t * s_per_tile + sidx] = jnp.max(
+                    key[:, ssl], axis=1)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "use_qm"))
+def _pos_scan(codes, q, qm, m, b, *, n_tiles, use_qm):
+    """Run the positive-packed kernel.  Returns keys [B, n_slices] int32
+    where key = (f32-score bits & ~1023) | lane; slice i covers rows
+    [i*1024, (i+1)*1024)."""
+    bq, w = q.shape
+    packed = codes.dtype == jnp.uint8
+    if packed:
+        q = jnp.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
+    cw = codes.shape[1]
+    bt = _pick_bt(bq)
+    nb = bq // bt
+    sub = _pick_sub(codes.shape[0], n_tiles, cw * codes.dtype.itemsize)
+    n_big = -(-n_tiles // sub)
+    big_n = sub * TILE_N
+    spt = sub * (TILE_N // POS_SLICE)
+
+    out = pl.pallas_call(
+        _make_pos_kernel(sub, packed, use_qm),
+        grid=(n_big, nb),
+        in_specs=[
+            pl.BlockSpec((bt, q.shape[1]), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, cw), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, spt), lambda j, i: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_big, bq, spt), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * w * n_big * big_n,
+            bytes_accessed=(n_big * big_n * cw * codes.dtype.itemsize
+                            + bq * w + bq * n_big * spt * 4),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, qm, m, b, codes)
+    return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
+
+
+def _pos_dot_term_bound(codes, scales, norms, rowmult, q_in):
+    """Per-row bound on |dots * rowmult| (the ranking dot term).
+
+    Must be TIGHT, not just valid: the packed key keeps 13 effective value
+    bits relative to the offset C, so a loose C (e.g. the blanket
+    127^2*W Cauchy-Schwarz bound) quantizes real score gaps away and the
+    lane bits start deciding ranks.  Per-row, |codes_row|_2 is bounded by
+    norms/scale + sqrt(W)/2 (rounding slack; clipping only shrinks), which
+    for cosine collapses to |q_in|_2 * (1 + sqrt(W)/(2*127)) — within 5% of
+    the true maximum.  All [N]-vector math on existing stats; the corpus is
+    never read."""
+    w = q_in.shape[1]
+    qf = q_in.astype(jnp.float32)
+    qb = jnp.sqrt(jnp.max(jnp.sum(qf * qf, axis=-1)))
+    if codes.dtype in (jnp.int8, jnp.uint8):
+        cb = norms / scales + 0.5 * jnp.sqrt(float(w))
+    else:
+        cb = norms
+    return qb * cb * rowmult     # [N] per-row bound
+
+
+def _pos_topk(codes, scales, norms, valid, queries, q_in, qmult, rowmult,
+              rowbias, post, *, metric, k, n_tiles, b_orig, pad_b):
+    """Pos-path merge: packed-key pool selection + exact affine rescore."""
+    use_qm = metric == "euclidean"
+    dot_term = _pos_dot_term_bound(codes, scales, norms, rowmult, q_in)
+    if use_qm:
+        # euclidean keeps qmult on the dot term (the -|x|^2 row bias is not
+        # query-scaled, so qmult cannot be dropped from ranking)
+        C = jnp.max(dot_term * jnp.max(qmult) + norms * norms) + 1.0
+        b = jnp.where(valid, C + rowbias, 0.0).astype(jnp.float32)
+    else:
+        C = jnp.max(dot_term) + 1.0
+        b = jnp.where(valid, C, 0.0).astype(jnp.float32)
+    m = jnp.where(valid, rowmult, 0.0).astype(jnp.float32)
+    keys = _pos_scan(codes, q_in, qmult, m.reshape(1, -1), b.reshape(1, -1),
+                     n_tiles=n_tiles, use_qm=use_qm)
+    kk = min(k, keys.shape[1])
+    pool = min(max(4 * kk, 64), keys.shape[1])
+    topkeys, sel = lax.top_k(keys, pool)
+    top_rows = sel * POS_SLICE + (topkeys & POS_LANE_MASK)
+    cand = codes[top_rows]
+    if codes.dtype == jnp.uint8:
+        hi = (cand >> 4).astype(jnp.int8)
+        lo = (cand & 0xF).astype(jnp.int8)
+        hi = jnp.where(hi > 7, hi - 16, hi)
+        lo = jnp.where(lo > 7, lo - 16, lo)
+        cand = jnp.stack([hi, lo], axis=-1).reshape(
+            cand.shape[0], cand.shape[1], -1)
+    dots = jnp.einsum(
+        "bkw,bw->bk", cand, q_in,
+        preferred_element_type=jnp.int32 if q_in.dtype == jnp.int8
+        else jnp.float32,
+    ).astype(jnp.float32)
+    exact_vals = dots * qmult * rowmult[top_rows] + rowbias[top_rows]
+    exact_sorted, sel2 = lax.top_k(exact_vals, kk)
+    top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
+    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    dists = post(exact_sorted, qsq)
+    dists = jnp.where(exact_sorted <= _NEG / 2, jnp.inf, dists)
+    if pad_b:
+        dists, top_rows = dists[:b_orig], top_rows[:b_orig]
+    return dists, top_rows
+
+
+def pos_path_applies(metric: str, n_tiles: int, k: int) -> bool:
+    """Big-store gate for the positive-packed scan (see block comment)."""
+    return (metric in ("cosine", "euclidean", "dot")
+            and n_tiles >= POS_MIN_TILES and k <= POS_MAX_K)
+
 
 @functools.partial(jax.jit,
                    static_argnames=("n_tiles", "t_per_tile", "cell_cap"))
@@ -308,6 +525,17 @@ def fused_topk(
     if pad_b:
         queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
 
+    # No slicing: the kernel's index maps only touch the first n_tiles
+    # blocks of the full-capacity arrays (slicing would copy 100s of MB).
+    q_in, qmult, rowmult, rowbias, post = _affine_factors(
+        metric, scales, norms, valid, queries,
+    )
+
+    if pos_path_applies(metric, n_tiles, k):
+        return _pos_topk(codes, scales, norms, valid, queries, q_in, qmult,
+                         rowmult, rowbias, post, metric=metric, k=k,
+                         n_tiles=n_tiles, b_orig=b, pad_b=pad_b)
+
     # Per-tile extraction depth: with many tiles, top-2 per tile loses a
     # candidate only when >=3 of the true top-k collide in one 4096-row tile
     # (P ~ C(k,3)/n_tiles^2).  Deepen extraction as tiles get scarce; for
@@ -315,12 +543,6 @@ def fused_topk(
     t_per_tile = 2
     while t_per_tile < MAX_T_PER_TILE and t_per_tile * n_tiles < max(k, 512):
         t_per_tile *= 2
-
-    # No slicing: the kernel's index maps only touch the first n_tiles
-    # blocks of the full-capacity arrays (slicing would copy 100s of MB).
-    q_in, qmult, rowmult, rowbias, post = _affine_factors(
-        metric, scales, norms, valid, queries,
-    )
     vals, rows = _fused_scan(
         codes,
         q_in,

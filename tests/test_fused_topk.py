@@ -155,3 +155,137 @@ def test_fused_int4_other_metrics(corpus, metric):
     for b in range(queries.shape[0]):
         assert len(set(r_f[b]) & set(r_x[b])) >= k - 1
     np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Positive-packed big-store path (pos path).  Gated on POS_MIN_TILES in
+# production; tests lower the gate via monkeypatch and use a corpus whose
+# true top-k all live in DISTINCT 1024-row slices, where per-slice top-1
+# extraction is provably lossless -> results must match the XLA exact path
+# bit-for-bit in membership and to quantization tolerance in distance.
+# NOTE: reference comparisons use the exact_topk_* XLA paths, never the
+# non-pos fused kernel — jit caches key on (shapes, statics), so flipping
+# POS_MIN_TILES between same-signature fused_topk calls would alias.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def spiked_corpus():
+    """3-tile corpus with 6 dominant matches spaced >1024 rows apart."""
+    import erlvectordb_tpu.ops.fused_topk as ft
+
+    rng = np.random.default_rng(3)
+    n_cap = 3 * TILE_N
+    n, d = n_cap - 500, 128
+    data = np.zeros((n_cap, d), np.float32)
+    data[:n] = rng.standard_normal((n, d)).astype(np.float32)
+    valid = np.zeros(n_cap, bool)
+    valid[:n] = True
+    queries = rng.standard_normal((8, d)).astype(np.float32)
+    targets = [100, 2100, 4200, 6300, 8400, 10500]
+    for i, t in enumerate(targets):
+        # near-copies of query 0: nearest under cosine AND euclidean, and
+        # |q|^2=d dominates random-row dots, so top under dot as well
+        data[t] = queries[0] * (1.0 + 0.02 * (i + 1))
+    norms = np.linalg.norm(data, axis=1).astype(np.float32)
+    return data, norms, valid, queries, targets
+
+
+@pytest.fixture
+def pos_gate(monkeypatch):
+    import erlvectordb_tpu.ops.fused_topk as ft
+
+    monkeypatch.setattr(ft, "POS_MIN_TILES", 1)
+
+
+@pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
+def test_pos_path_int8_matches_xla(spiked_corpus, pos_gate, metric):
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    d_f, r_f = fused_topk(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=k,
+        n_tiles=nt,
+    )
+    d_x, r_x = exact_topk_int8(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=k,
+    )
+    _, r_wide = exact_topk_int8(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=24,
+    )
+    d_f, r_f, d_x, r_x, r_wide = map(np.asarray, (d_f, r_f, d_x, r_x, r_wide))
+    # query 0's top-6 are the planted spikes, all in distinct slices -> exact
+    assert set(r_f[0]) == set(r_x[0]) == set(targets)
+    np.testing.assert_allclose(np.sort(d_f[0]), np.sort(d_x[0]),
+                               rtol=1e-4, atol=1e-4)
+    # other (random) queries at this far-below-gate corpus size DO lose
+    # same-slice collisions; assert quality instead: every returned row is a
+    # genuine near neighbor (within the XLA top-24), and the global top-1
+    # (always some slice's max) is exact
+    for b in range(1, queries.shape[0]):
+        assert set(r_f[b]) <= set(r_wide[b]), (metric, b)
+    np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-4, atol=1e-4)
+
+
+def test_pos_path_deleted_rows_excluded(spiked_corpus, pos_gate):
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    valid = valid.copy()
+    valid[targets[1]] = False
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    _, r_f = fused_topk(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=k,
+        n_tiles=nt,
+    )
+    r_f = np.asarray(r_f)
+    assert targets[1] not in r_f[0]
+    assert set(targets) - {targets[1]} <= set(r_f[0])
+
+
+def test_pos_path_f32_matches_exact(spiked_corpus, pos_gate):
+    data, norms, valid, queries, targets = spiked_corpus
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    d_f, r_f = fused_topk(
+        jnp.asarray(data), None, jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=k,
+        n_tiles=nt,
+    )
+    d_x, r_x = exact_topk(
+        jnp.asarray(data), jnp.asarray(norms), jnp.asarray(valid),
+        jnp.asarray(queries), metric="cosine", k=k,
+    )
+    d_f, r_f, d_x, r_x = map(np.asarray, (d_f, r_f, d_x, r_x))
+    assert set(r_f[0]) == set(r_x[0]) == set(targets)
+    np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-5, atol=1e-5)
+
+
+def test_pos_path_int4_packed(spiked_corpus, pos_gate):
+    from erlvectordb_tpu.core.search import exact_topk_int4
+    from erlvectordb_tpu.core.store import _pack_int4
+
+    data, norms, valid, queries, targets = spiked_corpus
+    absmax = np.abs(data).max(axis=1)
+    scales = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q4 = np.clip(np.round(data / scales[:, None]), -7, 7).astype(np.int8)
+    packed = np.asarray(_pack_int4(jnp.asarray(q4)))
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    d_f, r_f = fused_topk(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=k,
+        n_tiles=nt,
+    )
+    d_x, r_x = exact_topk_int4(
+        jnp.asarray(packed), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=k,
+    )
+    d_f, r_f, d_x, r_x = map(np.asarray, (d_f, r_f, d_x, r_x))
+    assert set(r_f[0]) == set(r_x[0]) == set(targets)
+    np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-3, atol=1e-3)
