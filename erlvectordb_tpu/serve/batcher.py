@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import queue
 import threading
+import time
 from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
@@ -35,6 +36,10 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 from erlvectordb_tpu.utils.metrics import metrics
+
+
+class OverloadedError(RuntimeError):
+    """Raised/delivered when the batcher's waiting queue is full."""
 
 
 @dataclass
@@ -48,14 +53,27 @@ class _Pending:
 
 class QueryBatcher:
     def __init__(self, get_store, max_batch: int = 256, max_wait: float = 0.002,
-                 max_inflight: int = 8):
+                 max_inflight: int = 8, max_queue: int = 8192,
+                 min_wait: float = 0.0002):
         """``get_store(name)`` resolves a store (Database.any_store).
         ``max_inflight`` bounds dispatched-but-unread device batches (device
-        queue depth / memory backpressure)."""
+        queue depth / memory backpressure).
+
+        The collection window is ADAPTIVE between ``min_wait`` and
+        ``max_wait``: while the device is busy (batches in flight) the
+        collector waits up to half the EWMA batch service time — extra
+        waiting is free when the device is the bottleneck and grows the
+        batch; when the device is idle it waits only ``min_wait`` so a lone
+        query is not taxed the full window.  ``max_queue`` bounds waiting
+        requests across all groups; past it, submits fail fast with
+        ``OverloadedError`` instead of growing an unbounded backlog."""
         self._get_store = get_store
         self.max_batch = max_batch
         self.max_wait = max_wait
+        self.min_wait = min_wait
+        self.max_queue = max_queue
         self._queues: Dict[Tuple, List[_Pending]] = defaultdict(list)
+        self._depth = 0                      # waiting requests, under _lock
         self._lock = threading.Lock()
         self._wake = threading.Event()
         self._stop = threading.Event()
@@ -63,6 +81,8 @@ class QueryBatcher:
         self._completer: Optional[threading.Thread] = None
         self._completion_q: "queue.Queue" = queue.Queue()
         self._inflight = threading.Semaphore(max_inflight)
+        self._inflight_n = 0                 # gauge mirror of the semaphore
+        self._service_ewma = 0.0             # seconds per device batch
 
     # ------------------------------------------------------------- lifecycle
 
@@ -94,6 +114,7 @@ class QueryBatcher:
         with self._lock:
             leftovers = [p for q in self._queues.values() for p in q]
             self._queues.clear()
+            self._depth = 0
         err = RuntimeError("batcher stopped")
         for p in leftovers:
             self._deliver(p, None, err)
@@ -117,9 +138,17 @@ class QueryBatcher:
         where_key = json.dumps(where, sort_keys=True) if where else None
         key = (store, int(k), metric, int(p.query.shape[-1]), where_key)
         with self._lock:
+            if self._depth >= self.max_queue:
+                metrics.inc("batcher.shed")
+                err = OverloadedError(
+                    f"batcher queue full ({self.max_queue} waiting)")
+                self._deliver(p, None, err)
+                return p
             self._queues[key].append(p)
+            self._depth += 1
             depth = len(self._queues[key])
         metrics.inc("batcher.enqueued")
+        metrics.gauge("batcher.queue_depth", self._depth)
         if depth >= self.max_batch:
             self._wake.set()
         return p
@@ -133,18 +162,18 @@ class QueryBatcher:
         or, with ``raw=True``, ``((dists, rows, ids) columns, error)``
         without per-hit tuples (the binary serving encoding).
         This is the MCP ``search_vectors_batch`` fast path."""
-        self._inflight.acquire()
+        self._acquire_inflight()
+        t0 = time.perf_counter()
         try:
             store_obj = self._get_store(store)
             ticket = store_obj.search_batch_submit(queries, k=k, metric=metric,
                                                    where=where)
         except Exception as e:  # noqa: BLE001
-            self._inflight.release()
+            self._release_inflight()
             callback(None, e)
             return
         metrics.inc("batcher.batched_queries", int(np.shape(queries)[0]))
-        self._completion_q.put((store_obj, ticket, callback, raw)
-                               if raw else (store_obj, ticket, callback))
+        self._completion_q.put((store_obj, ticket, callback, raw, t0))
 
     def search(self, store: str, query, k: int = 10,
                metric: Optional[str] = None, timeout: float = 300.0,
@@ -175,23 +204,44 @@ class QueryBatcher:
         if p.event is not None:
             p.event.set()
 
+    def _effective_wait(self) -> float:
+        """Adaptive collection window.  Device busy -> up to half the EWMA
+        batch service time (bounded by max_wait); device idle -> min_wait."""
+        if self._inflight_n == 0:
+            return self.min_wait
+        half = self._service_ewma / 2.0
+        return min(self.max_wait, max(self.min_wait, half))
+
     def _loop(self) -> None:
         """Collector: group + dispatch (never blocks on the device)."""
         while not self._stop.is_set():
-            self._wake.wait(self.max_wait)
+            self._wake.wait(self._effective_wait())
             self._wake.clear()
             with self._lock:
                 batches = {k: v for k, v in self._queues.items() if v}
                 self._queues.clear()
+                self._depth = 0
+            metrics.gauge("batcher.queue_depth", 0)
             for (store_name, k, metric, _dim, where_key), pendings in batches.items():
                 # cap each device batch; oversize groups split
                 for i in range(0, len(pendings), self.max_batch):
                     self._dispatch(store_name, k, metric,
                                    pendings[i : i + self.max_batch], where_key)
 
+    def _acquire_inflight(self) -> None:
+        self._inflight.acquire()
+        self._inflight_n += 1
+        metrics.gauge("batcher.inflight", self._inflight_n)
+
+    def _release_inflight(self) -> None:
+        self._inflight_n -= 1
+        self._inflight.release()
+        metrics.gauge("batcher.inflight", self._inflight_n)
+
     def _dispatch(self, store_name: str, k: int, metric: Optional[str],
                   pendings: List[_Pending], where_key=None) -> None:
-        self._inflight.acquire()
+        self._acquire_inflight()
+        t0 = time.perf_counter()
         try:
             where = json.loads(where_key) if where_key else None
             store = self._get_store(store_name)
@@ -199,13 +249,13 @@ class QueryBatcher:
             ticket = store.search_batch_submit(qs, k=k, metric=metric,
                                                where=where)
         except Exception as e:  # noqa: BLE001 — deliver the error per caller
-            self._inflight.release()
+            self._release_inflight()
             for p in pendings:
                 self._deliver(p, None, e)
             return
         metrics.inc("batcher.batched_queries", len(pendings))
         metrics.observe("batcher.batch_size", float(len(pendings)))
-        self._completion_q.put((store, ticket, pendings))
+        self._completion_q.put((store, ticket, pendings, False, t0))
 
     def _completion_loop(self) -> None:
         """Readback + host mapping + delivery, overlapped with dispatch."""
@@ -213,8 +263,7 @@ class QueryBatcher:
             item = self._completion_q.get()
             if item is None:
                 return
-            raw = len(item) == 4
-            store, ticket, pendings = item[:3]
+            store, ticket, pendings, raw, t0 = item
             results, err = None, None
             try:
                 with metrics.timed("batcher.batch"):
@@ -223,7 +272,14 @@ class QueryBatcher:
             except Exception as e:  # noqa: BLE001
                 err = e
             finally:
-                self._inflight.release()
+                # EWMA of dispatch->completion service time drives the
+                # adaptive collection window
+                dt = time.perf_counter() - t0
+                self._service_ewma = (0.8 * self._service_ewma + 0.2 * dt
+                                      if self._service_ewma else dt)
+                metrics.gauge("batcher.service_ewma_ms",
+                              round(self._service_ewma * 1e3, 3))
+                self._release_inflight()
             if callable(pendings):  # group callback (submit_group)
                 try:
                     pendings(results, err)

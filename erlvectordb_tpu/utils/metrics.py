@@ -54,12 +54,18 @@ class MetricsRegistry:
     def __init__(self):
         self._counters: Dict[str, int] = {}
         self._histograms: Dict[str, Histogram] = {}
+        self._gauges: Dict[str, float] = {}
         self._lock = threading.Lock()
         self.started_at = time.time()
 
     def inc(self, name: str, value: int = 1) -> None:
         with self._lock:
             self._counters[name] = self._counters.get(name, 0) + value
+
+    def gauge(self, name: str, value: float) -> None:
+        """Set an instantaneous value (queue depth, in-flight count, ...)."""
+        with self._lock:
+            self._gauges[name] = float(value)
 
     def observe(self, name: str, seconds: float) -> None:
         with self._lock:
@@ -82,6 +88,7 @@ class MetricsRegistry:
             return {
                 "uptime_seconds": round(time.time() - self.started_at, 1),
                 "counters": dict(self._counters),
+                "gauges": dict(self._gauges),
                 "latencies": {k: h.snapshot() for k, h in self._histograms.items()},
             }
 
@@ -92,6 +99,10 @@ class MetricsRegistry:
             for name, v in sorted(self._counters.items()):
                 safe = "evdb_" + name.replace(".", "_").replace("-", "_")
                 lines.append(f"# TYPE {safe} counter")
+                lines.append(f"{safe} {v}")
+            for name, v in sorted(self._gauges.items()):
+                safe = "evdb_" + name.replace(".", "_").replace("-", "_")
+                lines.append(f"# TYPE {safe} gauge")
                 lines.append(f"{safe} {v}")
             for name, h in sorted(self._histograms.items()):
                 safe = "evdb_" + name.replace(".", "_").replace("-", "_")
@@ -110,6 +121,7 @@ class MetricsRegistry:
         with self._lock:
             self._counters.clear()
             self._histograms.clear()
+            self._gauges.clear()
 
 
 # process-wide default registry

@@ -90,3 +90,48 @@ def test_stop_fails_pending(setup):
     # degraded direct path still works after stop
     hits = batcher.search("b", data[5], k=1)
     assert hits[0][0] == "v5"
+
+
+def test_backpressure_sheds_past_max_queue(setup):
+    from erlvectordb_tpu.serve.batcher import OverloadedError
+
+    registry, _, data = setup
+    # a batcher that is NOT started: submissions accumulate, so the bound
+    # is deterministic
+    b = QueryBatcher(lambda name: registry.get(name), max_queue=3)
+    errs = []
+    oks = []
+    for i in range(5):
+        p = b.submit("b", data[0], k=1,
+                     callback=lambda r, e: (errs if e else oks).append(e or r))
+    assert len(errs) == 2
+    assert all(isinstance(e, OverloadedError) for e in errs)
+    assert metrics.snapshot()["counters"].get("batcher.shed", 0) >= 2
+
+
+def test_adaptive_window_tracks_service_time(setup):
+    registry, _, _ = setup
+    b = QueryBatcher(lambda name: registry.get(name),
+                     max_wait=0.004, min_wait=0.0002)
+    # idle device -> floor
+    assert b._effective_wait() == b.min_wait
+    # busy device with slow batches -> capped at max_wait
+    b._inflight_n = 2
+    b._service_ewma = 0.1
+    assert b._effective_wait() == b.max_wait
+    # busy device with fast batches -> half the EWMA, floored
+    b._service_ewma = 0.002
+    assert abs(b._effective_wait() - 0.001) < 1e-9
+    b._service_ewma = 0.0001
+    assert b._effective_wait() == b.min_wait
+
+
+def test_service_ewma_and_gauges_update(setup):
+    _, batcher, data = setup
+    metrics.reset()
+    for _ in range(3):
+        batcher.search("b", data[0], k=1)
+    snap = metrics.snapshot()
+    assert snap["gauges"].get("batcher.service_ewma_ms", 0) > 0
+    assert "batcher.inflight" in snap["gauges"]
+    assert batcher._service_ewma > 0
