@@ -77,6 +77,16 @@ class Application:
                     self.db, host, port, health=self.health,
                     port_manager=self.port_manager,
                 ).start()
+            if self.config.grpc_enabled:
+                from erlvectordb_tpu.serve.grpc_server import GRPC_AVAILABLE
+
+                if GRPC_AVAILABLE:
+                    from erlvectordb_tpu.serve.grpc_server import GrpcServer
+
+                    factories["grpc_server"] = lambda host, port: GrpcServer(
+                        self.db, host, port).start()
+                else:  # pragma: no cover - grpcio is present in this image
+                    logger.warning("grpc_enabled but grpcio missing; skipping")
             self.coordinator.coordinate_startup(factories)
 
             if self.config.container_mode:

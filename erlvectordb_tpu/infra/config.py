@@ -33,12 +33,14 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
 
-SERVICES = ("mcp_server", "oauth_server", "rest_api", "health_check")
+SERVICES = ("mcp_server", "oauth_server", "rest_api", "grpc_server",
+            "health_check")
 
 _ENV_SERVICE_NAMES = {
     "mcp_server": "MCP_SERVER",
     "oauth_server": "OAUTH_SERVER",
     "rest_api": "REST_API",
+    "grpc_server": "GRPC_SERVER",
     "health_check": "HEALTH_CHECK",
 }
 
@@ -51,11 +53,13 @@ _DEFAULTS = {
                          required=True, health_check_path="/oauth/client_info"),
     "rest_api": dict(preferred_port=8082, range=(8082, 8099), startup_order=3,
                      required=False, health_check_path="/health"),
-    "health_check": dict(preferred_port=8090, range=(8090, 8099), startup_order=4,
+    "grpc_server": dict(preferred_port=8083, range=(8083, 8099), startup_order=4,
+                        required=False, health_check_path="/"),
+    "health_check": dict(preferred_port=8090, range=(8090, 8099), startup_order=5,
                          required=False, health_check_path="/health"),
 }
 _DEV_BASE = {"mcp_server": 9080, "oauth_server": 9081, "rest_api": 9082,
-             "health_check": 9090}
+             "grpc_server": 9083, "health_check": 9090}
 _DEV_RANGE_SIZE = 20
 
 
@@ -107,6 +111,8 @@ class Config:
     replication_factor: int = 1
     # rest
     rest_api_enabled: bool = True
+    # grpc (parity-plus frontend; needs grpcio — degrades to disabled without)
+    grpc_enabled: bool = True
     # serving: pre-compile search programs for loaded stores at startup
     warmup_on_start: bool = False
 
@@ -227,7 +233,7 @@ def load_config(
                     "oauth_enabled", "access_token_lifetime", "refresh_token_lifetime",
                     "default_client_id", "default_client_secret",
                     "cluster_enabled", "replication_factor", "rest_api_enabled",
-                    "warmup_on_start",
+                    "grpc_enabled", "warmup_on_start",
                     "bind_all_interfaces", "graceful_shutdown_timeout",
                     "log_port_mappings"):
             if key in doc:

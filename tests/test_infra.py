@@ -33,7 +33,8 @@ BASE = 23100  # test port range, away from real services
 
 def _make_config(**service_ports):
     overrides = {"services": {}, "persistence_enabled": False}
-    for i, name in enumerate(("mcp_server", "oauth_server", "rest_api", "health_check")):
+    for i, name in enumerate(("mcp_server", "oauth_server", "rest_api",
+                              "grpc_server", "health_check")):
         base = service_ports.get(name, BASE + i * 20)
         overrides["services"][name] = {
             "preferred_port": base, "range": (base, base + 19),
@@ -148,7 +149,8 @@ class TestPortAllocation:
         cfg = _make_config()
         pm = PortManager(cfg)
         ports = pm.allocate_all()
-        assert set(ports) == {"mcp_server", "oauth_server", "rest_api", "health_check"}
+        assert set(ports) == {"mcp_server", "oauth_server", "rest_api",
+                              "grpc_server", "health_check"}
         pm.release_all()
 
     def test_batch_rollback_on_failure(self):
