@@ -698,12 +698,30 @@ class ShardedVectorStore:
                 "free": [list(f) for f in self._free],
             }
             if self._vectors is not None:
-                state["vectors"] = np.asarray(self._vectors)
-                state["norms"] = np.asarray(self._norms)
-                state["valid"] = np.asarray(self._valid)
+                state["vectors"] = self._host_global(self._vectors)
+                state["norms"] = self._host_global(self._norms)
+                state["valid"] = self._host_global(self._valid)
                 if self._scales is not None:
-                    state["scales"] = np.asarray(self._scales)
+                    state["scales"] = self._host_global(self._scales)
             return state
+
+    def _host_global(self, x) -> np.ndarray:
+        """Bring a (possibly cross-process) sharded array fully to host.
+
+        Single-process: a plain device_get.  Multi-process: shards owned by
+        other hosts are not addressable, so np.asarray would fail — a jitted
+        identity with fully-replicated out_sharding makes every host hold
+        the whole array (one cross-host collective, the bulk analogue of the
+        reference's per-vector rpc migration).  COOPERATIVE: every process
+        in the group must call export_state together (each host's
+        PersistenceManager does), like any other collective."""
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        rep = jax.jit(
+            lambda a: a,
+            out_shardings=NamedSharding(self.mesh, P()),
+        )(x)
+        return np.asarray(rep.addressable_data(0))
 
     @classmethod
     def from_state(cls, state: dict, mesh: Mesh) -> "ShardedVectorStore":

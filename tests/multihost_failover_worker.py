@@ -1,0 +1,131 @@
+"""Worker for the kill-a-host failure drill (run by test_multihost.py).
+
+Three roles:
+
+  survivor <coord> <hb_port> <outdir>  — process 0 of a 2-process group:
+      builds the sharded store, snapshots it cooperatively, records the
+      expected search results, then heartbeats the victim's TCP port until
+      the victim dies (the reference's monitor_node/nodedown analogue,
+      src/cluster_manager.erl:217,246-256) and exits 0 on detection.
+  victim <coord> <hb_port> <outdir>    — process 1: participates in the
+      build + cooperative snapshot, then answers heartbeats until SIGKILLed
+      by the test.
+  restore <outdir>                     — a FRESH single-process "cluster"
+      with 4 devices (half the original 8): re-hydrates the snapshot with
+      topology resharding (8 shards -> 4-device mesh) and verifies search
+      parity with the recorded pre-failure results.  This is the honest
+      TPU-native recovery story: a dead host cannot be elastically dropped
+      from a live XLA process group, so recovery = reform a smaller group +
+      restore from the (replicated/persisted) snapshot — replacing the
+      reference's log-only under-replication handling (:408-425).
+
+Usage: python multihost_failover_worker.py <role> <args...>
+"""
+
+import json
+import socket
+import sys
+import time
+from pathlib import Path
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+import numpy as np  # noqa: E402
+
+
+def _build(mesh):
+    from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((1024, 32)).astype(np.float32)
+    store = ShardedVectorStore.from_matrix("drill", mesh, data,
+                                           dtype="float32")
+    return store, data
+
+
+def main() -> int:
+    role = sys.argv[1]
+
+    if role == "restore":
+        outdir = Path(sys.argv[2])
+        from erlvectordb_tpu.parallel.mesh import make_mesh
+        from erlvectordb_tpu.persist.snapshot import load_store
+
+        mesh = make_mesh(n_data=4, n_replica=1)
+        store = load_store("drill", outdir / "snaps", mesh=mesh)
+        assert store is not None, "snapshot missing"
+        assert store.count == 1024, store.count
+        expected = json.loads((outdir / "expected.json").read_text())
+        rng = np.random.default_rng(7)
+        data = rng.standard_normal((1024, 32)).astype(np.float32)
+        got = store.search_batch(data[10:14], k=3)
+        for row, want in zip(got, expected):
+            assert [h[0] for h in row] == [w[0] for w in want], (row, want)
+            for h, w in zip(row, want):
+                assert abs(h[2] - w[1]) < 1e-4, (h, w)
+        print("RESTORED_OK", flush=True)
+        return 0
+
+    coord, hb_port, outdir = sys.argv[2], int(sys.argv[3]), Path(sys.argv[4])
+    pid = 0 if role == "survivor" else 1
+
+    from erlvectordb_tpu.parallel.mesh import init_distributed, make_mesh
+    from erlvectordb_tpu.persist import snapshot as snap
+
+    init_distributed(coordinator_address=coord, num_processes=2,
+                     process_id=pid)
+    assert jax.process_count() == 2
+
+    mesh = make_mesh(n_data=8, n_replica=1)
+    store, data = _build(mesh)
+
+    # EVERY global op below is a cross-process collective, so both processes
+    # run the identical sequence before their roles diverge:
+    #   1. the pre-failure search (its all_gather crosses processes),
+    #   2. the cooperative snapshot (export_state replicates to every host —
+    #      exactly how per-host PersistenceManagers would run).
+    hits = store.search_batch(data[10:14], k=3)
+    snap.save_store(store, outdir / ("snaps" if pid == 0 else "snaps_victim"))
+
+    if role == "victim":
+        srv = socket.socket()
+        srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        srv.bind(("127.0.0.1", hb_port))
+        srv.listen(8)
+        print("READY", flush=True)
+        while True:  # answer heartbeats until SIGKILLed
+            c, _ = srv.accept()
+            c.close()
+
+    # survivor: record pre-failure truth, then monitor the peer
+    (outdir / "expected.json").write_text(json.dumps(
+        [[[h[0], h[2]] for h in row] for row in hits]))
+    # wait for the victim's heartbeat listener
+    for _ in range(100):
+        try:
+            socket.create_connection(("127.0.0.1", hb_port), timeout=1).close()
+            break
+        except OSError:
+            time.sleep(0.1)
+    print("READY", flush=True)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            socket.create_connection(("127.0.0.1", hb_port), timeout=1).close()
+            time.sleep(0.1)
+        except OSError:
+            print("PEER_LOSS_DETECTED", flush=True)
+            # hard exit: jax.distributed's atexit shutdown would block on a
+            # barrier with the dead peer — a real recovery path cannot wait
+            # for a dead host either
+            import os
+            os._exit(0)
+    print("PEER_NEVER_DIED", flush=True)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
