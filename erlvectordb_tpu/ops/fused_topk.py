@@ -337,8 +337,16 @@ def _pos_topk(codes, scales, norms, valid, queries, q_in, qmult, rowmult,
     dot_term = _pos_dot_term_bound(codes, scales, norms, rowmult, q_in)
     if use_qm:
         # euclidean keeps qmult on the dot term (the -|x|^2 row bias is not
-        # query-scaled, so qmult cannot be dropped from ranking)
-        C = jnp.max(dot_term * jnp.max(qmult) + norms * norms) + 1.0
+        # query-scaled, so qmult cannot be dropped from ranking).  The
+        # per-query factor must be coupled with each query's own norm:
+        # PADDED (all-zero) queries get a defaulted q_scale of 1.0, so a
+        # bare max(qmult) can inflate C ~100x, and the packed key's value
+        # bits quantize relative to C — real score gaps would vanish.
+        qf = q_in.astype(jnp.float32)
+        qb_per = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))  # [B,1]
+        qb_all = jnp.maximum(jnp.max(qb_per), 1e-9)
+        qm_eff = jnp.max(qmult * qb_per) / qb_all   # 0-weighted for padding
+        C = jnp.max(dot_term * qm_eff + norms * norms) + 1.0
         b = jnp.where(valid, C + rowbias, 0.0).astype(jnp.float32)
     else:
         C = jnp.max(dot_term) + 1.0
@@ -378,6 +386,133 @@ def pos_path_applies(metric: str, n_tiles: int, k: int) -> bool:
     """Big-store gate for the positive-packed scan (see block comment)."""
     return (metric in ("cosine", "euclidean", "dot")
             and n_tiles >= POS_MIN_TILES and k <= POS_MAX_K)
+
+
+def _make_pos_residual_kernel(sub: int, cell_cap: int):
+    """Positive-packed scan for cell-residual (int4r) stores.
+
+    Score (all metrics, divided by the positive per-query factor qmult2):
+        s = (dots_res * qA) * mA + tdot * mB + b
+    where tdot is the per-(query, cell) centroid-dot bias EXPANDED TO LANES
+    BY AN MXU MATMUL against a constant block-indicator matrix E
+    [cells_per_tile, TILE_N] (E[c, l] = 1 iff lane l belongs to cell c).
+    The masked-extraction kernel expands the same term with an in-kernel
+    transpose + broadcast/reshape — both lower to expensive VPU
+    lane-shuffles in Mosaic; one [cpt, bt] x [cpt, TILE_N] contraction is
+    ~34 M MACs of MXU time instead (and consumes the transposed table
+    layout directly, no transpose at all).
+
+    Unlike the plain pos kernel this extracts the TOP-2 of each 1024-slice
+    (one extra masked max pass): int4r's cell-major layout puts a row's
+    nearest neighbors in the SAME cell, and a cell always fits inside one
+    slice, so slice-top-1 systematically drops same-cell co-neighbors —
+    simulated candidate recall@10 on the clustered bench corpus layout is
+    0.69 for top-1/slice (any slice width >= cell_cap) vs 0.93 for
+    top-2/slice == the masked path's top-2/4096-tile."""
+    s_per_tile = TILE_N // POS_SLICE
+    cpt = TILE_N // cell_cap
+
+    def kern(q_ref, qa_ref, ma_ref, mb_ref, b_ref, table_ref, codes_ref,
+             out_ref):
+        q = q_ref[:]
+        lane = None
+        ecell = None
+        for t in range(sub):
+            sl = slice(t * TILE_N, (t + 1) * TILE_N)
+            praw = codes_ref[sl, :].astype(jnp.int32)
+            hw = praw.shape[1]
+            hi32 = praw >> 4
+            lo32 = praw & 0xF
+            hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.int8)
+            lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.int8)
+            dots = (
+                lax.dot_general(q[:, :hw], hi, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+                + lax.dot_general(q[:, hw:], lo, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+            ).astype(jnp.float32)
+            if ecell is None:
+                cell_of_lane = (
+                    lax.broadcasted_iota(jnp.int32, (cpt, TILE_N), 1)
+                    // cell_cap)
+                cell_idx = lax.broadcasted_iota(jnp.int32, (cpt, TILE_N), 0)
+                ecell = (cell_of_lane == cell_idx).astype(jnp.float32)
+                lane = (lax.broadcasted_iota(jnp.int32, dots.shape, 1)
+                        & POS_LANE_MASK)
+            # [cpt, bt] x [cpt, TILE_N] -> [bt, TILE_N] (contract cell dim);
+            # consumes the transposed table block directly
+            tdot = lax.dot_general(
+                table_ref[t * cpt:(t + 1) * cpt, :], ecell,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = ((dots * qa_ref[:]) * ma_ref[:, sl] + tdot * mb_ref[:, sl]
+                 + b_ref[:, sl])
+            si = lax.bitcast_convert_type(s, jnp.int32)
+            key = (si & jnp.int32(~POS_LANE_MASK)) | lane
+            imin = jnp.int32(-2147483648)
+            for sidx in range(s_per_tile):
+                ssl = slice(sidx * POS_SLICE, (sidx + 1) * POS_SLICE)
+                kb = key[:, ssl]
+                m1 = jnp.max(kb, axis=1)
+                # lane bits make keys unique, so exactly one lane is masked
+                kb2 = jnp.where(kb == m1[:, None], imin, kb)
+                m2 = jnp.max(kb2, axis=1)
+                o = 2 * (t * s_per_tile + sidx)
+                out_ref[0, :, o] = m1
+                out_ref[0, :, o + 1] = m2
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "cell_cap"))
+def _pos_residual_scan(codes, q, qa, ma, mb, b, table, *, n_tiles, cell_cap):
+    """Packed-key residual scan; returns keys [B, 2*n_slices] int32 — the
+    top-2 of slice s at columns 2s and 2s+1 (row = (col//2)*POS_SLICE +
+    (key & POS_LANE_MASK))."""
+    bq, w = q.shape
+    q = jnp.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
+    cw = codes.shape[1]
+    bt = _pick_bt(bq)
+    nb = bq // bt
+    sub = _pick_sub(codes.shape[0], n_tiles, cw, max_sub=2)
+    n_big = -(-n_tiles // sub)
+    big_n = sub * TILE_N
+    spt = 2 * sub * (TILE_N // POS_SLICE)   # top-2 keys per slice
+    cells_per_big = big_n // cell_cap
+
+    out = pl.pallas_call(
+        _make_pos_residual_kernel(sub, cell_cap),
+        grid=(n_big, nb),
+        in_specs=[
+            pl.BlockSpec((bt, w), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            # transposed [cells, B] table block (Mosaic lane alignment);
+            # the kernel contracts it without transposing back
+            pl.BlockSpec((cells_per_big, bt), lambda j, i: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, cw), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, spt), lambda j, i: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_big, bq, spt), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * w * n_big * big_n,
+            bytes_accessed=(n_big * big_n * cw + bq * w
+                            + bq * n_big * spt * 4),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, qa, ma, mb, b, table, codes)
+    return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
 
 
 @functools.partial(jax.jit,
@@ -645,26 +780,64 @@ def fused_topk_residual(
     # scan's big tiles exactly.  Kept [B, K] for the rescore gather; the
     # scan takes the TRANSPOSE (Mosaic lane-alignment, see _fused_scan).
     table = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
-    need_cells = -(-n_tiles * TILE_N // cell_cap)
+    # pad the cell axis to the scan's worst-case big-tile coverage (sub=2
+    # rounds n_tiles up to even, so cover ceil(n_tiles/2)*2 tiles)
+    need_cells = (-(-n_tiles // 2) * 2) * TILE_N // cell_cap
     if table.shape[1] < need_cells:
         table = jnp.pad(table, ((0, 0), (0, need_cells - table.shape[1])))
-    vals, rows = _fused_scan(
-        codes,
-        q_in,
-        qmult,
-        rowmult.reshape(1, -1),
-        rowbias.reshape(1, -1),
-        qmult2,
-        rowmult2.reshape(1, -1),
-        table.T,
-        n_tiles=n_tiles,
-        t_per_tile=t_per_tile,
-        cell_cap=cell_cap,
-    )
-    kk = min(k, vals.shape[1])
-    pool = min(max(4 * kk, 32), vals.shape[1])
-    _pv, sel = lax.top_k(vals, pool)
-    top_rows = jnp.take_along_axis(rows, sel, axis=1)
+    if pos_path_applies(metric, n_tiles, k):
+        # positive-packed residual scan (ranking score = s / qmult2, the
+        # positive per-query factor; the exact rescore below restores true
+        # distances).  Kernel: s = (dots * qA) * mA + tdot * mB + b.
+        if metric == "cosine":
+            qa = qmult * qn                 # = q_scale, 0 for zero-norm q
+        elif metric == "dot":
+            qa = qmult
+        else:                              # euclidean: qmult = 2 * q_scale
+            qa = qmult * 0.5
+        w = q_in.shape[1]
+        qf = q_in.astype(jnp.float32)
+        # couple the per-query factor with that query's own int8 norm:
+        # padded queries (q_in == 0, defaulted q_scale 1.0) contribute 0,
+        # and the bound stays tight — a loose C quantizes real score gaps
+        # out of the packed key's value bits (see _pos_topk)
+        qb_per = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))  # [B,1]
+        dots_bound = (jnp.max(qa * qb_per)
+                      * 8.0 * jnp.sqrt(float(w)))  # |int4 code|_2 <= 8*sqrt(W)
+        C = (dots_bound * jnp.max(rowmult)
+             + jnp.max(jnp.abs(table)) * jnp.max(rowmult2) + 1.0)
+        extra = -0.5 * norms * norms if metric == "euclidean" else 0.0
+        ma = jnp.where(valid, rowmult, 0.0).astype(jnp.float32)
+        mb = jnp.where(valid, rowmult2, 0.0).astype(jnp.float32)
+        if metric == "euclidean":
+            C = C + 0.5 * jnp.max(norms * norms)
+        bb = jnp.where(valid, C + extra, 0.0).astype(jnp.float32)
+        keys = _pos_residual_scan(
+            codes, q_in, qa, ma.reshape(1, -1), mb.reshape(1, -1),
+            bb.reshape(1, -1), table.T, n_tiles=n_tiles, cell_cap=cell_cap)
+        kk = min(k, keys.shape[1])
+        pool = min(max(4 * kk, 64), keys.shape[1])
+        topkeys, sel = lax.top_k(keys, pool)
+        # columns come in (top-1, top-2)-per-slice pairs: slice = col // 2
+        top_rows = (sel // 2) * POS_SLICE + (topkeys & POS_LANE_MASK)
+    else:
+        vals, rows = _fused_scan(
+            codes,
+            q_in,
+            qmult,
+            rowmult.reshape(1, -1),
+            rowbias.reshape(1, -1),
+            qmult2,
+            rowmult2.reshape(1, -1),
+            table.T,
+            n_tiles=n_tiles,
+            t_per_tile=t_per_tile,
+            cell_cap=cell_cap,
+        )
+        kk = min(k, vals.shape[1])
+        pool = min(max(4 * kk, 32), vals.shape[1])
+        _pv, sel = lax.top_k(vals, pool)
+        top_rows = jnp.take_along_axis(rows, sel, axis=1)
     # f32-query rescore of a 4x candidate pool: the scan quantizes queries
     # to int8 for the MXU; re-scoring the pool with the RAW query removes
     # that noise from the final ranking (the per-metric query factor for a

@@ -140,3 +140,108 @@ class TestPersistence:
         vid, vec, _ = allv[0]
         rel = np.linalg.norm(vec - corpus[int(vid)]) / np.linalg.norm(corpus[int(vid)])
         assert rel < 0.08
+
+
+class TestFusedResidualKernel:
+    """Interpret-mode coverage of BOTH fused residual scan paths (the
+    masked-extraction kernel and the positive-packed pos path) against the
+    XLA exact_topk_int4r reference."""
+
+    @pytest.fixture(scope="class")
+    def big_store(self):
+        import erlvectordb_tpu.ops.fused_topk as ft
+
+        rng = np.random.default_rng(5)
+        n, d = 2 * ft.TILE_N, 32
+        centers = rng.standard_normal((64, d)).astype(np.float32)
+        assign = rng.integers(0, 64, n)
+        data = (centers[assign]
+                + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+        queries = data[rng.integers(0, n, 16)].copy()
+        store = VectorStore.from_matrix("i4rk", data, dtype="int4r")
+        return store, queries
+
+    def _run(self, store, queries, metric, k=8):
+        import jax.numpy as jnp
+
+        import erlvectordb_tpu.ops.fused_topk as ft
+
+        nt = ft.n_tiles_for(store._capacity, store._capacity)
+        width = store._centroids.shape[1]
+        qp = np.zeros((queries.shape[0], width), np.float32)
+        qp[:, : queries.shape[1]] = queries
+        return ft.fused_topk_residual(
+            store._vectors, store._scales, store._norms, store._valid,
+            store._centroids, jnp.asarray(qp), metric=metric, k=k,
+            n_tiles=nt, cell_cap=store._cell_cap,
+        )
+
+    def _exact(self, store, queries, metric, k=8):
+        import jax.numpy as jnp
+
+        from erlvectordb_tpu.core.search import exact_topk_int4r
+
+        width = store._centroids.shape[1]
+        qp = np.zeros((queries.shape[0], width), np.float32)
+        qp[:, : queries.shape[1]] = queries
+        return exact_topk_int4r(
+            store._vectors, store._scales, store._norms, store._valid,
+            store._centroids, jnp.asarray(qp), metric=metric, k=k,
+            cell_cap=store._cell_cap,
+        )
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
+    def test_masked_path_matches_exact(self, big_store, metric):
+        store, queries = big_store
+        d_f, r_f = self._run(store, queries, metric)
+        d_x, r_x = self._exact(store, queries, metric)
+        d_f, r_f, d_x, r_x = map(np.asarray, (d_f, r_f, d_x, r_x))
+        for b in range(queries.shape[0]):
+            assert len(set(r_f[b]) & set(r_x[b])) >= 7, (metric, b)
+        # distances differ by query-quantization noise: the fused rescore
+        # uses the RAW f32 query while the XLA reference scores with the
+        # quantized one — rows matching is the strong check.  Euclidean
+        # with self-member queries is ill-conditioned for allclose (the
+        # reference's self-distance is exactly 0 while the fused path sees
+        # the int4 reconstruction error), so bound both by quantization
+        # noise instead of comparing them to each other.
+        if metric == "euclidean":
+            assert float(np.max(d_f[:, 0])) < 0.35
+            assert float(np.max(d_x[:, 0])) < 0.35
+        else:
+            np.testing.assert_allclose(
+                d_f[:, 0], d_x[:, 0], rtol=0.05, atol=0.08)
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
+    def test_pos_path_quality(self, big_store, metric, monkeypatch):
+        """The pos path is gated at POS_MIN_TILES=144 in production; at 2
+        tiles there are only 16 candidate keys for the whole store, so
+        global recall is out of its design envelope (the scale behavior is
+        the simulation documented at _make_pos_residual_kernel).  What the
+        design DOES guarantee at any scale: the global best survives
+        (it is the top-1 of its slice), distances are exact rescores, and
+        top-2-per-slice keeps both of the home cell's best rows."""
+        import erlvectordb_tpu.ops.fused_topk as ft
+
+        monkeypatch.setattr(ft, "POS_MIN_TILES", 1)
+        store, queries = big_store
+        d_f, r_f = self._run(store, queries, metric, k=5)
+        d_x, r_x = self._exact(store, queries, metric, k=5)
+        _, r_wide = self._exact(store, queries, metric, k=24)
+        d_f, r_f, d_x, r_x, r_wide = map(
+            np.asarray, (d_f, r_f, d_x, r_x, r_wide))
+        for b in range(queries.shape[0]):
+            # self-row: queries are (near-)members, so exact top-1 must be
+            # found; rescore uses the raw query so its rank-1 is robust
+            assert r_f[b][0] == r_x[b][0], (metric, b)
+            # top-2/slice keeps the home cell's two best rows: at least 2
+            # of the returned 5 are genuine top-24 neighbors
+            assert len(set(r_f[b]) & set(r_wide[b])) >= 2, (metric, b)
+            # no duplicate rows in the result
+            assert len(set(r_f[b].tolist())) == len(r_f[b]), (metric, b)
+        if metric == "euclidean":
+            assert float(np.max(d_f[:, 0])) < 0.35
+            assert float(np.max(d_x[:, 0])) < 0.35
+        else:
+            np.testing.assert_allclose(
+                d_f[:, 0], d_x[:, 0], rtol=0.05, atol=0.08)
