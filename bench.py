@@ -803,9 +803,99 @@ def bench_config8(quick: bool) -> dict:
     }
 
 
+def bench_config9(quick: bool) -> dict:
+    """Sub-linear multiprobe (the hnsw-slot capability, ROADMAP #13): brute
+    fused scan vs cell-probe gather on the SAME int4r store.  The brute
+    scan reads every code row per dispatch, so one query costs the same
+    device time as a thousand; the multiprobe path gathers only
+    nprobe*cell_cap rows — the low-latency serving story at scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from erlvectordb_tpu.core.store import VectorStore
+
+    n = 120_000 if quick else 1_200_000
+    d, k = 100, 10
+    nq = 128
+    log(f"[config9] generating corpus n={n} x {d} ...")
+    data = make_corpus(jax.random.PRNGKey(0), n, d)
+    norms = jnp.linalg.norm(data, axis=1)
+    queries = make_corpus(jax.random.PRNGKey(1), nq, d)
+    data_np = np.asarray(data)
+    log("[config9] building int4r store (shared layout: store IS the index)")
+    store = VectorStore.from_matrix("c9", data_np, dtype="int4r")
+    jax.block_until_ready(store._valid)
+
+    log("[config9] computing exact ground truth ...")
+    gt = exact_ground_truth(data, norms, queries[:nq], k)
+    qs_np = np.asarray(queries[:nq])
+
+    def recall_of(tick_rows):
+        got = np.array([[int(v) if v is not None else -1 for v in row]
+                        for row in tick_rows.tolist()])
+        return float(np.mean(
+            [len(set(gt[i]) & set(got[i])) / k for i in range(nq)]))
+
+    # recall at a few nprobe settings (batch path, ids via raw completion)
+    nprobes = (16, 32, 64)
+    recalls = {}
+    for npb in nprobes:
+        t = store.search_batch_submit(qs_np, k=k, nprobe=npb)
+        _d, _rows, ids = store.search_batch_complete_raw(t)
+        recalls[npb] = recall_of(ids)
+    log(f"[config9] multiprobe recall@10: " +
+        "  ".join(f"nprobe={p}:{r:.4f}" for p, r in recalls.items()))
+
+    # single-query end-to-end latency: brute fused scan vs multiprobe.
+    # Median over reps of (submit + readback) — the real serving latency.
+    def one_query_latency(nprobe=None, reps=12):
+        times = []
+        q = qs_np[:1]
+        for i in range(reps):
+            t0 = time.perf_counter()
+            tk = store.search_batch_submit(q, k=k, nprobe=nprobe)
+            jax.block_until_ready(tk.dists)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times[2:]))  # drop warmup reps
+
+    lat_brute = one_query_latency(None)
+    lat_probe = one_query_latency(64)
+    log(f"[config9] single-query latency: brute={lat_brute*1e3:.2f} ms  "
+        f"multiprobe(64)={lat_probe*1e3:.2f} ms  "
+        f"speedup={lat_brute/lat_probe:.1f}x")
+
+    # small-batch (16) QPS through the same end-to-end path
+    def batch_qps(nprobe, b=16, reps=8):
+        times = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            tk = store.search_batch_submit(qs_np[:b], k=k, nprobe=nprobe)
+            jax.block_until_ready(tk.dists)
+            times.append(time.perf_counter() - t0)
+        return b / float(np.median(times[2:]))
+    qps16_brute = batch_qps(None)
+    qps16_probe = batch_qps(64)
+    log(f"[config9] batch-16 e2e QPS: brute={qps16_brute:,.0f}  "
+        f"multiprobe(64)={qps16_probe:,.0f}")
+
+    return {
+        "metric": "sub-linear multiprobe speedup, single-query latency "
+                  "(int4r 1.2M, nprobe=64)",
+        "value": round(lat_brute / lat_probe, 2),
+        "unit": "x",
+        "vs_baseline": round(lat_brute / lat_probe, 2),
+        "latency_brute_ms": round(lat_brute * 1e3, 2),
+        "latency_multiprobe_ms": round(lat_probe * 1e3, 2),
+        "recall_at_nprobe": {str(p): round(r, 4) for p, r in recalls.items()},
+        "qps16_brute": round(qps16_brute, 1),
+        "qps16_multiprobe": round(qps16_probe, 1),
+        "n": n,
+    }
+
+
 CONFIGS = {1: bench_config1, 2: bench_config2, 3: bench_config3,
            4: bench_config4, 5: bench_config5, 6: bench_config6,
-           7: bench_config7, 8: bench_config8}
+           7: bench_config7, 8: bench_config8, 9: bench_config9}
 
 
 def main():

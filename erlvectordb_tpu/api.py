@@ -141,12 +141,20 @@ class Database:
         self.any_store(store).insert_batch(ids, vectors, metadatas)
 
     def search(self, store: str, query, k: int = 10,
-               metric: Optional[str] = None) -> List[Tuple[str, Any, float]]:
-        return self.any_store(store).search(query, k=k, metric=metric)
+               metric: Optional[str] = None,
+               nprobe: Optional[int] = None) -> List[Tuple[str, Any, float]]:
+        """``nprobe`` (local int4r stores only) switches to the sub-linear
+        multiprobe gather — O(nprobe*cell_cap) HBM traffic per query, the
+        low-latency path at large N (ops/cell_probe.py)."""
+        kw = {"nprobe": nprobe} if nprobe is not None else {}
+        return self.any_store(store).search(query, k=k, metric=metric, **kw)
 
     def search_batch(self, store: str, queries, k: int = 10,
-                     metric: Optional[str] = None):
-        return self.any_store(store).search_batch(queries, k=k, metric=metric)
+                     metric: Optional[str] = None,
+                     nprobe: Optional[int] = None):
+        kw = {"nprobe": nprobe} if nprobe is not None else {}
+        return self.any_store(store).search_batch(
+            queries, k=k, metric=metric, **kw)
 
     def delete(self, store: str, vector_id: str) -> bool:
         return self.any_store(store).delete(vector_id)

@@ -1,0 +1,155 @@
+"""CellProbeIndex — the sub-linear index occupying the reference's ``hnsw``
+slot (src/vector_index_manager.erl:25-31 advertises hnsw|ivf|flat but
+implements none; this one is real and TPU-native).
+
+Build: k-means coarse centroids (ops/kmeans.py, device Lloyd) -> BALANCED
+capacity-bounded assignment (core/ivf.py::_balanced_assign — skew is what
+breaks fixed-capacity gathers) -> per-row int8 RESIDUAL encode against the
+owning centroid.  int8 residuals keep quantization error far below the
+routing loss (unlike the int4r store's 15-level codes), so index recall is
+governed by ``nprobe`` alone.
+
+Search: ops/cell_probe.py::multiprobe_topk — one [B, K] routing matmul,
+gather of the probed cells only (O(nprobe * cell_cap * W) HBM traffic,
+sub-linear in N), exact f32-query rescore.  See that module's docstring
+for why this design, not a pointer-chasing graph, is the TPU answer to
+"hnsw".
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from erlvectordb_tpu.core.ivf import _balanced_assign
+from erlvectordb_tpu.ops.cell_probe import multiprobe_topk
+from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+
+class CellProbeIndex:
+    """Cell-major int8 residual codes + coarse centroids."""
+
+    def __init__(self, centroids, codes, scales, norms, valid, row_map,
+                 cell_cap: int):
+        self.centroids = jnp.asarray(centroids, jnp.float32)   # [K, W]
+        self.codes = jnp.asarray(codes)                        # [K*cap, W] i8
+        self.scales = jnp.asarray(scales, jnp.float32)         # [K*cap]
+        self.norms = jnp.asarray(norms, jnp.float32)           # [K*cap]
+        self.valid = jnp.asarray(valid)                        # [K*cap] bool
+        self.row_map = np.asarray(row_map)                     # [K*cap] i64
+        self.cell_cap = int(cell_cap)
+        self.n_cells = int(self.centroids.shape[0])
+
+    # ------------------------------------------------------------------ build
+
+    @classmethod
+    def build(
+        cls,
+        data: np.ndarray,           # [N, D] f32 rows (dim-padded ok)
+        rows: np.ndarray,           # [N] original store row ids
+        norms: np.ndarray,          # [N] original row norms
+        *,
+        cell_rows: int = 96,        # target valid rows per cell
+        cell_cap: int = 128,        # physical slots per cell (>= cell_rows)
+        iters: int = 15,
+        seed: int = 0,
+        max_train: int = 200_000,
+    ) -> "CellProbeIndex":
+        n, d = data.shape
+        cell_cap = max(8, cell_cap)
+        n_cells = max(1, -(-n // max(8, cell_rows)))
+        train = data
+        if n > max_train:
+            idx = np.random.default_rng(seed).choice(n, max_train,
+                                                     replace=False)
+            train = data[idx]
+        cents, _ = kmeans_fit(jnp.asarray(train), jnp.uint32(seed),
+                              k=min(n_cells, max(1, train.shape[0])),
+                              iters=iters, init="kpp")
+        cents = np.asarray(cents)
+        n_cells = cents.shape[0]
+        owner = _balanced_assign(data, cents, cell_cap)
+
+        order = np.argsort(owner, kind="stable")
+        oc = owner[order]
+        starts = np.searchsorted(oc, np.arange(n_cells))
+        slot = np.arange(n) - starts[oc]
+
+        res = data[order] - cents[oc]                          # residuals
+        absmax = np.abs(res).max(axis=1)
+        scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        codes_rows = np.clip(np.round(res / scale[:, None]),
+                             -127, 127).astype(np.int8)
+
+        total = n_cells * cell_cap
+        codes = np.zeros((total, d), np.int8)
+        scales = np.ones((total,), np.float32)
+        out_norms = np.zeros((total,), np.float32)
+        row_map = np.full((total,), -1, np.int64)
+        dest = oc * cell_cap + slot
+        codes[dest] = codes_rows
+        scales[dest] = scale
+        # score with RECONSTRUCTION norms (what the codes actually encode),
+        # mirroring the int4r store's semantics
+        recon = cents[oc] + codes_rows.astype(np.float32) * scale[:, None]
+        out_norms[dest] = np.linalg.norm(recon, axis=1)
+        row_map[dest] = rows[order]
+        valid = row_map >= 0
+        return cls(cents, codes, scales, out_norms, valid, row_map, cell_cap)
+
+    # ----------------------------------------------------------------- search
+
+    def search(self, queries, k: int = 10, nprobe: int = 32,
+               metric: str = "cosine") -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (distances [B, k], store rows [B, k]; -1 = no hit)."""
+        q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        w = self.centroids.shape[1]
+        if q.shape[1] != w:
+            qp = np.zeros((q.shape[0], w), np.float32)
+            qp[:, : q.shape[1]] = q
+            q = qp
+        dists, dev_rows = multiprobe_topk(
+            self.codes, self.scales, self.norms, self.valid, self.centroids,
+            jnp.asarray(q), metric=metric, k=k,
+            nprobe=min(nprobe, self.n_cells), cell_cap=self.cell_cap,
+        )
+        dists = np.asarray(dists)
+        store_rows = self.row_map[np.asarray(dev_rows)]
+        store_rows = np.where(np.isfinite(dists), store_rows, -1)
+        return dists, store_rows
+
+    # ------------------------------------------------------------------ misc
+
+    def stats(self) -> dict:
+        fill = (self.row_map >= 0).reshape(self.n_cells, self.cell_cap).sum(1)
+        return {
+            "kind": "cell_probe",
+            "n_cells": self.n_cells,
+            "cell_cap": self.cell_cap,
+            "rows": int(fill.sum()),
+            "min_cell": int(fill.min()),
+            "max_cell": int(fill.max()),
+            "memory_bytes": int(self.codes.size + self.scales.size * 4
+                                + self.norms.size * 4
+                                + np.asarray(self.centroids).size * 4),
+        }
+
+    def to_arrays(self) -> dict:
+        return {
+            "centroids": np.asarray(self.centroids),
+            "codes": np.asarray(self.codes),
+            "scales": np.asarray(self.scales),
+            "norms": np.asarray(self.norms),
+            "row_map": self.row_map,
+            "cell_cap": np.asarray(self.cell_cap),
+        }
+
+    @classmethod
+    def from_arrays(cls, d: dict) -> "CellProbeIndex":
+        row_map = np.asarray(d["row_map"])
+        return cls(d["centroids"], d["codes"], d["scales"], d["norms"],
+                   row_map >= 0, row_map, int(d["cell_cap"]))

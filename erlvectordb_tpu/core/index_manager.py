@@ -13,11 +13,15 @@ sleep(1000) and writes fake stats; no index is ever consulted by search
   * ``opq``   — PQ with a learned orthogonal rotation (quant/opq.py) for
                 lower quantization error on anisotropic data;
   * ``ivf``   — inverted-file index with MoE-style query dispatch
-                (core/ivf.py): ~nprobe/n_cells of the exact scan's FLOPs.
-                (``hnsw``, which the reference also advertised, is
-                deliberately absent: graph traversal is the anti-pattern
-                on a systolic-array machine — IVF+PQ covers the same
-                speed/recall space with dense math.)
+                (core/ivf.py): ~nprobe/n_cells of the exact scan's FLOPs;
+  * ``hnsw`` / ``cellprobe`` — the sub-linear slot (the reference
+                advertises ``hnsw`` but implements nothing): a cell-probe
+                index (core/cell_probe.py) — balanced k-means partitions,
+                int8 residual codes, multiprobe GATHER of only the probed
+                cells + exact f32 rescore.  O(nprobe*cell_cap) HBM traffic
+                per query instead of O(N) — the low-latency capability the
+                hnsw name promises, built with dense math instead of the
+                pointer-chasing graph a systolic-array machine can't run.
 
 Builds run on a background thread (the reference's async-build capability),
 record real build time and memory stats, and are stamped with the store
@@ -37,7 +41,8 @@ import numpy as np
 
 from erlvectordb_tpu.core.store import VectorStore
 
-INDEX_TYPES = ("flat", "int8", "pq", "opq", "ivf", "ep_ivf")
+INDEX_TYPES = ("flat", "int8", "pq", "opq", "ivf", "ep_ivf", "hnsw",
+               "cellprobe")
 
 
 class IndexError_(ValueError):
@@ -162,6 +167,8 @@ class IndexManager:
             artifact, stats = self._build_ivf(store, info.parameters)
         elif info.type == "ep_ivf":
             artifact, stats = self._build_ep_ivf(store, info.parameters)
+        elif info.type in ("hnsw", "cellprobe"):
+            artifact, stats = self._build_cell_probe(store, info.parameters)
         else:  # pragma: no cover
             raise IndexError_(f"unknown type {info.type}")
         dt = time.perf_counter() - t0
@@ -260,6 +267,29 @@ class IndexManager:
         artifact = {"ep_ivf": idx, "nprobe": int(params.get("nprobe", 8))}
         return artifact, idx.stats()
 
+    def _build_cell_probe(self, store: VectorStore, params: dict):
+        """The hnsw-slot build: balanced cells + int8 residual codes, served
+        by the sub-linear multiprobe gather (core/cell_probe.py)."""
+        from erlvectordb_tpu.core.cell_probe import CellProbeIndex
+
+        if store.count == 0:
+            raise IndexError_("store is empty")
+        allv = store.get_all_vectors()
+        mat = np.stack([v[1] for v in allv]).astype(np.float32)
+        if mat.shape[1] % 128:
+            mat = np.pad(mat, ((0, 0), (0, 128 - mat.shape[1] % 128)))
+        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
+        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        idx = CellProbeIndex.build(
+            mat, rows, norms,
+            cell_rows=int(params.get("cell_rows", 96)),
+            cell_cap=int(params.get("cell_cap", 128)),
+            iters=int(params.get("iters", 15)),
+        )
+        artifact = {"cell_probe": idx,
+                    "nprobe": int(params.get("nprobe", 32))}
+        return artifact, idx.stats()
+
     # --------------------------------------------------------------- search
 
     def is_stale(self, name: str) -> bool:
@@ -285,6 +315,13 @@ class IndexManager:
         if info.type in ("ivf", "ep_ivf"):
             a = info.artifact
             dists, rows = a[info.type].search(
+                q, k=k, nprobe=a["nprobe"],
+                metric=store.metric if store.metric != "manhattan" else "euclidean",
+            )
+            return self._rows_to_hits(store, dists[0], rows[0])
+        if info.type in ("hnsw", "cellprobe"):
+            a = info.artifact
+            dists, rows = a["cell_probe"].search(
                 q, k=k, nprobe=a["nprobe"],
                 metric=store.metric if store.metric != "manhattan" else "euclidean",
             )
@@ -344,6 +381,9 @@ class IndexManager:
             meta["pad_dim"] = int(a["pad_dim"])
         elif info.type in ("ivf", "ep_ivf") and a is not None:
             arrays = a[info.type].to_arrays()
+            meta["nprobe"] = int(a["nprobe"])
+        elif info.type in ("hnsw", "cellprobe") and a is not None:
+            arrays = a["cell_probe"].to_arrays()
             meta["nprobe"] = int(a["nprobe"])
         idir = Path(root) / f"idx_{name}"
         idir.mkdir(parents=True, exist_ok=True)
@@ -411,6 +451,13 @@ class IndexManager:
 
                 info.artifact = {"ep_ivf": EPIVFIndex.from_arrays(arrays),
                                  "nprobe": int(meta.get("nprobe", 8))}
+            elif info.type in ("hnsw", "cellprobe") and arrays:
+                from erlvectordb_tpu.core.cell_probe import CellProbeIndex
+
+                info.artifact = {
+                    "cell_probe": CellProbeIndex.from_arrays(arrays),
+                    "nprobe": int(meta.get("nprobe", 32)),
+                }
             with self._lock:
                 self._indexes.setdefault(meta["name"], info)
             loaded.append(meta["name"])

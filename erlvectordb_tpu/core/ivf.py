@@ -21,9 +21,11 @@ IVF tradeoff, controlled by nprobe.  Cells are experts: sharding them
 across a mesh axis turns the dispatch into a routed collective — the
 expert-parallel axis of the design (round 2).
 
-HNSW is deliberately NOT implemented: pointer-chasing graph traversal is
-the anti-pattern on a systolic-array machine; IVF(+PQ) covers the same
-speed/recall space with dense math.
+A pointer-chasing HNSW graph is deliberately NOT implemented (graph
+traversal is the anti-pattern on a systolic-array machine); the ``hnsw``
+index TYPE is still served — by the cell-probe design (core/cell_probe.py):
+balanced partitions + int8 residual codes + multiprobe gather, the
+TPU-native occupant of the sub-linear slot.
 
 WHEN TO USE (measured, v5e single chip): at 1.2M x 100-d the fused exact
 scan (ops/fused_topk.py) runs the whole corpus in ~6.5 ms per 1024-query

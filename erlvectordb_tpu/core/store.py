@@ -787,16 +787,22 @@ class VectorStore:
         k: int = 10,
         metric: Optional[str] = None,
         where: Optional[dict] = None,
+        nprobe: Optional[int] = None,
     ) -> List[Tuple[str, Any, float]]:
-        """Exact top-k search for one query.
+        """Top-k search for one query (exact unless ``nprobe`` is given).
 
         Returns ``[(id, metadata, distance)]`` ascending by distance —
         the reference's result shape (src/vector_store.erl:234-236).
         ``where`` restricts results to vectors whose metadata matches every
         key/value equality predicate (a capability the reference lacks).
+        ``nprobe`` (int4r stores only) switches to the sub-linear multiprobe
+        gather over the store's own cell layout (ops/cell_probe.py): only
+        the ``nprobe`` nearest cells are read — O(nprobe*cell_cap) HBM
+        traffic instead of O(N), the low-latency path at large N.
         """
         results = self.search_batch(
-            np.asarray(query, np.float32)[None, :], k, metric, where
+            np.asarray(query, np.float32)[None, :], k, metric, where,
+            nprobe=nprobe,
         )
         return results[0]
 
@@ -899,10 +905,11 @@ class VectorStore:
         k: int = 10,
         metric: Optional[str] = None,
         where: Optional[dict] = None,
+        nprobe: Optional[int] = None,
     ) -> List[List[Tuple[str, Any, float]]]:
         """Batched exact top-k: one compiled program for B queries."""
         return self.search_batch_complete(
-            self.search_batch_submit(queries, k, metric, where)
+            self.search_batch_submit(queries, k, metric, where, nprobe=nprobe)
         )
 
     def search_batch_submit(
@@ -911,6 +918,7 @@ class VectorStore:
         k: int = 10,
         metric: Optional[str] = None,
         where: Optional[dict] = None,
+        nprobe: Optional[int] = None,
     ) -> SearchTicket:
         """Dispatch a batched search WITHOUT waiting for the device.
 
@@ -922,6 +930,15 @@ class VectorStore:
         metric = metric or self.metric
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+        if nprobe is not None:
+            if self.dtype != "int4r":
+                raise ValueError(
+                    "nprobe requires an int4r store (cell-resident layout); "
+                    "build a 'hnsw'/'cellprobe' index for other dtypes")
+            if metric == "manhattan":
+                raise ValueError("nprobe does not support metric 'manhattan'")
+            if nprobe <= 0:
+                raise ValueError("nprobe must be positive")
         t0 = time.perf_counter()
         q = self._validate_batch(queries)
         fmask = self._device_filter_mask(where) if where else None
@@ -930,7 +947,7 @@ class VectorStore:
         # Dispatch-under-lock is sufficient: once enqueued, the device
         # serializes this read before any later donated-buffer write.
         with self._lock.read():
-            t = self._dispatch_locked(q, k, metric, fmask)
+            t = self._dispatch_locked(q, k, metric, fmask, nprobe=nprobe)
         t.t0 = t0
         return t
 
@@ -984,7 +1001,8 @@ class VectorStore:
             out.append(hits)
         return out
 
-    def _dispatch_locked(self, q, k, metric, fmask=None) -> SearchTicket:
+    def _dispatch_locked(self, q, k, metric, fmask=None,
+                         nprobe=None) -> SearchTicket:
         nq = q.shape[0]
         if self._vectors is None or self.count == 0 or k <= 0:
             return SearchTicket(None, None, nq, k, 0)
@@ -1005,6 +1023,18 @@ class VectorStore:
         from erlvectordb_tpu.ops import fused_topk as ft
 
         if self.dtype == "int4r":
+            if nprobe is not None:
+                # sub-linear multiprobe over the store's own cell layout:
+                # only the probed cells' packed rows are gathered from HBM
+                from erlvectordb_tpu.ops.cell_probe import multiprobe_topk
+
+                dists, rows = multiprobe_topk(
+                    self._vectors, self._scales, self._norms, valid,
+                    self._centroids, q_j, metric=metric, k=kb,
+                    nprobe=min(nprobe, max(1, self._centroids.shape[0])),
+                    cell_cap=self._cell_cap,
+                )
+                return SearchTicket(dists, rows, nq, min(k, self.count), kb)
             nt = ft.n_tiles_for(self._capacity, self._capacity)
             if (
                 jax.default_backend() == "tpu"

@@ -149,7 +149,10 @@ class DimShardedVectorStore(_VectorStore):
         self._norms = self._put(self._norms)
         self._valid = self._put(self._valid)
 
-    def _dispatch_locked(self, q, k, metric, fmask=None) -> _SearchTicket:
+    def _dispatch_locked(self, q, k, metric, fmask=None,
+                         nprobe=None) -> _SearchTicket:
+        # nprobe is validated away in search_batch_submit (dim-sharded
+        # stores are never int4r), so it is always None here
         from erlvectordb_tpu.core.search import k_bucket
         from erlvectordb_tpu.core.store import _next_pow2, _pad128
 

@@ -270,6 +270,7 @@ class MCPServer:
             if (
                 send is not None
                 and name in ("search_vectors", "search_vectors_batch")
+                and args.get("nprobe") is None  # sub-linear path: direct
                 and self.db.batcher.is_alive()
                 and self._search_async(req_id, name, args, send)
             ):

@@ -181,6 +181,10 @@ TOOLS: Dict[str, dict] = {
                 "metric": {"type": "string"},
                 "filter": {"type": "object",
                            "description": "metadata equality predicates (AND)"},
+                "nprobe": {"type": "integer",
+                           "description": "int4r stores: probe only the N "
+                           "nearest cells (sub-linear low-latency path, "
+                           "approximate)"},
             },
             ["store"],
         ),
@@ -202,6 +206,9 @@ TOOLS: Dict[str, dict] = {
                 "k": {"type": "integer", "default": 10},
                 "metric": {"type": "string"},
                 "filter": {"type": "object"},
+                "nprobe": {"type": "integer",
+                           "description": "int4r stores: sub-linear "
+                           "multiprobe (approximate)"},
                 "compact": {"type": "boolean",
                             "description": "return parallel ids/distances "
                             "arrays without metadata (cheap to encode)"},
@@ -360,6 +367,14 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         )
         return {"status": "ok", "store": args["store"], "id": args["id"]}
     if name == "search_vectors":
+        if args.get("nprobe") is not None:
+            # the sub-linear latency path: a direct dispatch IS the point
+            # (no batching window) — only the probed cells are read
+            hits = db.any_store(args["store"]).search(
+                decode_query(args), k=int(args.get("k", 10)),
+                metric=args.get("metric"), where=args.get("filter"),
+                nprobe=int(args["nprobe"]))
+            return format_hits(hits)
         # concurrent protocol requests coalesce into one device batch
         hits = db.batcher.search(
             args["store"], decode_query(args), k=int(args.get("k", 10)),
@@ -373,6 +388,8 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         qs = decode_queries(args)
         kw = dict(k=int(args.get("k", 10)), metric=args.get("metric"),
                   where=args.get("filter"))
+        if args.get("nprobe") is not None:
+            kw["nprobe"] = int(args["nprobe"])
         if args.get("encoding") == "b64":
             cols = store.search_batch_complete_raw(
                 store.search_batch_submit(qs, **kw))

@@ -35,7 +35,7 @@ class TestRegistry:
     def test_unknown_type(self, setup):
         _, im, _ = setup
         with pytest.raises(IndexError_):
-            im.create_index("i1", "s", "hnsw")
+            im.create_index("i1", "s", "btree")
 
     def test_unknown_store(self, setup):
         _, im, _ = setup

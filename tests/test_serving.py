@@ -363,7 +363,7 @@ class TestIndexTools:
             c.call("tools/call", {"name": "create_store",
                                   "arguments": {"name": "idx_store2"}})
             r = c.call("tools/call", {"name": "create_index", "arguments": {
-                "name": "bad", "store": "idx_store2", "type": "hnsw"}})
+                "name": "bad", "store": "idx_store2", "type": "btree"}})
             assert r["error"]["code"] == -32602
         finally:
             c.close()
