@@ -34,6 +34,7 @@ class CellProbeIndex:
     def __init__(self, centroids, codes, scales, norms, valid, row_map,
                  cell_cap: int):
         self.centroids = jnp.asarray(centroids, jnp.float32)   # [K, W]
+        self.cents_route = self.centroids.astype(jnp.bfloat16)  # routing copy
         self.codes = jnp.asarray(codes)                        # [K*cap, W] i8
         self.scales = jnp.asarray(scales, jnp.float32)         # [K*cap]
         self.norms = jnp.asarray(norms, jnp.float32)           # [K*cap]
@@ -116,6 +117,7 @@ class CellProbeIndex:
             self.codes, self.scales, self.norms, self.valid, self.centroids,
             jnp.asarray(q), metric=metric, k=k,
             nprobe=min(nprobe, self.n_cells), cell_cap=self.cell_cap,
+            centroids_route=self.cents_route,
         )
         dists = np.asarray(dists)
         store_rows = self.row_map[np.asarray(dev_rows)]

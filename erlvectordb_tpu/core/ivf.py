@@ -71,16 +71,23 @@ def _top_choices_all(data, centroids, *, j, chunk):
     per-chunk dispatch+readback loop cost ~130 s per balanced assignment
     at 1.2M x 12.5k on the tunneled rig.  approx_max_k is fine here: these
     are preference lists, a 95%-recall miss still yields a near-nearest
-    cell."""
+    cell.
+
+    The readback is the build's wall-clock wall on tunneled rigs (~2 MB/s
+    measured), so the outputs are SHRUNK on device: dists as f16 (they
+    only order rows within a greedy round) and ids as int16 when the cell
+    count fits — 4x fewer bytes than f32+int32."""
     n, d = data.shape
+    c = centroids.shape[0]
     pad = (-n) % chunk
     dp = jnp.pad(data, ((0, pad), (0, 0))) if pad else data
     cn = jnp.sum(centroids * centroids, axis=-1)
+    id_t = jnp.int16 if c <= 32767 else jnp.int32
 
     def one(rows):
         dots = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
         negd, ids = lax.approx_max_k(-(cn[None, :] - 2.0 * dots), j)
-        return -negd, ids
+        return (-negd).astype(jnp.float16), ids.astype(id_t)
 
     dists, ids = lax.map(one, dp.reshape(-1, chunk, d))
     return dists.reshape(-1, j)[:n], ids.reshape(-1, j)[:n]

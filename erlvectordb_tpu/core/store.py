@@ -288,6 +288,8 @@ class VectorStore:
         # quantizer sees a 3-4x smaller dynamic range than whole-vector int4,
         # which is what makes 4-bit rows search-grade (recall ~0.9 vs ~0.6).
         self._centroids: Optional[jax.Array] = None  # [K, W] f32
+        self._cents_rt: Optional[jax.Array] = None   # bf16 routing copy
+        self._cents_rt_src: Optional[jax.Array] = None
         self._cell_cap = 0
         self._cell_next: Optional[np.ndarray] = None   # per-cell slot HWM
         self._cell_avail: Optional[np.ndarray] = None  # free slots per cell
@@ -1028,11 +1030,16 @@ class VectorStore:
                 # only the probed cells' packed rows are gathered from HBM
                 from erlvectordb_tpu.ops.cell_probe import multiprobe_topk
 
+                if self._cents_rt_src is not self._centroids:
+                    # persistent bf16 routing copy (see multiprobe_topk)
+                    self._cents_rt = self._centroids.astype(jnp.bfloat16)
+                    self._cents_rt_src = self._centroids
                 dists, rows = multiprobe_topk(
                     self._vectors, self._scales, self._norms, valid,
                     self._centroids, q_j, metric=metric, k=kb,
                     nprobe=min(nprobe, max(1, self._centroids.shape[0])),
                     cell_cap=self._cell_cap,
+                    centroids_route=self._cents_rt,
                 )
                 return SearchTicket(dists, rows, nq, min(k, self.count), kb)
             nt = ft.n_tiles_for(self._capacity, self._capacity)
@@ -1303,7 +1310,11 @@ class VectorStore:
                                 k=k_real, iters=10)
         cents_np = np.asarray(cents_j)
         _tick(f"kmeans k={k_real}")
-        owner = _balanced_assign(xp, cents_np, cap_c)
+        # j=16 choices (not 32): each balanced_assign round reads the
+        # choice lists back through the tunnel, and 16 is deep enough that
+        # the 25% capacity slack places all but stragglers (which get the
+        # exact nearest-cell-with-space pass)
+        owner = _balanced_assign(xp, cents_np, cap_c, j=16)
         _tick("balanced_assign #1")
         # capacity-constrained Lloyd refinement: refit each centroid to the
         # members it actually GOT (capacity may have parked rows away from
@@ -1317,7 +1328,7 @@ class VectorStore:
             cnt = jax.ops.segment_sum(
                 jnp.ones((n,), jnp.float32), owner_j, num_segments=k_real)
             cents_np = np.asarray(sums / jnp.maximum(cnt, 1.0)[:, None])
-            owner = _balanced_assign(xp, cents_np, cap_c)
+            owner = _balanced_assign(xp, cents_np, cap_c, j=16)
             _tick("refit+reassign")
         order = np.argsort(owner, kind="stable")
         counts = np.bincount(owner, minlength=k_real)

@@ -31,8 +31,18 @@ Layouts accepted (detected by ``codes.dtype``):
     below the routing loss).
 
 Scoring matches fused_topk_residual's exact rescore: q.x decomposes as
-q.c_cell + q.res, with the centroid term read straight from the routing
-table — the residual dot is the only gathered compute.
+q.c_cell + q.res; the centroid term is recomputed in f32 for the probed
+cells only, so the bf16 routing matmul never touches reported distances.
+
+Measured (v5e, synthetic 8M x 768 int8 cell store, nprobe=64, bq=8,
+T-slope to exclude the rig's tunnel RTT): 0.62 ms per query-program vs
+8.5 ms for the brute fused scan — ~14x.  Two lowering details carry that
+number: the gather must be CELL-granularity (B*nprobe contiguous ~100 KB
+blocks; per-row descriptors measured ~6x slower for the same bytes), and
+the routing table must be a PERSISTENT bf16 copy (an in-program astype
+makes XLA read the full f32 table anyway).  At 1.2M x 100 the corpus is
+only ~60 MB and the brute MXU scan is already ~1.8 ms — multiprobe pays
+off above roughly 1 GB of codes, exactly the flagship-scale regime.
 """
 
 from __future__ import annotations
@@ -61,10 +71,16 @@ def multiprobe_topk(
     k: int,
     nprobe: int,
     cell_cap: int,
+    centroids_route: jax.Array | None = None,  # persistent bf16 [K, W] copy
 ) -> Tuple[jax.Array, jax.Array]:
     """Sub-linear multiprobe search. Returns (distances [B, k], rows [B, k]);
     rows are device-row indices into the cell-major layout, distances inf
-    past the valid hits."""
+    past the valid hits.
+
+    ``centroids_route``: optional pre-converted bf16 centroid table for the
+    routing matmul.  Without it the in-program astype makes XLA read the
+    full f32 table anyway; callers that search repeatedly should keep a
+    persistent bf16 copy (halves the dominant HBM read at large K)."""
     if metric not in ("cosine", "euclidean", "dot"):
         raise ValueError(f"multiprobe does not support metric {metric!r}")
     b, w = queries.shape
@@ -72,44 +88,65 @@ def multiprobe_topk(
     nprobe = min(nprobe, n_cells)
 
     # ---- route: top-nprobe cells by the metric's centroid proxy ----------
-    table = jnp.dot(queries, centroids.T,
-                    preferred_element_type=jnp.float32)        # [B, K]
+    # The [B, K] routing matmul reads the whole centroid table per program
+    # — at 62k cells x 768 dims that is 192 MB f32, 3x the probed data.
+    # Route in BF16 (ranking-grade; half the HBM read) and recompute the
+    # probed cells' centroid dots exactly in f32 below (1-2 MB gather), so
+    # scoring precision is unaffected.
+    cr = (centroids_route if centroids_route is not None
+          else centroids.astype(jnp.bfloat16))
+    table_r = jnp.dot(queries.astype(jnp.bfloat16), cr.T,
+                      preferred_element_type=jnp.float32)      # [B, K]
     cn2 = jnp.sum(centroids * centroids, axis=-1)              # [K]
     # cells with no valid row are routed around (their slots would all be
     # masked anyway — a wasted probe)
     active = valid.reshape(n_cells, cell_cap).any(axis=1)      # [K]
     if metric == "euclidean":
-        route = 2.0 * table - cn2[None, :]
+        route = 2.0 * table_r - cn2[None, :]
     elif metric == "cosine":
         cnorm = jnp.sqrt(cn2)
         route = jnp.where(cnorm > 0,
-                          table / jnp.where(cnorm > 0, cnorm, 1.0), 0.0)
+                          table_r / jnp.where(cnorm > 0, cnorm, 1.0), 0.0)
     else:  # dot
-        route = table
+        route = table_r
     route = jnp.where(active[None, :], route, _NEG)
     _, probe = lax.top_k(route, nprobe)                        # [B, nprobe]
 
     # ---- gather: only the probed cells' code blocks ----------------------
+    # CELL-granularity gather: B*nprobe contiguous (cell_cap * W)-byte
+    # blocks instead of B*nprobe*cell_cap per-row descriptors — TPU gather
+    # throughput is descriptor-bound, and a row-granularity gather of the
+    # same bytes measured ~6x slower at 8M x 768.
     slot = lax.broadcasted_iota(jnp.int32, (1, nprobe, cell_cap), 2)
     rows = (probe[:, :, None] * cell_cap + slot).reshape(b, -1)  # [B, P]
-    cand = codes[rows]                                         # [B, P, Wc]
+    codes3 = codes.reshape(n_cells, cell_cap, codes.shape[1])
+    cand = codes3[probe]                               # [B, np, cap, Wc]
     if codes.dtype == jnp.uint8:                               # packed int4
         hi = (cand >> 4).astype(jnp.int8)
         lo = (cand & 0xF).astype(jnp.int8)
         hi = jnp.where(hi > 7, hi - 16, hi)
         lo = jnp.where(lo > 7, lo - 16, lo)
-        cand = jnp.stack([hi, lo], axis=-1).reshape(b, rows.shape[1], -1)
-    # residual dot with the RAW f32 query (no query quantization noise)
+        cand = jnp.stack([hi, lo], axis=-1).reshape(
+            b, nprobe, cell_cap, -1)
+    # residual dot in bf16 accumulated f32: the residual term is a small
+    # fraction of the score (|res| << |x|), so bf16's 2^-8 relative error
+    # on it is far below the int8/int4 code quantization already present
+    pscales = scales.reshape(n_cells, cell_cap)[probe]  # [B, np, cap]
     dots_res = jnp.einsum(
-        "bpw,bw->bp", cand.astype(jnp.float32), queries,
+        "bpcw,bw->bpc", cand.astype(jnp.bfloat16),
+        queries.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
-    ) * scales[rows]                                           # [B, P]
-    tgath = jnp.take_along_axis(table, probe, axis=1)          # [B, nprobe]
+    ).reshape(b, -1) * pscales.reshape(b, -1)                  # [B, P]
+    # exact f32 centroid dots for the PROBED cells only (the bf16 routing
+    # table is ranking-grade, not scoring-grade)
+    pcents = centroids[probe]                                  # [B, np, W]
+    tgath = jnp.einsum("bpw,bw->bp", pcents, queries,
+                       preferred_element_type=jnp.float32)     # [B, nprobe]
     qx = dots_res + jnp.repeat(tgath, cell_cap, axis=1)        # q . x
 
     # ---- exact distances + top-k ----------------------------------------
-    vmask = valid[rows]
-    rnorm = norms[rows]
+    vmask = valid.reshape(n_cells, cell_cap)[probe].reshape(b, -1)
+    rnorm = norms.reshape(n_cells, cell_cap)[probe].reshape(b, -1)
     if metric == "cosine":
         qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
         denom = qn * rnorm

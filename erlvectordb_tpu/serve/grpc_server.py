@@ -274,11 +274,17 @@ class GrpcServer:
         return json.loads(filter_json) if filter_json else None
 
     def _search_hits(self, request):
-        """One query through the shared batcher (blocking)."""
+        """One query through the shared batcher (blocking).  A request with
+        ``nprobe`` set takes the direct sub-linear multiprobe dispatch
+        instead — skipping the batching window IS the point of that path."""
         q = np.asarray(request.vector, np.float32)
         k = int(request.k or 10)
         metric = request.metric or None
         where = self._where(request.filter_json)
+        if request.nprobe:
+            return self.db.any_store(request.store).search(
+                q, k=k, metric=metric, where=where,
+                nprobe=int(request.nprobe))
         batcher = getattr(self.db, "batcher", None)
         if batcher is not None and batcher.is_alive():
             hits = batcher.search(request.store, q, k=k, metric=metric,
@@ -312,6 +318,8 @@ class GrpcServer:
             metric = request.metric or None
             where = self._where(request.filter_json)
             batcher = getattr(self.db, "batcher", None)
+            if request.nprobe:  # sub-linear path: direct, no batch window
+                batcher = None
             if batcher is not None and batcher.is_alive():
                 done = threading.Event()
                 box = {}
@@ -329,8 +337,10 @@ class GrpcServer:
                 dists, _rows, ids = box["cols"]
             else:
                 store = self.db.any_store(request.store)
+                kw = ({"nprobe": int(request.nprobe)} if request.nprobe
+                      else {})
                 t = store.search_batch_submit(rows, k=k, metric=metric,
-                                              where=where)
+                                              where=where, **kw)
                 dists, _rows, ids = store.search_batch_complete_raw(t)
             count = rows.shape[0]
             kk = dists.shape[1] if dists.size else 0
@@ -357,7 +367,7 @@ class GrpcServer:
             try:
                 for req in request_iterator:
                     seq = req.seq
-                    if use_batcher:
+                    if use_batcher and not req.nprobe:
                         q = np.asarray(req.vector, np.float32)
 
                         def cb(hits, err, seq=seq):

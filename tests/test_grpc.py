@@ -279,3 +279,30 @@ def test_application_starts_grpc_service(tmp_path):
         chan.close()
     finally:
         app.stop()
+
+
+def test_nprobe_multiprobe_over_grpc(server, stub, seeded):
+    """nprobe requests take the direct sub-linear dispatch (int4r layout)."""
+    db, *_ = server
+    stub.CreateStore(pb.CreateStoreRequest(name="g4r", dimension=16,
+                                           metric="cosine", dtype="int4r"))
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((8, 16)).astype("<f4")
+    vecs = (centers[rng.integers(0, 8, 400)]
+            + 0.2 * rng.standard_normal((400, 16))).astype("<f4")
+    stub.InsertBatch(pb.InsertBatchRequest(
+        store="g4r", ids=[f"r{i}" for i in range(400)],
+        vectors_f32=vecs.tobytes(), dim=16))
+    # unary with nprobe
+    r = stub.Search(pb.SearchRequest(store="g4r", vector=vecs[42].tolist(),
+                                     k=3, nprobe=4))
+    assert r.hits[0].id == "r42"
+    # batch with nprobe
+    rb = stub.SearchBatch(pb.SearchBatchRequest(
+        store="g4r", vectors_f32=vecs[:4].tobytes(), dim=16, k=2, nprobe=4))
+    assert rb.count == 4 and rb.ids[0] == "r0" and rb.ids[3 * rb.k] == "r3"
+    # nprobe on a non-int4r store -> INVALID_ARGUMENT, not a crash
+    with pytest.raises(grpc.RpcError) as ei:
+        stub.Search(pb.SearchRequest(store="g1", vector=[0.0] * 8,
+                                     k=1, nprobe=4))
+    assert "int4r" in ei.value.details()
