@@ -42,7 +42,7 @@ import numpy as np
 from erlvectordb_tpu.core.store import VectorStore
 
 INDEX_TYPES = ("flat", "int8", "pq", "opq", "ivf", "ep_ivf", "hnsw",
-               "cellprobe")
+               "cellprobe", "ep_cellprobe")
 
 
 class IndexError_(ValueError):
@@ -169,6 +169,9 @@ class IndexManager:
             artifact, stats = self._build_ep_ivf(store, info.parameters)
         elif info.type in ("hnsw", "cellprobe"):
             artifact, stats = self._build_cell_probe(store, info.parameters)
+        elif info.type == "ep_cellprobe":
+            artifact, stats = self._build_ep_cell_probe(store,
+                                                        info.parameters)
         else:  # pragma: no cover
             raise IndexError_(f"unknown type {info.type}")
         dt = time.perf_counter() - t0
@@ -290,6 +293,33 @@ class IndexManager:
                     "nprobe": int(params.get("nprobe", 32))}
         return artifact, idx.stats()
 
+    def _build_ep_cell_probe(self, store: VectorStore, params: dict):
+        """Scale-out hnsw slot: int8 residual cells sharded over the data
+        axis of the (all-devices) mesh (parallel/ep_cell_probe.py)."""
+        import jax
+
+        from erlvectordb_tpu.parallel.ep_cell_probe import EPCellProbeIndex
+        from erlvectordb_tpu.parallel.mesh import make_mesh
+
+        if store.count == 0:
+            raise IndexError_("store is empty")
+        allv = store.get_all_vectors()
+        mat = np.stack([v[1] for v in allv]).astype(np.float32)
+        if mat.shape[1] % 128:
+            mat = np.pad(mat, ((0, 0), (0, 128 - mat.shape[1] % 128)))
+        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
+        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        mesh = make_mesh(n_data=len(jax.devices()), n_replica=1)
+        idx = EPCellProbeIndex.build(
+            mat, rows, norms, mesh,
+            cell_rows=int(params.get("cell_rows", 96)),
+            cell_cap=int(params.get("cell_cap", 128)),
+            iters=int(params.get("iters", 15)),
+        )
+        artifact = {"ep_cellprobe": idx,
+                    "nprobe": int(params.get("nprobe", 32))}
+        return artifact, idx.stats()
+
     # --------------------------------------------------------------- search
 
     def is_stale(self, name: str) -> bool:
@@ -319,9 +349,10 @@ class IndexManager:
                 metric=store.metric if store.metric != "manhattan" else "euclidean",
             )
             return self._rows_to_hits(store, dists[0], rows[0])
-        if info.type in ("hnsw", "cellprobe"):
+        if info.type in ("hnsw", "cellprobe", "ep_cellprobe"):
             a = info.artifact
-            dists, rows = a["cell_probe"].search(
+            key = "ep_cellprobe" if info.type == "ep_cellprobe" else "cell_probe"
+            dists, rows = a[key].search(
                 q, k=k, nprobe=a["nprobe"],
                 metric=store.metric if store.metric != "manhattan" else "euclidean",
             )
@@ -384,6 +415,9 @@ class IndexManager:
             meta["nprobe"] = int(a["nprobe"])
         elif info.type in ("hnsw", "cellprobe") and a is not None:
             arrays = a["cell_probe"].to_arrays()
+            meta["nprobe"] = int(a["nprobe"])
+        elif info.type == "ep_cellprobe" and a is not None:
+            arrays = a["ep_cellprobe"].to_arrays()
             meta["nprobe"] = int(a["nprobe"])
         idir = Path(root) / f"idx_{name}"
         idir.mkdir(parents=True, exist_ok=True)
@@ -456,6 +490,15 @@ class IndexManager:
 
                 info.artifact = {
                     "cell_probe": CellProbeIndex.from_arrays(arrays),
+                    "nprobe": int(meta.get("nprobe", 32)),
+                }
+            elif info.type == "ep_cellprobe" and arrays:
+                from erlvectordb_tpu.parallel.ep_cell_probe import (
+                    EPCellProbeIndex,
+                )
+
+                info.artifact = {
+                    "ep_cellprobe": EPCellProbeIndex.from_arrays(arrays),
                     "nprobe": int(meta.get("nprobe", 32)),
                 }
             with self._lock:
