@@ -7,7 +7,7 @@ OUT=BENCH_ALL.json
 : > "$OUT"
 for cfg in 1 2 3 4 5 6 7 8 9; do
   echo "=== config $cfg ===" >&2
-  python bench.py --config "$cfg" $QUICK 2>/dev/null | tail -1 >> "$OUT"
+  python bench.py --config "$cfg" $QUICK 2>"/tmp/bench_cfg$cfg.log" | tail -1 >> "$OUT"
 done
 echo "wrote $OUT" >&2
 cat "$OUT"

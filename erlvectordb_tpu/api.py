@@ -146,15 +146,34 @@ class Database:
         """``nprobe`` (local int4r stores only) switches to the sub-linear
         multiprobe gather — O(nprobe*cell_cap) HBM traffic per query, the
         low-latency path at large N (ops/cell_probe.py)."""
-        kw = {"nprobe": nprobe} if nprobe is not None else {}
-        return self.any_store(store).search(query, k=k, metric=metric, **kw)
+        st = self.any_store(store)
+        kw = {}
+        if nprobe is not None:
+            self._check_nprobe(st)
+            kw["nprobe"] = nprobe
+        return st.search(query, k=k, metric=metric, **kw)
 
     def search_batch(self, store: str, queries, k: int = 10,
                      metric: Optional[str] = None,
                      nprobe: Optional[int] = None):
-        kw = {"nprobe": nprobe} if nprobe is not None else {}
-        return self.any_store(store).search_batch(
-            queries, k=k, metric=metric, **kw)
+        st = self.any_store(store)
+        kw = {}
+        if nprobe is not None:
+            self._check_nprobe(st)
+            kw["nprobe"] = nprobe
+        return st.search_batch(queries, k=k, metric=metric, **kw)
+
+    @staticmethod
+    def _check_nprobe(st) -> None:
+        """nprobe rides VectorStore's dispatch (which validates the int4r
+        layout itself); distributed store classes don't accept it — raise
+        the domain error, not a TypeError from the signature."""
+        from erlvectordb_tpu.core.store import VectorStore
+
+        if not isinstance(st, VectorStore):
+            raise ValueError(
+                "nprobe requires a local int4r store; distributed stores "
+                "do not support multiprobe")
 
     def delete(self, store: str, vector_id: str) -> bool:
         return self.any_store(store).delete(vector_id)

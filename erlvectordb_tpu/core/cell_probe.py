@@ -50,7 +50,6 @@ class CellProbeIndex:
         cls,
         data: np.ndarray,           # [N, D] f32 rows (dim-padded ok)
         rows: np.ndarray,           # [N] original store row ids
-        norms: np.ndarray,          # [N] original row norms
         *,
         cell_rows: int = 96,        # target valid rows per cell
         cell_cap: int = 128,        # physical slots per cell (>= cell_rows)
@@ -60,6 +59,10 @@ class CellProbeIndex:
     ) -> "CellProbeIndex":
         n, d = data.shape
         cell_cap = max(8, cell_cap)
+        if cell_cap < cell_rows:
+            raise ValueError(
+                f"cell_cap ({cell_cap}) must be >= cell_rows ({cell_rows}): "
+                "total capacity would be smaller than the corpus")
         n_cells = max(1, -(-n // max(8, cell_rows)))
         train = data
         if n > max_train:
@@ -71,6 +74,13 @@ class CellProbeIndex:
                               iters=iters, init="kpp")
         cents = np.asarray(cents)
         n_cells = cents.shape[0]
+        if n_cells * cell_cap < n:
+            # k-means can return fewer centroids than asked (e.g. the
+            # training sample capped k) — fail loudly, not deep inside the
+            # greedy assignment with a shape mismatch
+            raise ValueError(
+                f"{n_cells} cells x {cell_cap} slots < {n} rows; raise "
+                "cell_cap or max_train")
         owner = _balanced_assign(data, cents, cell_cap)
 
         order = np.argsort(owner, kind="stable")

@@ -198,6 +198,20 @@ class IndexManager:
             "memory_bytes": int(codes.size + scale.size * 4),
         }
 
+    @staticmethod
+    def _store_matrix(store: VectorStore, pad128: bool = False):
+        """Extract (matrix, store-rows, norms) from a store for an index
+        build — the shared front half of every builder."""
+        if store.count == 0:
+            raise IndexError_("store is empty")
+        allv = store.get_all_vectors()
+        mat = np.stack([v[1] for v in allv]).astype(np.float32)
+        if pad128 and mat.shape[1] % 128:
+            mat = np.pad(mat, ((0, 0), (0, 128 - mat.shape[1] % 128)))
+        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
+        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        return mat, rows, norms
+
     def _build_pq(self, store: VectorStore, params: dict, rotated: bool = False):
         from erlvectordb_tpu.quant.opq import OPQCodebook
         from erlvectordb_tpu.quant.pq import PQCodebook
@@ -233,12 +247,7 @@ class IndexManager:
     def _build_ivf(self, store: VectorStore, params: dict):
         from erlvectordb_tpu.core.ivf import IVFIndex
 
-        if store.count == 0:
-            raise IndexError_("store is empty")
-        allv = store.get_all_vectors()
-        mat = np.stack([v[1] for v in allv]).astype(np.float32)
-        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
-        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        mat, rows, norms = self._store_matrix(store)
         idx = IVFIndex.build(
             mat, rows, norms,
             n_cells=int(params.get("n_cells", 64)),
@@ -255,12 +264,7 @@ class IndexManager:
         from erlvectordb_tpu.parallel.ep_ivf import EPIVFIndex
         from erlvectordb_tpu.parallel.mesh import make_mesh
 
-        if store.count == 0:
-            raise IndexError_("store is empty")
-        allv = store.get_all_vectors()
-        mat = np.stack([v[1] for v in allv]).astype(np.float32)
-        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
-        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        mat, rows, norms = self._store_matrix(store)
         mesh = make_mesh(n_data=len(jax.devices()), n_replica=1)
         idx = EPIVFIndex.build(
             mat, rows, norms, mesh,
@@ -275,16 +279,9 @@ class IndexManager:
         by the sub-linear multiprobe gather (core/cell_probe.py)."""
         from erlvectordb_tpu.core.cell_probe import CellProbeIndex
 
-        if store.count == 0:
-            raise IndexError_("store is empty")
-        allv = store.get_all_vectors()
-        mat = np.stack([v[1] for v in allv]).astype(np.float32)
-        if mat.shape[1] % 128:
-            mat = np.pad(mat, ((0, 0), (0, 128 - mat.shape[1] % 128)))
-        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
-        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        mat, rows, _norms = self._store_matrix(store, pad128=True)
         idx = CellProbeIndex.build(
-            mat, rows, norms,
+            mat, rows,
             cell_rows=int(params.get("cell_rows", 96)),
             cell_cap=int(params.get("cell_cap", 128)),
             iters=int(params.get("iters", 15)),
@@ -301,17 +298,10 @@ class IndexManager:
         from erlvectordb_tpu.parallel.ep_cell_probe import EPCellProbeIndex
         from erlvectordb_tpu.parallel.mesh import make_mesh
 
-        if store.count == 0:
-            raise IndexError_("store is empty")
-        allv = store.get_all_vectors()
-        mat = np.stack([v[1] for v in allv]).astype(np.float32)
-        if mat.shape[1] % 128:
-            mat = np.pad(mat, ((0, 0), (0, 128 - mat.shape[1] % 128)))
-        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int64)
-        norms = np.linalg.norm(mat, axis=1).astype(np.float32)
+        mat, rows, _norms = self._store_matrix(store, pad128=True)
         mesh = make_mesh(n_data=len(jax.devices()), n_replica=1)
         idx = EPCellProbeIndex.build(
-            mat, rows, norms, mesh,
+            mat, rows, mesh,
             cell_rows=int(params.get("cell_rows", 96)),
             cell_cap=int(params.get("cell_cap", 128)),
             iters=int(params.get("iters", 15)),

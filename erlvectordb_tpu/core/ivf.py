@@ -83,11 +83,18 @@ def _top_choices_all(data, centroids, *, j, chunk):
     dp = jnp.pad(data, ((0, pad), (0, 0))) if pad else data
     cn = jnp.sum(centroids * centroids, axis=-1)
     id_t = jnp.int16 if c <= 32767 else jnp.int32
+    # global order-preserving scale so the f16 cast cannot overflow: |dist|
+    # <= cn_max + 2*sqrt(xn2_max*cn_max); unnormalized corpora (norms over
+    # ~256) would otherwise saturate every distance to +/-inf and the
+    # greedy's closest-first ordering would be destroyed silently
+    cn_max = jnp.maximum(jnp.max(cn), 1e-9)
+    xn2_max = jnp.max(jnp.sum(dp * dp, axis=-1))
+    dscale = 1.0 / (cn_max + 2.0 * jnp.sqrt(xn2_max * cn_max) + 1.0)
 
     def one(rows):
         dots = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
         negd, ids = lax.approx_max_k(-(cn[None, :] - 2.0 * dots), j)
-        return (-negd).astype(jnp.float16), ids.astype(id_t)
+        return (-negd * dscale).astype(jnp.float16), ids.astype(id_t)
 
     dists, ids = lax.map(one, dp.reshape(-1, chunk, d))
     return dists.reshape(-1, j)[:n], ids.reshape(-1, j)[:n]

@@ -43,7 +43,7 @@ def _build_ep_probe(mesh: Mesh, metric: str, k: int, nprobe: int,
     """Compiled EP multiprobe over codes sharded P(data, None, None)."""
 
     def local_scan(codes, scales, norms, valid, rows, centroids, cents_bf,
-                   q):
+                   active, q):
         # block views: codes [c_local, cap, W] int8; centroids/cents_bf
         # [C, W] and q [B, W] replicated
         b = q.shape[0]
@@ -54,7 +54,7 @@ def _build_ep_probe(mesh: Mesh, metric: str, k: int, nprobe: int,
         table_r = jnp.dot(q.astype(jnp.bfloat16), cents_bf.T,
                           preferred_element_type=jnp.float32)   # [B, C]
         cn2 = jnp.sum(centroids * centroids, axis=-1)
-        if metric in ("euclidean", "l2"):
+        if metric == "euclidean":
             route = 2.0 * table_r - cn2[None, :]
         elif metric == "cosine":
             cnorm = jnp.sqrt(cn2)
@@ -65,6 +65,9 @@ def _build_ep_probe(mesh: Mesh, metric: str, k: int, nprobe: int,
             route = table_r
         else:
             raise ValueError(metric)
+        # empty/padding cells must never win a probe: shard-count padding
+        # fills centroids with 1e6, which would DOMINATE dot/cosine routing
+        route = jnp.where(active[None, :], route, _NEG)
         _, probe = lax.top_k(route, nprobe)                     # [B, np]
         # exact f32 centroid dots for the probed cells (scoring-grade)
         pcents = centroids[probe]                               # [B, np, W]
@@ -85,7 +88,7 @@ def _build_ep_probe(mesh: Mesh, metric: str, k: int, nprobe: int,
                               preferred_element_type=jnp.float32)
             qx = dots * scales[li] + tdot[:, None]             # [B, cap]
             rnorm = norms[li]
-            if metric in ("euclidean", "l2"):
+            if metric == "euclidean":
                 sc = 2.0 * qx - rnorm * rnorm
             elif metric == "dot":
                 sc = qx
@@ -113,7 +116,7 @@ def _build_ep_probe(mesh: Mesh, metric: str, k: int, nprobe: int,
         best, sel2 = lax.top_k(sc_flat, kf)
         rows_out = jnp.take_along_axis(rw_flat, sel2, axis=1)
         rows_out = jnp.where(best > _NEG / 2, rows_out, -1)
-        if metric in ("euclidean", "l2"):
+        if metric == "euclidean":
             dist = jnp.sqrt(jnp.maximum(qsq - best, 0.0))
         elif metric == "dot":
             dist = -best
@@ -133,6 +136,7 @@ def _build_ep_probe(mesh: Mesh, metric: str, k: int, nprobe: int,
             P(DATA_AXIS, None),         # store rows [C, cap]
             P(None, None),              # centroids f32 (replicated)
             P(None, None),              # centroids bf16 (replicated)
+            P(None),                    # active cells [C] (replicated)
             P(None, None),              # queries (replicated)
         ),
         out_specs=(P(None, None), P(None, None)),
@@ -172,13 +176,16 @@ class EPCellProbeIndex:
         self.rows = jax.device_put(
             np.asarray(row_map, np.int32).reshape(n_cells, cell_cap), c2)
         self.row_map = np.asarray(row_map)
+        repl1 = NamedSharding(mesh, P(None))
+        self.active = jax.device_put(
+            np.asarray(valid, bool).reshape(n_cells, cell_cap).any(axis=1),
+            repl1)
 
     # ------------------------------------------------------------------ build
 
     @classmethod
-    def build(cls, data, rows, norms, mesh: Mesh, **kw) -> "EPCellProbeIndex":
-        base = CellProbeIndex.build(np.asarray(data), np.asarray(rows),
-                                    np.asarray(norms), **kw)
+    def build(cls, data, rows, mesh: Mesh, **kw) -> "EPCellProbeIndex":
+        base = CellProbeIndex.build(np.asarray(data), np.asarray(rows), **kw)
         return cls.from_cell_probe(base, mesh)
 
     @classmethod
@@ -226,7 +233,7 @@ class EPCellProbeIndex:
                              min(k, self.cell_cap * nprobe), nprobe,
                              self.n_cells // self.n_shards)
         d, r = fn(self.codes, self.scales, self.norms, self.valid, self.rows,
-                  self.centroids, self.cents_bf,
+                  self.centroids, self.cents_bf, self.active,
                   jax.device_put(q, NamedSharding(self.mesh, P(None, None))))
         return np.asarray(d)[:, :k], np.asarray(r)[:, :k]
 

@@ -21,9 +21,8 @@ class TestMultiprobeOp:
     def built(self):
         data = make_clustered(6000, 32)
         rows = np.arange(6000, dtype=np.int64)
-        norms = np.linalg.norm(data, axis=1).astype(np.float32)
         dp = np.pad(data, ((0, 0), (0, 96)))  # pad dims to 128
-        idx = CellProbeIndex.build(dp, rows, norms, cell_rows=48,
+        idx = CellProbeIndex.build(dp, rows, cell_rows=48,
                                    cell_cap=64, iters=8)
         return idx, data
 
@@ -161,3 +160,17 @@ class TestIndexManagerHnswSlot:
         assert "ihp" in loaded
         hits = im2.search("ihp", data[3], k=3)
         assert hits[0][0] == "v3"
+
+
+def test_nprobe_on_distributed_store_is_clean_error():
+    """api.Database raises the domain error (not a TypeError) when nprobe
+    targets a distributed store class that has no multiprobe support."""
+    from erlvectordb_tpu.api import Database
+    from erlvectordb_tpu.infra.config import load_config
+
+    db = Database(load_config(overrides={"persistence_enabled": False},
+                              env={}))
+    db.create_distributed_store("dshard", dim=8)
+    db.insert("dshard", "a", np.ones(8, np.float32))
+    with pytest.raises(ValueError, match="distributed"):
+        db.search("dshard", np.ones(8, np.float32), k=1, nprobe=4)

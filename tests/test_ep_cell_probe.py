@@ -26,8 +26,7 @@ def setup():
             + 0.3 * rng.standard_normal((12000, 32)).astype(np.float32))
     dp = np.pad(data, ((0, 0), (0, 96)))  # pad dims to 128
     rows = np.arange(12000, dtype=np.int64)
-    norms = np.linalg.norm(dp, axis=1).astype(np.float32)
-    cp = CellProbeIndex.build(dp, rows, norms, cell_rows=48, cell_cap=64,
+    cp = CellProbeIndex.build(dp, rows, cell_rows=48, cell_cap=64,
                               iters=8)
     mesh = make_mesh(n_data=8, n_replica=1)
     ep = EPCellProbeIndex.from_cell_probe(cp, mesh)
@@ -73,9 +72,25 @@ class TestEPCellProbe:
                              ep.n_cells // ep.n_shards)
         jaxpr = str(jax.make_jaxpr(fn)(
             ep.codes, ep.scales, ep.norms, ep.valid, ep.rows,
-            ep.centroids, ep.cents_bf,
+            ep.centroids, ep.cents_bf, ep.active,
             np.zeros((8, ep.centroids.shape[1]), np.float32)))
         assert "all_gather" in jaxpr
+
+    def test_padding_cells_never_win_probes(self):
+        """Regression: shard-count padding fills centroids with 1e6; for
+        dot/cosine an unmasked route would rank every pad cell above every
+        real cell and return zero hits at small nprobe."""
+        rng = np.random.default_rng(11)
+        data = np.abs(rng.standard_normal((900, 128))).astype(np.float32)
+        cp = CellProbeIndex.build(data, np.arange(900, dtype=np.int64),
+                                  cell_rows=30, cell_cap=40, iters=4)
+        mesh = make_mesh(n_data=8, n_replica=1)
+        ep = EPCellProbeIndex.from_cell_probe(cp, mesh)
+        assert ep.n_cells > cp.n_cells  # padding actually exists
+        for metric in ("dot", "cosine"):
+            d, r = ep.search(data[:8], k=3, nprobe=2, metric=metric)
+            assert (r >= 0).all(), (metric, r)
+            assert np.isfinite(d).all(), (metric, d)
 
     def test_shard_padding(self, setup):
         # 48 cells over 8 shards pads to 48 -> cells % shards == 0
