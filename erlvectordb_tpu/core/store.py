@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 import time
 from dataclasses import dataclass
 from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
@@ -276,6 +277,7 @@ class VectorStore:
         self._dim: Optional[int] = dim
         self._capacity = 0
         self._lock = RWLock()
+        self._mat_lock = threading.Lock()  # guards _materialize (see there)
 
         # Device state (allocated lazily once dim is known).
         self._vectors: Optional[jax.Array] = None   # f32 rows or int8 codes
@@ -372,14 +374,23 @@ class VectorStore:
 
     def _materialize(self) -> None:
         """Expand implicit contiguous ids into the dict tables (one-time,
-        triggered by the first targeted mutation after a bulk build)."""
+        triggered by the first targeted mutation after a bulk build).
+
+        Callers may hold only the READ side of the store RWLock (get,
+        filter_mask, export paths run concurrently), so this is guarded by
+        its own mutex with ``_contig`` cleared LAST: a concurrent reader
+        either blocks here or sees the fully-built tables — never the
+        half-built state."""
         if not self._contig:
             return
-        n = self._contig
-        self._contig = 0
-        self._id_to_row = {str(i): i for i in range(n)}
-        self._row_to_id = {i: str(i) for i in range(n)}
-        self._fill_contig_ids(n)
+        with self._mat_lock:
+            n = self._contig
+            if not n:  # lost the race: another thread materialized
+                return
+            self._id_to_row = {str(i): i for i in range(n)}
+            self._row_to_id = {i: str(i) for i in range(n)}
+            self._fill_contig_ids(n)
+            self._contig = 0  # publish: tables are complete
 
     def _fill_contig_ids(self, n: int) -> None:
         """Fill rows [0, n) of the columnar id table with implicit ids."""
@@ -610,16 +621,21 @@ class VectorStore:
             raise ValueError("ids and vectors length mismatch")
         if metadatas is None:
             metadatas = [{}] * len(ids)
-        if self.dtype == "int4r" and len(ids) > 1:
-            # int4r re-places overwrites into fresh slots, so batch-internal
-            # duplicates must collapse to the last occurrence up front
+        if len(ids) > 1:
+            # Batch-internal duplicates collapse to the LAST occurrence up
+            # front (last-write-wins).  Without this, two new occurrences of
+            # one id would each take a fresh row: _id_to_row keeps only the
+            # last, leaving the first as a permanent valid "ghost" row that
+            # search returns and delete cannot reach; duplicate EXISTING ids
+            # would also race in the device scatter (duplicate-index winner
+            # is unspecified).  int4r additionally re-places overwrites into
+            # fresh slots, which requires the same collapse.
             last = {str(v): i for i, v in enumerate(ids)}
             if len(last) != len(ids):
                 keep = sorted(last.values())
                 ids = [ids[i] for i in keep]
                 arr = arr[keep]
                 metadatas = [metadatas[i] for i in keep]
-        # Last write wins for duplicate ids within one batch.
         with self._lock.write(), metrics.timed("store.insert"):
             self._materialize()
             self._ensure_allocated(arr.shape[1])
@@ -1021,7 +1037,16 @@ class VectorStore:
         q_j = self._put(q)
         valid = self._valid
         if fmask is not None:
-            valid = jnp.logical_and(valid, self._put(fmask))
+            # the mask is built OUTSIDE the store lock; a concurrent insert
+            # may have grown capacity since.  Snapshot semantics: rows added
+            # after the mask was built are excluded from this search (pad
+            # False) instead of raising a shape mismatch mid-batch.
+            fm = fmask
+            if fm.shape[0] < valid.shape[0]:
+                fm = jnp.pad(fm, (0, valid.shape[0] - fm.shape[0]))
+            elif fm.shape[0] > valid.shape[0]:
+                fm = fm[: valid.shape[0]]
+            valid = jnp.logical_and(valid, self._put(fm))
         from erlvectordb_tpu.ops import fused_topk as ft
 
         if self.dtype == "int4r":
@@ -1401,10 +1426,10 @@ class VectorStore:
         cap = max(_next_pow2(n), MIN_CAPACITY)
         store._capacity = cap
         width = _pad128(d)
-        arr_dev = store._put(arr)
-        if width != d:
-            arr_dev = _pad_width(arr_dev, width)
         if store.dtype == "int4r":
+            # no arr_dev here: the residual build does its own transfers
+            # (k-means sample + padded corpus) — a full-size f32 copy would
+            # just sit in HBM doubling peak memory through the build
             store._build_int4r(arr, ids)
             if metadatas is not None:
                 if len(metadatas) != n:
@@ -1416,6 +1441,9 @@ class VectorStore:
             store.version = 1
             store.dirty = True
             return store
+        arr_dev = store._put(arr)
+        if width != d:
+            arr_dev = _pad_width(arr_dev, width)
         if store.dtype == "int8":
             codes, scales, norms, valid = _bulk_build_int8(arr_dev, cap)
             store._vectors, store._scales, store._norms, store._valid = (

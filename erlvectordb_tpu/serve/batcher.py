@@ -133,6 +133,13 @@ class QueryBatcher:
         p = _Pending(np.asarray(query, np.float32), cb=callback)
         if callback is None:
             p.event = threading.Event()
+        if p.query.ndim != 1:
+            # reject HERE: the group key only covers the trailing dim, so a
+            # 2-D query with the right trailing dim would land in a healthy
+            # group and fail the whole batch's np.stack for every caller
+            self._deliver(p, None, ValueError(
+                f"query must be 1-D, got shape {p.query.shape}"))
+            return p
         # dimension is part of the key so one malformed query cannot poison
         # a whole batch with a stacking error; filters batch with equal filters
         where_key = json.dumps(where, sort_keys=True) if where else None
@@ -146,10 +153,14 @@ class QueryBatcher:
                 return p
             self._queues[key].append(p)
             self._depth += 1
+            first = self._depth == 1
             depth = len(self._queues[key])
         metrics.inc("batcher.enqueued")
         metrics.gauge("batcher.queue_depth", self._depth)
-        if depth >= self.max_batch:
+        if first or depth >= self.max_batch:
+            # first request into an idle batcher: wake the collector from
+            # its long idle sleep (it otherwise busy-polled at min_wait
+            # ~5000x/s on every idle deployment)
             self._wake.set()
         return p
 
@@ -205,8 +216,12 @@ class QueryBatcher:
             p.event.set()
 
     def _effective_wait(self) -> float:
-        """Adaptive collection window.  Device busy -> up to half the EWMA
-        batch service time (bounded by max_wait); device idle -> min_wait."""
+        """Adaptive collection window.  Fully idle (nothing queued, nothing
+        in flight) -> long sleep, woken by the first submit; device busy ->
+        up to half the EWMA batch service time (bounded by max_wait);
+        device idle but requests queued -> min_wait."""
+        if self._depth == 0 and self._inflight_n == 0:
+            return 0.5  # idle heartbeat; submit()/stop() set _wake
         if self._inflight_n == 0:
             return self.min_wait
         half = self._service_ewma / 2.0
@@ -230,13 +245,17 @@ class QueryBatcher:
 
     def _acquire_inflight(self) -> None:
         self._inflight.acquire()
-        self._inflight_n += 1
-        metrics.gauge("batcher.inflight", self._inflight_n)
+        with self._lock:  # += on a plain int races across the three threads
+            self._inflight_n += 1
+            n = self._inflight_n
+        metrics.gauge("batcher.inflight", n)
 
     def _release_inflight(self) -> None:
-        self._inflight_n -= 1
+        with self._lock:
+            self._inflight_n -= 1
+            n = self._inflight_n
         self._inflight.release()
-        metrics.gauge("batcher.inflight", self._inflight_n)
+        metrics.gauge("batcher.inflight", n)
 
     def _dispatch(self, store_name: str, k: int, metric: Optional[str],
                   pendings: List[_Pending], where_key=None) -> None:

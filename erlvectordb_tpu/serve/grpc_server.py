@@ -55,7 +55,7 @@ _SCOPES = {
     "StreamSearch": "read",
     "Stats": "read",
     "CreateStore": "write",
-    "DeleteStore": "write",
+    "DeleteStore": "admin",  # matches MCP delete_store / REST (tools.py)
     "Insert": "write",
     "InsertBatch": "write",
     "Delete": "write",

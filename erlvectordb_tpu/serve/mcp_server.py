@@ -68,6 +68,12 @@ def _tool_result(req_id, out) -> dict:
 # so one connection can pipeline thousands of in-flight searches).
 _ASYNC = object()
 
+# metric-label allowlist (see _handle_client)
+_KNOWN_METHODS = frozenset({
+    "initialize", "notifications/initialized", "ping", "tools/list",
+    "tools/call",
+})
+
 
 class MCPServer:
     def __init__(self, db: Database, host: str = "127.0.0.1", port: int = 8080):
@@ -134,6 +140,12 @@ class MCPServer:
     def _handle_client(self, conn: socket.socket, addr) -> None:
         decoder = json.JSONDecoder()
         buf = ""
+        # incremental decoder: recv() can split a multi-byte UTF-8 sequence
+        # across chunks — per-chunk .decode(errors="replace") would silently
+        # corrupt the split character (U+FFFD inside valid JSON)
+        import codecs
+
+        utf8 = codecs.getincrementaldecoder("utf-8")("replace")
         send_lock = threading.Lock()
 
         def send(obj: dict) -> None:
@@ -154,7 +166,7 @@ class MCPServer:
                     break
                 if not chunk:
                     break
-                buf += chunk.decode("utf-8", errors="replace")
+                buf += utf8.decode(chunk)
                 if len(buf) > MAX_BUFFER_BYTES:
                     # a client streaming garbage without message boundaries
                     # must not grow the buffer unboundedly
@@ -178,7 +190,12 @@ class MCPServer:
                         break
                     buf = stripped[end:]
                     method = obj.get("method", "?") if isinstance(obj, dict) else "?"
-                    with metrics.timed(f"mcp.{method.replace('/', '_')}"):
+                    # fixed label set: the method string is client-supplied
+                    # and runs pre-auth — unique strings would each allocate
+                    # a histogram in the process-wide registry forever
+                    label = (f"mcp.{method.replace('/', '_')}"
+                             if method in _KNOWN_METHODS else "mcp.other")
+                    with metrics.timed(label):
                         resp = self._process(obj, send)
                     if resp is _ASYNC:
                         continue  # response will be sent by a batcher callback

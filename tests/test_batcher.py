@@ -113,7 +113,10 @@ def test_adaptive_window_tracks_service_time(setup):
     registry, _, _ = setup
     b = QueryBatcher(lambda name: registry.get(name),
                      max_wait=0.004, min_wait=0.0002)
-    # idle device -> floor
+    # fully idle (no queue, no inflight) -> long sleep, woken by submit
+    assert b._effective_wait() == 0.5
+    # requests queued but device idle -> floor
+    b._depth = 1
     assert b._effective_wait() == b.min_wait
     # busy device with slow batches -> capped at max_wait
     b._inflight_n = 2
@@ -135,3 +138,26 @@ def test_service_ewma_and_gauges_update(setup):
     assert snap["gauges"].get("batcher.service_ewma_ms", 0) > 0
     assert "batcher.inflight" in snap["gauges"]
     assert batcher._service_ewma > 0
+
+
+def test_malformed_2d_query_rejected_alone(setup):
+    """Regression: a 2-D query with the right trailing dim must fail ONLY
+    its own request, not poison the coalesced batch's np.stack."""
+    import threading
+
+    _, batcher, data = setup
+    results = {}
+
+    def good(i):
+        results[i] = batcher.search("b", data[i], k=1)
+
+    threads = [threading.Thread(target=good, args=(i,), daemon=True)
+               for i in (1, 2)]
+    p = batcher.submit("b", np.ones((1, 16), np.float32), k=1)
+    for t in threads:
+        t.start()
+    assert p.event.wait(10)
+    assert isinstance(p.error, ValueError)
+    for t in threads:
+        t.join(timeout=30)
+    assert results[1][0][0] == "v1" and results[2][0][0] == "v2"

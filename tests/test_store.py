@@ -440,3 +440,40 @@ class TestColumnarFiltering:
         store, data = self._mk(rng)
         assert store.filter_mask({"cat": 12345}).sum() == 0
         assert store.search(data[0], k=3, where={"cat": 12345}) == []
+
+
+class TestDuplicateBatchIds:
+    """Regression: duplicate NEW ids in one insert_batch must collapse to
+    the last occurrence — not allocate a ghost row per occurrence that
+    search returns forever and delete cannot reach."""
+
+    def test_duplicate_new_ids_last_write_wins(self):
+        st = VectorStore("dupb")
+        v1 = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        v2 = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+        st.insert_batch(["a", "a"], np.stack([v1, v2]))
+        assert st.count == 1
+        got = st.get("a")
+        np.testing.assert_allclose(got[0][:4], v2, atol=1e-6)
+        # no ghost: top-2 search returns ONE hit for 'a'
+        hits = st.search(v1, k=2)
+        assert [h[0] for h in hits] == ["a"]
+        assert st.delete("a")
+        assert st.count == 0
+        assert st.search(v1, k=1) == []
+
+    def test_duplicate_existing_id_deterministic(self):
+        st = VectorStore("dupb2")
+        st.insert("x", [1.0, 0.0])
+        st.insert_batch(["x", "x"],
+                        np.array([[0.0, 1.0], [0.0, -1.0]], np.float32))
+        got = st.get("x")
+        np.testing.assert_allclose(got[0][:2], [0.0, -1.0], atol=1e-6)
+        assert st.count == 1
+
+    def test_duplicate_metadata_follows_last(self):
+        st = VectorStore("dupb3")
+        st.insert_batch(["m", "m"],
+                        np.array([[1.0, 0.0], [0.0, 1.0]], np.float32),
+                        [{"v": 1}, {"v": 2}])
+        assert st.get("m")[1] == {"v": 2}
