@@ -231,6 +231,9 @@ class SearchTicket:
     k: int       # caller's k (trim bound)
     kb: int      # compiled k bucket
     t0: float = 0.0  # submit timestamp (for the store.search latency metric)
+    shard_cap: int = 0  # sharded stores: per-shard capacity AT SUBMIT TIME
+    #                    (rows encode shard*cap+local; a grow between submit
+    #                    and complete changes the flat id layout)
 
 
 class DimensionMismatch(ValueError):

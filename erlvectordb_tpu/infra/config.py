@@ -7,8 +7,11 @@ health_check_path} (:39-56,169-204), and autodetects development mode
 (:573-589) and container mode (:752-793) with their port/interface overrides.
 This module reproduces those capabilities:
 
-  precedence:  env vars  >  config file (JSON)  >  programmatic overrides  >
+  precedence:  env vars  >  programmatic overrides  >  config file (JSON) >
                mode defaults (dev/container)     >  built-in defaults
+  (overrides beat the file: they are the embedding application's explicit
+  wiring — e.g. test harnesses and the bench rig pin ports/dirs that a
+  stray config file must not silently hijack)
 
 Env vars (EVDB_* replaces the reference's ERLVECTORDB_*; legacy names also
 accepted):
@@ -241,6 +244,8 @@ def load_config(
 
     # layer 3: programmatic overrides
     for name, svc in (overrides.get("services") or {}).items():
+        if name not in svc_cfg:
+            raise ConfigError(f"overrides: unknown service {name!r}")
         svc_cfg[name].update(svc)
     for k, v in overrides.items():
         if k not in ("services", "development_mode", "container_mode"):

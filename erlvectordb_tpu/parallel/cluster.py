@@ -55,6 +55,11 @@ class ClusterManager:
         self.replication_factor = replication_factor
         if n_data is None:
             n_data = len(self._all_devices) // replication_factor
+        if n_data < 1:
+            raise ClusterError(
+                f"replication_factor {replication_factor} exceeds the "
+                f"{len(self._all_devices)} available device(s): no complete "
+                "replica group can form")
         self.n_data = n_data
         self._failed: set = set()  # device ids marked dead
         self._stores: Dict[str, ShardedVectorStore] = {}
@@ -103,7 +108,8 @@ class ClusterManager:
             process_id=process_id,
         )
         self._all_devices = list(jax.devices())
-        self.n_data = len(self._all_devices) // max(self.replication_factor, 1)
+        self.n_data = max(
+            1, len(self._all_devices) // max(self.replication_factor, 1))
         self._mesh = self._build_mesh()
         self._resync_stores()
         return self.get_cluster_stats()

@@ -201,15 +201,57 @@ class DimShardedVectorStore(_VectorStore):
     def from_matrix(cls, name: str, matrix, mesh: Optional[Mesh] = None,
                     ids=None, metric: str = "cosine",
                     metadatas=None) -> "DimShardedVectorStore":
+        """Bulk build placed DIRECTLY with the P(None, 'model') sharding.
+
+        This class exists for matrices too wide for one chip — building a
+        complete single-device store first (as an earlier version did)
+        would OOM exactly those workloads and double peak memory for the
+        rest.  Norms are computed on the sharded buffer (one psum), never
+        on a single device."""
         import numpy as _np
 
+        from erlvectordb_tpu.core.store import (
+            MIN_CAPACITY,
+            _next_pow2,
+            _pad128,
+        )
+
         mesh = mesh or make_dim_mesh(len(jax.devices()))
-        arr = _np.asarray(matrix, _np.float32)
-        base = _VectorStore.from_matrix(name, arr, ids=ids, metric=metric,
-                                        metadatas=metadatas)
-        state = base.export_state()
-        state["n_model"] = mesh.shape[MODEL_AXIS]
-        return cls.from_state(state, mesh=mesh)
+        arr = _np.ascontiguousarray(_np.asarray(matrix, _np.float32))
+        n, d = arr.shape
+        store = cls(name, mesh, dim=d, metric=metric)
+        cap = max(_next_pow2(n), MIN_CAPACITY)
+        width = _pad128(d)
+        store._capacity = cap
+        xp = _np.zeros((cap, width), _np.float32)
+        xp[:n, :d] = arr
+        store._vectors = store._put(xp)        # sharded placement, no detour
+        store._norms = store._put(
+            jnp.sqrt(jnp.sum(store._vectors * store._vectors, axis=-1)))
+        vmask = _np.zeros((cap,), bool)
+        vmask[:n] = True
+        store._valid = store._put(vmask)
+        store._next_row = n
+        store._ids_np = _np.full((cap,), None, object)
+        if metadatas is not None:
+            if len(metadatas) != n:
+                raise ValueError("metadatas and matrix length mismatch")
+            eff = ids if ids is not None else range(n)
+            store._metadata = {str(v): (m or {})
+                               for v, m in zip(eff, metadatas)}
+        if ids is None:
+            store._contig = n
+        else:
+            if len(ids) != n:
+                raise ValueError("ids and matrix length mismatch")
+            store._id_to_row = {str(v): i for i, v in enumerate(ids)}
+            store._row_to_id = {i: str(v) for i, v in enumerate(ids)}
+            if len(store._id_to_row) != n:
+                raise ValueError("duplicate ids in bulk build")
+            store._ids_np[:n] = [str(v) for v in ids]
+        store.version = 1
+        store.dirty = True
+        return store
 
     def get_stats(self) -> dict:
         stats = super().get_stats()

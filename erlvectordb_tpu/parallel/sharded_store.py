@@ -25,6 +25,7 @@ resharding device transfer.
 from __future__ import annotations
 
 import functools
+import threading
 import math
 import time
 from dataclasses import dataclass
@@ -208,6 +209,7 @@ class ShardedVectorStore:
         self.n_replicas = mesh.shape[REPLICA_AXIS]
         self._cap = 0  # per-shard capacity
         self._lock = RWLock()
+        self._mat_lock = threading.Lock()  # guards _materialize
 
         self._vectors: Optional[jax.Array] = None  # [S, cap, D]
         self._scales: Optional[jax.Array] = None   # [S, cap] (int8 only)
@@ -264,14 +266,23 @@ class ShardedVectorStore:
         """Expand implicit contiguous ids into the slot dicts (one-time,
         before the first targeted mutation or dict-reading accessor).
         MUST run before any capacity grow: the implicit id<->row identity
-        only holds at the build-time per-shard capacity."""
+        only holds at the build-time per-shard capacity.
+
+        Callers may hold only the READ side of the RWLock (get /
+        filter_mask / export paths run concurrently), so this is guarded
+        by its own mutex with ``_contig`` cleared LAST: a concurrent
+        reader either blocks here or sees complete tables, never the
+        half-built state (same pattern as core VectorStore)."""
         if not self._contig:
             return
-        n, cap = self._contig, self._cap
-        self._contig = 0
-        self._id_to_slot = {str(i): (i // cap, i % cap) for i in range(n)}
-        self._slot_to_id = {v: k for k, v in self._id_to_slot.items()}
-        self._fill_contig_ids(n)
+        with self._mat_lock:
+            n, cap = self._contig, self._cap
+            if not n:  # lost the race: another thread materialized
+                return
+            self._id_to_slot = {str(i): (i // cap, i % cap) for i in range(n)}
+            self._slot_to_id = {v: k for k, v in self._id_to_slot.items()}
+            self._fill_contig_ids(n)
+            self._contig = 0  # publish: tables are complete
 
     def _fill_contig_ids(self, n: int) -> None:
         """Fill flat rows [0, n) of the columnar id table with implicit ids
@@ -391,6 +402,17 @@ class ShardedVectorStore:
             raise ValueError("ids and vectors length mismatch")
         if metadatas is None:
             metadatas = [{}] * len(ids)
+        if len(ids) > 1:
+            # batch-internal duplicates collapse to the LAST occurrence
+            # (last-write-wins) — same fix as core VectorStore: duplicate
+            # new ids would otherwise each take a fresh slot, leaving a
+            # permanent valid ghost only one of which delete can reach
+            last = {str(v): i for i, v in enumerate(ids)}
+            if len(last) != len(ids):
+                keep = sorted(last.values())
+                ids = [ids[i] for i in keep]
+                arr = arr[keep]
+                metadatas = [metadatas[i] for i in keep]
         with self._lock.write():
             self._materialize()
             self._ensure_allocated(arr.shape[1])
@@ -508,8 +530,10 @@ class ShardedVectorStore:
 
     def filter_mask(self, where: dict) -> np.ndarray:
         """[S, cap] slot mask for metadata equality predicates."""
-        mask = np.zeros((self.n_shards, self._cap), bool)
         with self._lock.read():
+            # allocate INSIDE the lock: a concurrent insert can grow _cap,
+            # and slots recorded past a stale allocation would IndexError
+            mask = np.zeros((self.n_shards, self._cap), bool)
             self._materialize()
             for vid, meta in self._metadata.items():
                 if all(meta.get(kk) == vv for kk, vv in where.items()):
@@ -547,6 +571,7 @@ class ShardedVectorStore:
         dists_np = np.asarray(t.dists)[: t.nq]
         rows_np = np.asarray(t.rows)[: t.nq]
         with self._lock.read():
+            rows_np = self._remap_ticket_rows(rows_np, t)
             return self._map_results(dists_np, rows_np, t.k)
 
     def search_batch_complete_raw(self, t):
@@ -558,8 +583,21 @@ class ShardedVectorStore:
         dists_np = np.asarray(t.dists)[: t.nq, :kk]
         rows_np = np.asarray(t.rows)[: t.nq, :kk]
         with self._lock.read():
-            ids = self._ids_view().reshape(-1)[rows_np]
+            rows_now = self._remap_ticket_rows(rows_np, t)
+            ids = self._ids_view().reshape(-1)[rows_now]
         return dists_np, rows_np, ids
+
+    def _remap_ticket_rows(self, rows_np, t):
+        """Device rows encode shard*cap+local with the SUBMIT-TIME per-shard
+        capacity; a concurrent insert may have grown _cap before this
+        completion, which would silently remap results to wrong ids if
+        decoded against the current flat layout."""
+        cap_t = t.shard_cap or self._cap
+        if cap_t == self._cap:
+            return rows_np
+        shard = rows_np // cap_t
+        local = rows_np % cap_t
+        return shard * self._cap + local
 
     def _map_results(self, dists_np, rows_np, k):
         kk = min(k, rows_np.shape[1])
@@ -605,6 +643,13 @@ class ShardedVectorStore:
         fn = _build_search(self.mesh, metric, kb, self.dtype == "int8", fused_nt)
         valid = self._valid
         if fmask is not None:
+            # the mask was built outside this read lock; reconcile to the
+            # current capacity (snapshot semantics, like core VectorStore)
+            if fmask.shape[1] < valid.shape[1]:
+                fmask = np.pad(
+                    fmask, ((0, 0), (0, valid.shape[1] - fmask.shape[1])))
+            elif fmask.shape[1] > valid.shape[1]:
+                fmask = fmask[:, : valid.shape[1]]
             valid = jnp.logical_and(
                 valid,
                 jax.device_put(fmask, NamedSharding(self.mesh, P(DATA_AXIS, None))),
@@ -612,7 +657,8 @@ class ShardedVectorStore:
         aux = self._scales if self.dtype == "int8" else self._norms  # dummy for f32
         q_dev = jax.device_put(q, self._sharding(P(REPLICA_AXIS, None)))
         dists, rows = fn(self._vectors, aux, self._norms, valid, q_dev)
-        return SearchTicket(dists, rows, nq, k, kb)
+        return SearchTicket(dists, rows, nq, k, kb,
+                            shard_cap=self._cap)
 
     # ------------------------------------------------------------ accessors
 
@@ -628,15 +674,16 @@ class ShardedVectorStore:
             return vec, self._metadata.get(str(vector_id), {})
 
     def get_stats(self) -> dict:
-        if self._contig:  # block partition: no dict walk needed
-            per_shard = [
-                min(self._cap, max(0, self._contig - s * self._cap))
-                for s in range(self.n_shards)
-            ]
-        else:
-            per_shard = [0] * self.n_shards
-            for s, _ in self._id_to_slot.values():
-                per_shard[s] += 1
+        with self._lock.read():  # _id_to_slot must not grow mid-iteration
+            if self._contig:  # block partition: no dict walk needed
+                per_shard = [
+                    min(self._cap, max(0, self._contig - s * self._cap))
+                    for s in range(self.n_shards)
+                ]
+            else:
+                per_shard = [0] * self.n_shards
+                for s, _ in self._id_to_slot.values():
+                    per_shard[s] += 1
         return {
             "name": self.name,
             "count": self.count,

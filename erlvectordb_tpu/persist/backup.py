@@ -28,7 +28,10 @@ import numpy as np
 from erlvectordb_tpu.core.store import VectorStore
 
 BACKUP_SUFFIX = ".backup"
-_ARRAY_KEYS = ("vectors", "norms", "valid", "scales")
+# must cover every ndarray export_state can emit (int4r stores carry
+# centroids) — a missed key stays in the JSON manifest and json.dumps
+# raises; restore would also silently drop it
+_ARRAY_KEYS = ("vectors", "norms", "valid", "scales", "centroids")
 
 
 def backup_store(store: VectorStore, backup_name: str, backup_dir: str | os.PathLike) -> str:

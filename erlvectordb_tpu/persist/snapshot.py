@@ -326,6 +326,12 @@ class PersistenceManager:
         and a small touched set gets an O(delta) delta file; otherwise a
         full base snapshot (which also compacts the chain)."""
         name = store.name
+        # capture the version BEFORE the (possibly seconds-long) save: a
+        # write landing during the save bumps store.version past this, so
+        # sync_all re-syncs it next cycle instead of silently losing it —
+        # recording store.version AFTER the save would mark unsaved state
+        # as synced forever
+        ver = store.version
         touched = len(getattr(store, "_touched_rows", ()))
         seq = self._delta_seq.get(name, 0)
         use_delta = (
@@ -344,8 +350,9 @@ class PersistenceManager:
             with self._lock:
                 self._delta_seq[name] = 0
         with self._lock:
-            self._synced_version[name] = store.version
-        store.dirty = False
+            self._synced_version[name] = ver
+        if store.version == ver:  # no write raced the save
+            store.dirty = False
 
     def sync(self, name: str) -> bool:
         with self._lock:

@@ -291,3 +291,49 @@ class TestIncrementalSnapshots:
         from erlvectordb_tpu.persist.snapshot import load_store
         final = load_store("inc", tmp_path)
         assert "a" in final and "b" in final
+
+
+class TestSyncVersionRace:
+    def test_write_during_save_stays_pending(self, tmp_path, monkeypatch):
+        """Regression: a write landing DURING the (slow) save must leave the
+        store pending for the next sync — recording the post-save version
+        would mark the unsaved write as synced forever."""
+        from erlvectordb_tpu.persist import snapshot as snap_mod
+        from erlvectordb_tpu.persist.snapshot import PersistenceManager
+
+        pm = PersistenceManager(str(tmp_path), sync_interval=9999)
+        st = VectorStore("racer")
+        st.insert("a", [1.0, 0.0])
+        pm.track(st)
+
+        real_save = snap_mod.save_store
+
+        def slow_save(store, root, compression=None):
+            out = real_save(store, root, compression)
+            # a client write lands while the save was in flight
+            store.insert("b", [0.0, 1.0])
+            return out
+
+        monkeypatch.setattr(snap_mod, "save_store", slow_save)
+        monkeypatch.setattr(
+            "erlvectordb_tpu.persist.snapshot.save_store", slow_save)
+        assert pm.sync_all() == 1
+        monkeypatch.setattr(
+            "erlvectordb_tpu.persist.snapshot.save_store", real_save)
+        # the racing write must still be considered unsynced
+        assert pm.sync_all() == 1
+        assert pm.sync_all() == 0
+
+    def test_int4r_backup_roundtrip(self, tmp_path):
+        """Regression: int4r stores carry a centroids ndarray that backup's
+        manifest split must move into the npz (json.dumps crashed)."""
+        from erlvectordb_tpu.persist import backup as backup_mod
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((600, 16)).astype(np.float32)
+        st = VectorStore.from_matrix("b4r", data, dtype="int4r")
+        path = backup_mod.backup_store(st, "snap", str(tmp_path))
+        st2 = backup_mod.restore_store(path, new_name="b4r_r")
+        assert st2.dtype == "int4r" and st2.count == 600
+        hits = st2.search(data[17], k=1)
+        assert hits[0][0] == "17"

@@ -412,3 +412,43 @@ class TestDimShardedStore:
         st.insert_batch([f"x{i}" for i in range(50)], data)
         assert db.search("wide", data[11], k=1)[0][0] == "x11"
         db.stop()
+
+
+class TestShardedHardening:
+    def test_duplicate_batch_ids_no_ghosts(self, mesh8):
+        st = ShardedVectorStore("dupsh", mesh8)
+        v1 = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        v2 = np.array([0.0, 1.0, 0.0, 0.0], np.float32)
+        st.insert_batch(["a", "a"], np.stack([v1, v2]))
+        assert st.count == 1
+        hits = st.search(v1, k=2)
+        assert [h[0] for h in hits] == ["a"]
+        np.testing.assert_allclose(st.get("a")[0][:4], v2, atol=1e-6)
+        assert st.delete("a") and st.count == 0
+
+    def test_ticket_decodes_across_capacity_grow(self, mesh8):
+        """Regression: device rows encode shard*cap+local at SUBMIT time; a
+        grow between submit and complete must not remap results to wrong
+        ids."""
+        st = ShardedVectorStore("growsh", mesh8)
+        n0 = 64
+        rng = np.random.default_rng(1)
+        data = rng.standard_normal((n0, 8)).astype(np.float32)
+        st.insert_batch([f"v{i}" for i in range(n0)], data)
+        t = st.search_batch_submit(data[:4], k=1)
+        # grow capacity while the ticket is in flight
+        cap_before = st._cap
+        more = rng.standard_normal((4096, 8)).astype(np.float32)
+        st.insert_batch([f"w{i}" for i in range(4096)], more)
+        assert st._cap > cap_before, "test needs an actual grow"
+        out = st.search_batch_complete(t)
+        assert [out[i][0][0] for i in range(4)] == [f"v{i}" for i in range(4)]
+
+    def test_cluster_overreplication_is_clear_error(self):
+        import pytest as _pytest
+
+        from erlvectordb_tpu.parallel.cluster import ClusterError, ClusterManager
+
+        devs = jax.devices()[:1]
+        with _pytest.raises(ClusterError, match="replication_factor"):
+            ClusterManager(devices=devs, replication_factor=2)
