@@ -118,6 +118,7 @@ class Database:
     def delete_store(self, name: str) -> bool:
         if self.persistence is not None:
             self.persistence.untrack(name)
+        self.indexes.drop_for_store(name)
         hit = self.registry.drop(name)
         if self._cluster is not None:
             hit = self._cluster.undistribute_store(name) or hit

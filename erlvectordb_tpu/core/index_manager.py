@@ -109,6 +109,16 @@ class IndexManager:
         with self._lock:
             return self._indexes.pop(name, None) is not None
 
+    def drop_for_store(self, store: str) -> List[str]:
+        """Drop every index built over ``store`` (called when the store is
+        deleted — orphaned indexes would raise raw StoreNotFound from deep
+        inside search and re-load their artifacts forever)."""
+        with self._lock:
+            doomed = [n for n, i in self._indexes.items() if i.store == store]
+            for n in doomed:
+                self._indexes.pop(n, None)
+            return doomed
+
     def list_indexes(self) -> List[dict]:
         with self._lock:
             return [i.to_dict() for i in self._indexes.values()]
@@ -188,11 +198,24 @@ class IndexManager:
             raise IndexError_("store is empty")
         if store.dtype == "int8":
             return None, {"kind": "native-int8"}  # store already quantized
+        if store.dtype != "float32":
+            # int4/int4r buffers are PACKED NIBBLE BYTES — quantizing them
+            # as float rows builds a silently-garbage index
+            raise IndexError_(
+                f"int8 index requires a float32 store (got {store.dtype}; "
+                "quantized stores are already searched natively)")
         vecs = store._vectors
         absmax = jnp.max(jnp.abs(vecs), axis=-1)
         scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
         codes = jnp.clip(jnp.round(vecs / scale[:, None]), -127, 127).astype(jnp.int8)
-        artifact = {"codes": codes, "scales": scale}
+        # SNAPSHOT norms/valid with REAL COPIES: scoring build-time codes
+        # against the LIVE arrays breaks after a capacity grow (shape
+        # mismatch) and silently mis-scores after any mutation — and a
+        # no-copy alias (jnp.asarray) would be DELETED by the next
+        # same-capacity insert's buffer donation
+        artifact = {"codes": codes, "scales": scale,
+                    "norms": jnp.array(store._norms, copy=True),
+                    "valid": jnp.array(store._valid, copy=True)}
         return artifact, {
             "kind": "int8",
             "memory_bytes": int(codes.size + scale.size * 4),
@@ -216,11 +239,7 @@ class IndexManager:
         from erlvectordb_tpu.quant.opq import OPQCodebook
         from erlvectordb_tpu.quant.pq import PQCodebook
 
-        if store.count == 0:
-            raise IndexError_("store is empty")
-        allv = store.get_all_vectors()
-        mat = np.stack([v[1] for v in allv]).astype(np.float32)
-        rows = np.asarray([store._id_to_row[v[0]] for v in allv], np.int32)
+        mat, rows, _norms = self._store_matrix(store)
         m = int(params.get("m", 8))
         k = int(params.get("k", 256))
         iters = int(params.get("iters", 15))
@@ -354,7 +373,7 @@ class IndexManager:
             qp = np.zeros((1, a["codes"].shape[1]), np.float32)
             qp[0, : q.shape[0]] = q
             dists, rows = exact_topk_int8(
-                a["codes"], a["scales"], store._norms, store._valid,
+                a["codes"], a["scales"], a["norms"], a["valid"],
                 jnp.asarray(qp), metric=store.metric, k=min(k, store.count),
             )
             return self._rows_to_hits(store, np.asarray(dists)[0], np.asarray(rows)[0])
@@ -394,7 +413,9 @@ class IndexManager:
         arrays = {}
         if info.type == "int8" and a is not None:
             arrays = {"codes": np.asarray(a["codes"]),
-                      "scales": np.asarray(a["scales"])}
+                      "scales": np.asarray(a["scales"]),
+                      "norms": np.asarray(a["norms"]),
+                      "valid": np.asarray(a["valid"])}
         elif info.type in ("pq", "opq") and a is not None:
             arrays = dict(a["codebook"].to_arrays())
             arrays["codes"] = np.asarray(a["codes"])
@@ -449,7 +470,9 @@ class IndexManager:
             info.stats = meta.get("stats") or {}
             if info.type == "int8" and arrays:
                 info.artifact = {"codes": jnp.asarray(arrays["codes"]),
-                                 "scales": jnp.asarray(arrays["scales"])}
+                                 "scales": jnp.asarray(arrays["scales"]),
+                                 "norms": jnp.asarray(arrays["norms"]),
+                                 "valid": jnp.asarray(arrays["valid"])}
             elif info.type in ("pq", "opq") and arrays:
                 if info.type == "opq":
                     from erlvectordb_tpu.quant.opq import OPQCodebook

@@ -363,10 +363,12 @@ class VectorStore:
 
     def __contains__(self, vector_id: str) -> bool:
         if self._contig:
-            try:
-                return 0 <= int(vector_id) < self._contig
-            except (TypeError, ValueError):
+            sid = str(vector_id)
+            # canonical form only: '007'/' 7'/'+7' are NOT stored ids, and
+            # int() would accept them (disagreeing with get/delete)
+            if not (sid.isdigit() and (sid == "0" or sid[0] != "0")):
                 return False
+            return 0 <= int(sid) < self._contig
         return vector_id in self._id_to_row
 
     def _rid(self, row: int) -> Optional[str]:
@@ -690,7 +692,8 @@ class VectorStore:
                     rows[:] = self._place_in_cells(arr)
                     if stale:
                         # freed slots not reused by this batch become invalid
-                        dead = [r for r in stale if r not in set(rows.tolist())]
+                        taken = set(rows.tolist())  # hoisted: O(n), not O(n^2)
+                        dead = [r for r in stale if r not in taken]
                         if dead:
                             bucket_d = _next_pow2(len(dead))
                             padded_d = dead + [self._capacity] * (bucket_d - len(dead))
@@ -771,8 +774,12 @@ class VectorStore:
             self._materialize()
             rows = []
             hit_ids = []
+            seen = set()
             for vid in ids:
                 vid = str(vid)
+                if vid in seen:  # duplicate: second del would KeyError,
+                    continue     # leaving the store half-mutated
+                seen.add(vid)
                 row = self._id_to_row.get(vid)
                 if row is not None:
                     rows.append(row)
@@ -874,10 +881,14 @@ class VectorStore:
         cached = self._dmask_cache.get(wk)
         if cached is not None and cached[0] == self.version:
             return cached[1]
+        # snapshot the version BEFORE building: a write landing during the
+        # build would otherwise get its stale mask cached under the NEW
+        # version and stay invisible to this filter until an unrelated write
+        ver = self.version
         dm = self._put(self.filter_mask(where))
         if len(self._dmask_cache) >= 32:
             self._dmask_cache.pop(next(iter(self._dmask_cache)))
-        self._dmask_cache[wk] = (self.version, dm)
+        self._dmask_cache[wk] = (ver, dm)
         return dm
 
     def _ensure_tag_cols(self, keys: Tuple[str, ...]) -> None:

@@ -68,11 +68,12 @@ class MetricsRegistry:
             self._gauges[name] = float(value)
 
     def observe(self, name: str, seconds: float) -> None:
-        with self._lock:
+        with self._lock:  # the histogram mutation itself must be locked:
+            # total/sum/counts are read-modify-write from many threads
             h = self._histograms.get(name)
             if h is None:
                 h = self._histograms[name] = Histogram()
-        h.observe(seconds)
+            h.observe(seconds)
 
     @contextlib.contextmanager
     def timed(self, name: str) -> Iterator[None]:

@@ -73,7 +73,10 @@ def manhattan_distance(a, b) -> jax.Array:
 def normalize(a) -> jax.Array:
     """Unit-normalize; a zero vector normalizes to itself (all zeros)."""
     a = _as_f32(a)
-    n = vector_norm(a)
+    # keepdims: for batched [B, D] input the (B,) norm would otherwise
+    # broadcast along the WRONG (trailing) axis — crashing for B != D and
+    # silently dividing columns by the wrong norms for B == D
+    n = jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True))
     return jnp.where(n > 0, a / jnp.where(n > 0, n, 1.0), a)
 
 

@@ -197,3 +197,62 @@ class TestIndexPersistence:
             assert db2.search_index("pidx", data[3], k=1)[0][0] == "v3"
         finally:
             db2.stop()
+
+
+class TestIndexHardening:
+    def test_int8_index_survives_store_growth(self, tmp_path):
+        """Regression: the int8 index scored build-time codes against the
+        LIVE store's norms/valid — a capacity grow after build crashed with
+        a broadcast shape mismatch."""
+        reg = StoreRegistry()
+        st = reg.create("g8", metric="cosine")
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((900, 8)).astype(np.float32)
+        st.insert_batch([f"v{i}" for i in range(900)], data)
+        im = IndexManager(reg)
+        im.create_index("gi", "g8", "int8")
+        info = im.build_index("gi")
+        assert info["built"], info
+        # same-capacity insert FIRST: a no-copy artifact alias would be
+        # deleted by this scatter's buffer donation (RuntimeError)
+        st.insert("x0", rng.standard_normal(8).astype(np.float32))
+        hits = im.search("gi", data[5], k=1)
+        assert hits[0][0] == "v5"
+        # then grow capacity past the build-time 1024
+        more = rng.standard_normal((2000, 8)).astype(np.float32)
+        st.insert_batch([f"w{i}" for i in range(2000)], more)
+        hits = im.search("gi", data[5], k=1)
+        assert hits[0][0] == "v5"
+        # and the snapshot persists/reloads
+        im.save_index("gi", tmp_path)
+        im2 = IndexManager(reg)
+        assert "gi" in im2.load_indexes(tmp_path)
+        assert im2.search("gi", data[7], k=1)[0][0] == "v7"
+
+    def test_int8_index_rejects_packed_stores(self):
+        """Regression: building an int8 index over an int4 store quantized
+        the packed nibble bytes as float rows — a silently garbage index."""
+        reg = StoreRegistry()
+        st = reg.create("p4", dtype="int4")
+        rng = np.random.default_rng(1)
+        st.insert_batch([f"v{i}" for i in range(100)],
+                        rng.standard_normal((100, 8)).astype(np.float32))
+        im = IndexManager(reg)
+        im.create_index("bad8", "p4", "int8")
+        info = im.build_index("bad8")
+        assert not info["built"]
+        assert "float32" in (info["error"] or "")
+
+    def test_delete_store_drops_dependent_indexes(self):
+        from erlvectordb_tpu.api import Database
+        from erlvectordb_tpu.infra.config import load_config
+
+        db = Database(load_config(overrides={"persistence_enabled": False},
+                                  env={}))
+        db.create_store("ds")
+        rng = np.random.default_rng(2)
+        db.insert_batch("ds", [f"v{i}" for i in range(64)],
+                        rng.standard_normal((64, 8)).astype(np.float32))
+        db.create_index("dsi", "ds", "flat")
+        assert db.delete_store("ds")
+        assert db.indexes.get_index_info("dsi") is None

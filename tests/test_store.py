@@ -477,3 +477,33 @@ class TestDuplicateBatchIds:
                         np.array([[1.0, 0.0], [0.0, 1.0]], np.float32),
                         [{"v": 1}, {"v": 2}])
         assert st.get("m")[1] == {"v": 2}
+
+
+class TestStoreHardening:
+    def test_delete_batch_duplicate_ids(self):
+        st = VectorStore("ddup")
+        st.insert("a", [1.0, 0.0])
+        st.insert("b", [0.0, 1.0])
+        assert st.delete_batch(["a", "a", "b"]) == 2
+        assert st.count == 0 and st.version > 1
+
+    def test_contains_rejects_noncanonical_contig_ids(self):
+        data = np.random.default_rng(0).standard_normal((16, 4)).astype(np.float32)
+        st = VectorStore.from_matrix("cfm", data)
+        assert "7" in st
+        assert "007" not in st
+        assert "+7" not in st
+        assert " 7" not in st
+        assert "16" not in st
+
+    def test_normalize_batched(self):
+        from erlvectordb_tpu.utils.vector_math import normalize
+
+        a = np.array([[3.0, 4.0, 0.0], [0.0, 0.0, 0.0]], np.float32)
+        out = np.asarray(normalize(a))
+        np.testing.assert_allclose(out[0], [0.6, 0.8, 0.0], atol=1e-6)
+        np.testing.assert_allclose(out[1], 0.0)
+        # square input must normalize ROWS (the old broadcast divided columns)
+        sq = np.array([[2.0, 0.0], [0.0, 8.0]], np.float32)
+        np.testing.assert_allclose(
+            np.asarray(normalize(sq)), [[1.0, 0.0], [0.0, 1.0]], atol=1e-6)
