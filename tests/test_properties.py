@@ -82,3 +82,48 @@ def test_int4_pack_unpack_bijective(codes):
     packed = np.asarray(_pack_int4(jnp.asarray(q)))
     back = np.asarray(unpack_int4(jnp.asarray(packed)))
     np.testing.assert_array_equal(back, q)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=60, max_value=200),
+       st.sampled_from(["cosine", "euclidean", "dot"]))
+def test_multiprobe_exhaustive_equals_exact(seed, n, metric):
+    """Probing EVERY cell makes the cell-probe index an exact search over
+    the int8-residual reconstructions: the returned self-row must be the
+    true top-1 and distances must be finite, sorted, and duplicate-free."""
+    from erlvectordb_tpu.core.cell_probe import CellProbeIndex
+
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, 16)).astype(np.float32)
+    dp = np.pad(data, ((0, 0), (0, 112)))
+    idx = CellProbeIndex.build(dp, np.arange(n, dtype=np.int64),
+                               cell_rows=16, cell_cap=24, iters=3)
+    k = min(5, n)
+    dists, rows = idx.search(data[:3], k=k, nprobe=idx.n_cells,
+                             metric=metric)
+    for b in range(3):
+        got = rows[b][rows[b] >= 0]
+        assert len(set(got.tolist())) == len(got)
+        if metric != "dot":  # dot favors large norms, not the self-row
+            assert rows[b][0] == b
+        d = dists[b][np.isfinite(dists[b])]
+        assert list(d) == sorted(d)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_int4r_store_nprobe_subset_of_reconstruction_space(seed):
+    """Multiprobe results on an int4r store are always valid store rows
+    with finite distances — never padding slots or deleted rows."""
+    from erlvectordb_tpu.core.store import VectorStore
+
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((600, 12)).astype(np.float32)
+    store = VectorStore.from_matrix(f"np4r{seed}", data, dtype="int4r")
+    store.delete("7")
+    res = store.search(data[3], k=5, nprobe=4)
+    ids = [r[0] for r in res]
+    assert "7" not in ids
+    assert len(set(ids)) == len(ids)
+    assert all(np.isfinite(r[2]) for r in res)
