@@ -35,14 +35,19 @@ q.c_cell + q.res; the centroid term is recomputed in f32 for the probed
 cells only, so the bf16 routing matmul never touches reported distances.
 
 Measured (v5e, synthetic 8M x 768 int8 cell store, nprobe=64, bq=8,
-T-slope to exclude the rig's tunnel RTT): 0.62 ms per query-program vs
-8.5 ms for the brute fused scan — ~14x.  Two lowering details carry that
-number: the gather must be CELL-granularity (B*nprobe contiguous ~100 KB
-blocks; per-row descriptors measured ~6x slower for the same bytes), and
-the routing table must be a PERSISTENT bf16 copy (an in-program astype
-makes XLA read the full f32 table anyway).  At 1.2M x 100 the corpus is
-only ~60 MB and the brute MXU scan is already ~1.8 ms — multiprobe pays
-off above roughly 1 GB of codes, exactly the flagship-scale regime.
+per-dispatch over pipelined separate programs — the serving pattern):
+0.45 ms per dispatch vs 9.3 ms for the brute fused scan — ~21x.  Three lowering details carry
+that number: (1) the probed cells are fetched by a fused Pallas
+gather+dot kernel (scalar-prefetched probe ids feed the codes BlockSpec
+index_map, so Mosaic double-buffers each ~100 KB block's DMA behind the
+previous block's matmul — the same bytes through an XLA cell gather are
+DESCRIPTOR-bound at ~1-2 us/block and measured ~3x slower; row-granular
+~6x slower again); (2) the routing table is a PERSISTENT bf16 copy (an
+in-program astype makes XLA read the full f32 table anyway); (3) the
+residual dots are bf16-class (int8 codes are exact in bf16; the f32
+centroid term carries the precision).  At 1.2M x 100 the corpus is only
+~60 MB and the brute MXU scan is already ~1.8 ms — multiprobe pays off
+above roughly 1 GB of codes, exactly the flagship-scale regime.
 """
 
 from __future__ import annotations
@@ -53,12 +58,63 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 
 
+def _gather_dots_kernel(probe_ref, q_ref, codes_ref, out_ref):
+    """One grid step = one (query, probed cell): dot the query row against
+    the cell's [cap, W] int8 block (DMA'd here by the BlockSpec index_map
+    reading the scalar-prefetched probe table).  Mosaic double-buffers the
+    block DMAs across grid steps, hiding the per-block descriptor latency
+    that dominates an XLA gather of the same bytes."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = q_ref[pl.ds(i, 1), :]                      # [1, W] f32 (dynamic row)
+    blk = codes_ref[0]                             # [cap, W] int8
+    out_ref[0, j] = lax.dot_general(
+        q, blk.astype(jnp.float32),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0]
+
+
+@functools.partial(jax.jit, static_argnames=("cell_cap",))
+def _dma_gather_dots(codes3, probe, queries, *, cell_cap):
+    """Fused gather+dot for int8 residual cells on TPU.
+
+    codes3 [K, cap, W] int8; probe [B, nprobe] int32; queries [B, W] f32.
+    Returns raw residual dots [B, nprobe, cap] f32."""
+    b, nprobe = probe.shape
+    w = codes3.shape[2]
+    return pl.pallas_call(
+        _gather_dots_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, nprobe),
+            in_specs=[
+                # full query batch in VMEM, row-indexed in-kernel (a (1, W)
+                # block would violate Mosaic's 8-sublane block rule)
+                pl.BlockSpec((b, w), lambda i, j, probe_ref: (0, 0)),
+                pl.BlockSpec((1, cell_cap, w),
+                             lambda i, j, probe_ref: (probe_ref[i, j], 0, 0)),
+            ],
+            # one [nprobe, cap] output block per query, resident across the
+            # fast j axis (each step writes row j) — a (1, 1, cap) block
+            # would violate Mosaic's 8-sublane rule
+            out_specs=pl.BlockSpec((1, nprobe, cell_cap),
+                                   lambda i, j, probe_ref: (i, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nprobe, cell_cap), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(probe, queries, codes3)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("metric", "k", "nprobe", "cell_cap"))
+                   static_argnames=("metric", "k", "nprobe", "cell_cap",
+                                    "child_cap", "sprobe"))
 def multiprobe_topk(
     codes: jax.Array,       # [K*cell_cap, W] int8 residual or [.., W/2] uint8
     scales: jax.Array,      # [K*cell_cap] f32 per-row residual scales
@@ -72,6 +128,9 @@ def multiprobe_topk(
     nprobe: int,
     cell_cap: int,
     centroids_route: jax.Array | None = None,  # persistent bf16 [K, W] copy
+    super_route: jax.Array | None = None,      # bf16 [S, W] supercentroids
+    child_cap: int = 0,                        # children per supercell
+    sprobe: int = 0,                           # L1 width (0 = auto)
 ) -> Tuple[jax.Array, jax.Array]:
     """Sub-linear multiprobe search. Returns (distances [B, k], rows [B, k]);
     rows are device-row indices into the cell-major layout, distances inf
@@ -80,7 +139,16 @@ def multiprobe_topk(
     ``centroids_route``: optional pre-converted bf16 centroid table for the
     routing matmul.  Without it the in-program astype makes XLA read the
     full f32 table anyway; callers that search repeatedly should keep a
-    persistent bf16 copy (halves the dominant HBM read at large K)."""
+    persistent bf16 copy (halves the dominant HBM read at large K).
+
+    ``super_route``/``child_cap``: optional HIERARCHICAL route.  The flat
+    [B, K] routing matmul dominates the op's HBM traffic at large K (96 MB
+    bf16 at 62k cells x 768).  With cells laid out supercell-major
+    (K == S * child_cap; see CellProbeIndex hierarchy build), routing
+    becomes: L1 over the [S, W] supercentroid table (sub-MB) -> top-sprobe
+    supercells -> L2 over only their children's centroid blocks
+    (contiguous gathers, a few MB) -> top-nprobe cells.  Recall knob:
+    sprobe covers ~4x nprobe children."""
     if metric not in ("cosine", "euclidean", "dot"):
         raise ValueError(f"multiprobe does not support metric {metric!r}")
     b, w = queries.shape
@@ -88,29 +156,58 @@ def multiprobe_topk(
     nprobe = min(nprobe, n_cells)
 
     # ---- route: top-nprobe cells by the metric's centroid proxy ----------
-    # The [B, K] routing matmul reads the whole centroid table per program
-    # — at 62k cells x 768 dims that is 192 MB f32, 3x the probed data.
     # Route in BF16 (ranking-grade; half the HBM read) and recompute the
     # probed cells' centroid dots exactly in f32 below (1-2 MB gather), so
     # scoring precision is unaffected.
     cr = (centroids_route if centroids_route is not None
           else centroids.astype(jnp.bfloat16))
-    table_r = jnp.dot(queries.astype(jnp.bfloat16), cr.T,
-                      preferred_element_type=jnp.float32)      # [B, K]
+    qbf = queries.astype(jnp.bfloat16)
     cn2 = jnp.sum(centroids * centroids, axis=-1)              # [K]
     # cells with no valid row are routed around (their slots would all be
     # masked anyway — a wasted probe)
     active = valid.reshape(n_cells, cell_cap).any(axis=1)      # [K]
-    if metric == "euclidean":
-        route = 2.0 * table_r - cn2[None, :]
-    elif metric == "cosine":
-        cnorm = jnp.sqrt(cn2)
-        route = jnp.where(cnorm > 0,
-                          table_r / jnp.where(cnorm > 0, cnorm, 1.0), 0.0)
-    else:  # dot
-        route = table_r
-    route = jnp.where(active[None, :], route, _NEG)
-    _, probe = lax.top_k(route, nprobe)                        # [B, nprobe]
+
+    def _score(dots, c2, act):
+        if metric == "euclidean":
+            r = 2.0 * dots - c2
+        elif metric == "cosine":
+            cnorm = jnp.sqrt(c2)
+            r = jnp.where(cnorm > 0, dots / jnp.where(cnorm > 0, cnorm, 1.0),
+                          0.0)
+        else:  # dot
+            r = dots
+        return jnp.where(act, r, _NEG)
+
+    if super_route is not None and child_cap:
+        s_count = super_route.shape[0]
+        if not sprobe:
+            # auto L1 width: cover ~8x nprobe children, at least 8
+            # supercells — L1 misses cost whole child blocks of recall
+            sprobe = max(8, -(-8 * nprobe // child_cap))
+        sprobe = min(s_count, sprobe)
+        scn2 = jnp.sum(super_route.astype(jnp.float32) ** 2, axis=-1)  # [S]
+        sactive = active.reshape(s_count, child_cap).any(axis=1)
+        l1 = jnp.dot(qbf, super_route.T,
+                     preferred_element_type=jnp.float32)       # [B, S]
+        _, sp_idx = lax.top_k(
+            _score(l1, scn2[None, :], sactive[None, :]), sprobe)  # [B, sp]
+        # L2: contiguous child centroid blocks of the probed supercells only
+        cr3 = cr.reshape(s_count, child_cap, w)
+        csub = cr3[sp_idx]                                     # [B, sp, cc, W]
+        l2 = jnp.einsum("bsgw,bw->bsg", csub, qbf,
+                        preferred_element_type=jnp.float32)
+        cn2g = cn2.reshape(s_count, child_cap)[sp_idx]         # [B, sp, cc]
+        actg = active.reshape(s_count, child_cap)[sp_idx]
+        flat = _score(l2, cn2g, actg).reshape(b, -1)           # [B, sp*cc]
+        nprobe = min(nprobe, flat.shape[1])
+        _, sel = lax.top_k(flat, nprobe)
+        probe = (jnp.take_along_axis(sp_idx, sel // child_cap, axis=1)
+                 * child_cap + sel % child_cap)                # [B, nprobe]
+    else:
+        table_r = jnp.dot(qbf, cr.T,
+                          preferred_element_type=jnp.float32)  # [B, K]
+        route = _score(table_r, cn2[None, :], active[None, :])
+        _, probe = lax.top_k(route, nprobe)                    # [B, nprobe]
 
     # ---- gather: only the probed cells' code blocks ----------------------
     # CELL-granularity gather: B*nprobe contiguous (cell_cap * W)-byte
@@ -120,23 +217,31 @@ def multiprobe_topk(
     slot = lax.broadcasted_iota(jnp.int32, (1, nprobe, cell_cap), 2)
     rows = (probe[:, :, None] * cell_cap + slot).reshape(b, -1)  # [B, P]
     codes3 = codes.reshape(n_cells, cell_cap, codes.shape[1])
-    cand = codes3[probe]                               # [B, np, cap, Wc]
-    if codes.dtype == jnp.uint8:                               # packed int4
+    if codes.dtype == jnp.int8:
+        # fused Pallas gather+dot: the XLA cell gather is DESCRIPTOR-bound
+        # (~1-2 us per ~100 KB block, serialized) and dominated the op at
+        # 8M x 768; the kernel's BlockSpec index_map DMAs each probed block
+        # while the previous one computes
+        dots_raw = _dma_gather_dots(codes3, probe, queries,
+                                    cell_cap=cell_cap)     # [B, np, cap]
+    else:                                                  # packed int4
+        cand = codes3[probe]                               # [B, np, cap, Wc]
         hi = (cand >> 4).astype(jnp.int8)
         lo = (cand & 0xF).astype(jnp.int8)
         hi = jnp.where(hi > 7, hi - 16, hi)
         lo = jnp.where(lo > 7, lo - 16, lo)
         cand = jnp.stack([hi, lo], axis=-1).reshape(
             b, nprobe, cell_cap, -1)
-    # residual dot in bf16 accumulated f32: the residual term is a small
-    # fraction of the score (|res| << |x|), so bf16's 2^-8 relative error
-    # on it is far below the int8/int4 code quantization already present
+        # residual dot in bf16 accumulated f32: the residual term is a
+        # small fraction of the score (|res| << |x|), so bf16's 2^-8
+        # relative error on it is far below the int4 code quantization
+        dots_raw = jnp.einsum(
+            "bpcw,bw->bpc", cand.astype(jnp.bfloat16),
+            queries.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     pscales = scales.reshape(n_cells, cell_cap)[probe]  # [B, np, cap]
-    dots_res = jnp.einsum(
-        "bpcw,bw->bpc", cand.astype(jnp.bfloat16),
-        queries.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).reshape(b, -1) * pscales.reshape(b, -1)                  # [B, P]
+    dots_res = dots_raw.reshape(b, -1) * pscales.reshape(b, -1)  # [B, P]
     # exact f32 centroid dots for the PROBED cells only (the bf16 routing
     # table is ranking-grade, not scoring-grade)
     pcents = centroids[probe]                                  # [B, np, W]

@@ -174,3 +174,58 @@ def test_nprobe_on_distributed_store_is_clean_error():
     db.insert("dshard", "a", np.ones(8, np.float32))
     with pytest.raises(ValueError, match="distributed"):
         db.search("dshard", np.ones(8, np.float32), k=1, nprobe=4)
+
+
+class TestHierarchicalRouting:
+    @pytest.fixture(scope="class")
+    def hier(self):
+        data = make_clustered(6000, 32, seed=9)
+        dp = np.pad(data, ((0, 0), (0, 96)))
+        flat = CellProbeIndex.build(dp, np.arange(6000, dtype=np.int64),
+                                    cell_rows=24, cell_cap=32, iters=6)
+        assert flat.super_route is None  # under the threshold
+        hier = flat._with_hierarchy(child_target=32)
+        assert hier.super_route is not None and hier.child_cap >= 32
+        return flat, hier, data
+
+    @pytest.mark.parametrize("metric", ["cosine", "euclidean"])
+    def test_recall_parity_with_flat_route(self, hier, metric):
+        flat, h, data = hier
+        rng = np.random.default_rng(4)
+        qs = data[rng.integers(0, len(data), 24)]
+        _d_f, r_f = flat.search(qs, k=10, nprobe=16, metric=metric)
+        _d_h, r_h = h.search(qs, k=10, nprobe=16, metric=metric)
+        overlap = np.mean([
+            len(set(r_h[b][r_h[b] >= 0]) & set(r_f[b][r_f[b] >= 0])) /
+            max(1, (r_f[b] >= 0).sum())
+            for b in range(len(qs))])
+        assert overlap >= 0.85, (metric, overlap)
+
+    def test_self_row_top1(self, hier):
+        _flat, h, data = hier
+        _d, r = h.search(data[11], k=3, nprobe=8, metric="cosine")
+        assert r[0][0] == 11
+
+    def test_padding_cells_never_surface(self, hier):
+        _flat, h, data = hier
+        d, r = h.search(data[:8], k=10, nprobe=h.n_cells, metric="cosine")
+        for b in range(8):
+            got = r[b][np.isfinite(d[b])]
+            assert (got >= 0).all()
+            assert len(set(got.tolist())) == len(got)
+
+    def test_persistence_roundtrip_with_hierarchy(self, hier):
+        _flat, h, data = hier
+        arrays = {k: np.asarray(v) for k, v in h.to_arrays().items()}
+        assert "super_cents" in arrays
+        h2 = CellProbeIndex.from_arrays(arrays)
+        assert h2.super_route is not None
+        d1, r1 = h.search(data[5], k=5, nprobe=8, metric="cosine")
+        d2, r2 = h2.search(data[5], k=5, nprobe=8, metric="cosine")
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_stats_reports_hierarchy(self, hier):
+        _flat, h, _ = hier
+        s = h.stats()
+        assert s["hierarchical"] and s["supercells"] >= 2
+        assert s["rows"] == 6000
