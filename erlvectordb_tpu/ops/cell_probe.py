@@ -81,16 +81,46 @@ def _gather_dots_kernel(probe_ref, q_ref, codes_ref, out_ref):
     )[0]
 
 
+def _gather_dots_kernel_packed(probe_ref, q_ref, codes_ref, out_ref):
+    """Packed-int4 variant: the block is [cap, W/2] uint8 nibble pairs
+    (dims 2p in the high nibble); the query arrives [evens | odds]-
+    reordered so the dot splits into two contiguous half-width matmuls —
+    the same unpack scheme as ops/fused_topk.py."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = q_ref[pl.ds(i, 1), :]                      # [1, W] f32 reordered
+    praw = codes_ref[0].astype(jnp.int32)          # [cap, W/2]
+    hw = praw.shape[1]
+    hi32 = praw >> 4
+    lo32 = praw & 0xF
+    hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.float32)
+    lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.float32)
+    dots = (
+        lax.dot_general(q[:, :hw], hi, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+        + lax.dot_general(q[:, hw:], lo, (((1,), (1,)), ((), ())),
+                          preferred_element_type=jnp.float32)
+    )
+    out_ref[0, j] = dots[0]
+
+
 @functools.partial(jax.jit, static_argnames=("cell_cap",))
 def _dma_gather_dots(codes3, probe, queries, *, cell_cap):
-    """Fused gather+dot for int8 residual cells on TPU.
+    """Fused gather+dot for residual cells on TPU.
 
-    codes3 [K, cap, W] int8; probe [B, nprobe] int32; queries [B, W] f32.
-    Returns raw residual dots [B, nprobe, cap] f32."""
+    codes3 [K, cap, W] int8 (or [K, cap, W/2] packed uint8); probe
+    [B, nprobe] int32; queries [B, W] f32.  Returns raw residual dots
+    [B, nprobe, cap] f32."""
     b, nprobe = probe.shape
-    w = codes3.shape[2]
+    wc = codes3.shape[2]
+    packed = codes3.dtype == jnp.uint8
+    if packed:
+        # [evens | odds] query reorder lines up with the hi/lo nibble planes
+        queries = jnp.concatenate([queries[:, 0::2], queries[:, 1::2]],
+                                  axis=1)
+    w = queries.shape[1]
     return pl.pallas_call(
-        _gather_dots_kernel,
+        _gather_dots_kernel_packed if packed else _gather_dots_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, nprobe),
@@ -98,7 +128,7 @@ def _dma_gather_dots(codes3, probe, queries, *, cell_cap):
                 # full query batch in VMEM, row-indexed in-kernel (a (1, W)
                 # block would violate Mosaic's 8-sublane block rule)
                 pl.BlockSpec((b, w), lambda i, j, probe_ref: (0, 0)),
-                pl.BlockSpec((1, cell_cap, w),
+                pl.BlockSpec((1, cell_cap, wc),
                              lambda i, j, probe_ref: (probe_ref[i, j], 0, 0)),
             ],
             # one [nprobe, cap] output block per query, resident across the
@@ -217,29 +247,13 @@ def multiprobe_topk(
     slot = lax.broadcasted_iota(jnp.int32, (1, nprobe, cell_cap), 2)
     rows = (probe[:, :, None] * cell_cap + slot).reshape(b, -1)  # [B, P]
     codes3 = codes.reshape(n_cells, cell_cap, codes.shape[1])
-    if codes.dtype == jnp.int8:
-        # fused Pallas gather+dot: the XLA cell gather is DESCRIPTOR-bound
-        # (~1-2 us per ~100 KB block, serialized) and dominated the op at
-        # 8M x 768; the kernel's BlockSpec index_map DMAs each probed block
-        # while the previous one computes
-        dots_raw = _dma_gather_dots(codes3, probe, queries,
-                                    cell_cap=cell_cap)     # [B, np, cap]
-    else:                                                  # packed int4
-        cand = codes3[probe]                               # [B, np, cap, Wc]
-        hi = (cand >> 4).astype(jnp.int8)
-        lo = (cand & 0xF).astype(jnp.int8)
-        hi = jnp.where(hi > 7, hi - 16, hi)
-        lo = jnp.where(lo > 7, lo - 16, lo)
-        cand = jnp.stack([hi, lo], axis=-1).reshape(
-            b, nprobe, cell_cap, -1)
-        # residual dot in bf16 accumulated f32: the residual term is a
-        # small fraction of the score (|res| << |x|), so bf16's 2^-8
-        # relative error on it is far below the int4 code quantization
-        dots_raw = jnp.einsum(
-            "bpcw,bw->bpc", cand.astype(jnp.bfloat16),
-            queries.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+    # fused Pallas gather+dot for BOTH layouts (int8 residual and the int4r
+    # store's packed nibbles): the XLA cell gather is DESCRIPTOR-bound
+    # (~1-2 us per ~100 KB block, serialized) and dominated the op at
+    # 8M x 768; the kernel's BlockSpec index_map DMAs each probed block
+    # while the previous one computes
+    dots_raw = _dma_gather_dots(codes3, probe, queries,
+                                cell_cap=cell_cap)         # [B, np, cap]
     pscales = scales.reshape(n_cells, cell_cap)[probe]  # [B, np, cap]
     dots_res = dots_raw.reshape(b, -1) * pscales.reshape(b, -1)  # [B, P]
     # exact f32 centroid dots for the PROBED cells only (the bf16 routing
