@@ -1053,8 +1053,9 @@ def bench_config9(quick: bool) -> dict:
         f"multiprobe(64)={big_probe_ms:.2f} ms  speedup={speedup_big:.1f}x")
 
     return {
-        "metric": f"sub-linear multiprobe speedup, device-true single-query "
-                  f"latency ({N2/1e6:.1f}M x {W2} int8 cells, nprobe=64)",
+        "metric": f"sub-linear multiprobe speedup, per-dispatch latency "
+                  f"({N2/1e6:.1f}M x {W2} int8 cells, nprobe=64, pipelined "
+                  f"separate programs)",
         "value": round(speedup_big, 2),
         "unit": "x",
         "vs_baseline": round(speedup_big, 2),

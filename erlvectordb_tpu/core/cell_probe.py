@@ -48,6 +48,7 @@ class CellProbeIndex:
                  cell_cap: int, super_cents=None, child_cap: int = 0):
         self.centroids = jnp.asarray(centroids, jnp.float32)   # [K, W]
         self.cents_route = self.centroids.astype(jnp.bfloat16)  # routing copy
+        self.cn2 = jnp.sum(self.centroids * self.centroids, axis=-1)
         self.codes = jnp.asarray(codes)                        # [K*cap, W] i8
         self.scales = jnp.asarray(scales, jnp.float32)         # [K*cap]
         self.norms = jnp.asarray(norms, jnp.float32)           # [K*cap]
@@ -73,6 +74,7 @@ class CellProbeIndex:
         iters: int = 15,
         seed: int = 0,
         max_train: int = 200_000,
+        hierarchy: bool = True,     # auto-hierarchy past HIER_MIN_CELLS
     ) -> "CellProbeIndex":
         n, d = data.shape
         cell_cap = max(8, cell_cap)
@@ -126,7 +128,7 @@ class CellProbeIndex:
         row_map[dest] = rows[order]
         valid = row_map >= 0
         idx = cls(cents, codes, scales, out_norms, valid, row_map, cell_cap)
-        if n_cells >= cls.HIER_MIN_CELLS:
+        if hierarchy and n_cells >= cls.HIER_MIN_CELLS:
             idx = idx._with_hierarchy(seed=seed, iters=iters)
         return idx
 
@@ -190,7 +192,7 @@ class CellProbeIndex:
             self.codes, self.scales, self.norms, self.valid, self.centroids,
             jnp.asarray(q), metric=metric, k=k,
             nprobe=min(nprobe, self.n_cells), cell_cap=self.cell_cap,
-            centroids_route=self.cents_route,
+            centroids_route=self.cents_route, cn2=self.cn2,
             super_route=self.super_route, child_cap=self.child_cap,
             sprobe=sprobe,
         )

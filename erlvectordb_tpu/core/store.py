@@ -294,6 +294,7 @@ class VectorStore:
         # which is what makes 4-bit rows search-grade (recall ~0.9 vs ~0.6).
         self._centroids: Optional[jax.Array] = None  # [K, W] f32
         self._cents_rt: Optional[jax.Array] = None   # bf16 routing copy
+        self._cents_cn2: Optional[jax.Array] = None  # |c|^2 routing buffer
         self._cents_rt_src: Optional[jax.Array] = None
         self._cell_cap = 0
         self._cell_next: Optional[np.ndarray] = None   # per-cell slot HWM
@@ -1070,15 +1071,19 @@ class VectorStore:
                 from erlvectordb_tpu.ops.cell_probe import multiprobe_topk
 
                 if self._cents_rt_src is not self._centroids:
-                    # persistent bf16 routing copy (see multiprobe_topk)
+                    # persistent bf16 routing copy + |c|^2 buffer (see
+                    # multiprobe_topk: recomputing either per dispatch
+                    # re-reads the full f32 centroid table)
                     self._cents_rt = self._centroids.astype(jnp.bfloat16)
+                    self._cents_cn2 = jnp.sum(
+                        self._centroids * self._centroids, axis=-1)
                     self._cents_rt_src = self._centroids
                 dists, rows = multiprobe_topk(
                     self._vectors, self._scales, self._norms, valid,
                     self._centroids, q_j, metric=metric, k=kb,
                     nprobe=min(nprobe, max(1, self._centroids.shape[0])),
                     cell_cap=self._cell_cap,
-                    centroids_route=self._cents_rt,
+                    centroids_route=self._cents_rt, cn2=self._cents_cn2,
                 )
                 return SearchTicket(dists, rows, nq, min(k, self.count), kb)
             nt = ft.n_tiles_for(self._capacity, self._capacity)

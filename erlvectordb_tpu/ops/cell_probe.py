@@ -44,8 +44,10 @@ previous block's matmul — the same bytes through an XLA cell gather are
 DESCRIPTOR-bound at ~1-2 us/block and measured ~3x slower; row-granular
 ~6x slower again); (2) the routing table is a PERSISTENT bf16 copy (an
 in-program astype makes XLA read the full f32 table anyway); (3) the
-residual dots are bf16-class (int8 codes are exact in bf16; the f32
-centroid term carries the precision).  At 1.2M x 100 the corpus is only
+residual dots are reduced-precision: the kernel issues an f32 matmul but
+Mosaic lowers it at bf16-class precision (measured ~0.16% of dot
+magnitude; int8 codes are exact in bf16, and the f32 centroid term
+carries the reported distances' precision).  At 1.2M x 100 the corpus is only
 ~60 MB and the brute MXU scan is already ~1.8 ms — multiprobe pays off
 above roughly 1 GB of codes, exactly the flagship-scale regime.
 """
@@ -158,6 +160,7 @@ def multiprobe_topk(
     nprobe: int,
     cell_cap: int,
     centroids_route: jax.Array | None = None,  # persistent bf16 [K, W] copy
+    cn2: jax.Array | None = None,              # persistent [K] |c|^2 buffer
     super_route: jax.Array | None = None,      # bf16 [S, W] supercentroids
     child_cap: int = 0,                        # children per supercell
     sprobe: int = 0,                           # L1 width (0 = auto)
@@ -178,7 +181,7 @@ def multiprobe_topk(
     becomes: L1 over the [S, W] supercentroid table (sub-MB) -> top-sprobe
     supercells -> L2 over only their children's centroid blocks
     (contiguous gathers, a few MB) -> top-nprobe cells.  Recall knob:
-    sprobe covers ~4x nprobe children."""
+    auto sprobe covers ~8x nprobe children (min 8 supercells)."""
     if metric not in ("cosine", "euclidean", "dot"):
         raise ValueError(f"multiprobe does not support metric {metric!r}")
     b, w = queries.shape
@@ -192,7 +195,11 @@ def multiprobe_topk(
     cr = (centroids_route if centroids_route is not None
           else centroids.astype(jnp.bfloat16))
     qbf = queries.astype(jnp.bfloat16)
-    cn2 = jnp.sum(centroids * centroids, axis=-1)              # [K]
+    if cn2 is None:
+        # recomputing |c|^2 here reads the FULL f32 table (192 MB at
+        # 62.5k x 768) every dispatch — callers that search repeatedly
+        # should pass a persistent [K] buffer (2x the route's own read)
+        cn2 = jnp.sum(centroids * centroids, axis=-1)          # [K]
     # cells with no valid row are routed around (their slots would all be
     # masked anyway — a wasted probe)
     active = valid.reshape(n_cells, cell_cap).any(axis=1)      # [K]
@@ -247,13 +254,37 @@ def multiprobe_topk(
     slot = lax.broadcasted_iota(jnp.int32, (1, nprobe, cell_cap), 2)
     rows = (probe[:, :, None] * cell_cap + slot).reshape(b, -1)  # [B, P]
     codes3 = codes.reshape(n_cells, cell_cap, codes.shape[1])
-    # fused Pallas gather+dot for BOTH layouts (int8 residual and the int4r
+    # Fused Pallas gather+dot for BOTH layouts (int8 residual and the int4r
     # store's packed nibbles): the XLA cell gather is DESCRIPTOR-bound
     # (~1-2 us per ~100 KB block, serialized) and dominated the op at
     # 8M x 768; the kernel's BlockSpec index_map DMAs each probed block
-    # while the previous one computes
-    dots_raw = _dma_gather_dots(codes3, probe, queries,
-                                cell_cap=cell_cap)         # [B, np, cap]
+    # while the previous one computes.  Gated: TPU only (interpret mode on
+    # CPU would run b*nprobe Python-level steps), and the kernel's VMEM
+    # residents (full query batch + per-query [nprobe, cap] output block +
+    # double-buffered code blocks) must fit — else the XLA gather path.
+    use_kernel = (
+        jax.default_backend() == "tpu"
+        and b * w * 4 <= 4 * 1024 * 1024
+        and nprobe * cell_cap * 4 <= 4 * 1024 * 1024
+        and 2 * cell_cap * codes.shape[1] <= 4 * 1024 * 1024
+    )
+    if use_kernel:
+        dots_raw = _dma_gather_dots(codes3, probe, queries,
+                                    cell_cap=cell_cap)     # [B, np, cap]
+    else:
+        cand = codes3[probe]                               # [B, np, cap, Wc]
+        if codes.dtype == jnp.uint8:                       # packed int4
+            hi = (cand >> 4).astype(jnp.int8)
+            lo = (cand & 0xF).astype(jnp.int8)
+            hi = jnp.where(hi > 7, hi - 16, hi)
+            lo = jnp.where(lo > 7, lo - 16, lo)
+            cand = jnp.stack([hi, lo], axis=-1).reshape(
+                b, nprobe, cell_cap, -1)
+        dots_raw = jnp.einsum(
+            "bpcw,bw->bpc", cand.astype(jnp.bfloat16),
+            queries.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
     pscales = scales.reshape(n_cells, cell_cap)[probe]  # [B, np, cap]
     dots_res = dots_raw.reshape(b, -1) * pscales.reshape(b, -1)  # [B, P]
     # exact f32 centroid dots for the PROBED cells only (the bf16 routing

@@ -185,6 +185,10 @@ class EPCellProbeIndex:
 
     @classmethod
     def build(cls, data, rows, mesh: Mesh, **kw) -> "EPCellProbeIndex":
+        # no hierarchy: the EP route is already sharded and from_cell_probe
+        # drops super_route — the hierarchy's ~25% cell padding would only
+        # inflate every shard's codes for zero benefit
+        kw.setdefault("hierarchy", False)
         base = CellProbeIndex.build(np.asarray(data), np.asarray(rows), **kw)
         return cls.from_cell_probe(base, mesh)
 

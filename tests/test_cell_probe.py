@@ -229,3 +229,44 @@ class TestHierarchicalRouting:
         s = h.stats()
         assert s["hierarchical"] and s["supercells"] >= 2
         assert s["rows"] == 6000
+
+
+class TestDmaGatherKernel:
+    """Direct interpret-mode coverage of both Pallas gather+dot kernel
+    bodies (multiprobe_topk gates the kernel to TPU, so CI's CPU runs
+    exercise the XLA fallback — these hit the kernels themselves)."""
+
+    def test_int8_kernel_matches_einsum(self):
+        import jax.numpy as jnp
+
+        from erlvectordb_tpu.ops.cell_probe import _dma_gather_dots
+
+        rng = np.random.default_rng(0)
+        K, cap, W, B, NP = 16, 16, 128, 8, 4
+        codes3 = jnp.asarray(rng.integers(-127, 128, (K, cap, W),
+                                          dtype=np.int8))
+        probe = jnp.asarray(rng.integers(0, K, (B, NP), dtype=np.int32))
+        q = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+        got = np.asarray(_dma_gather_dots(codes3, probe, q, cell_cap=cap))
+        ref = np.einsum("bpcw,bw->bpc",
+                        np.asarray(codes3)[np.asarray(probe)]
+                        .astype(np.float32), np.asarray(q))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-2)
+
+    def test_packed_kernel_matches_unpacked(self):
+        import jax.numpy as jnp
+
+        from erlvectordb_tpu.ops.cell_probe import _dma_gather_dots
+
+        rng = np.random.default_rng(1)
+        K, cap, W, B, NP = 16, 16, 128, 8, 4
+        vals = rng.integers(-7, 8, (K, cap, W)).astype(np.int8)
+        nib = (vals & 0xF).astype(np.uint8)
+        packed = jnp.asarray((nib[:, :, 0::2] << 4) | nib[:, :, 1::2])
+        probe = jnp.asarray(rng.integers(0, K, (B, NP), dtype=np.int32))
+        q = jnp.asarray(rng.standard_normal((B, W)).astype(np.float32))
+        got = np.asarray(_dma_gather_dots(packed, probe, q, cell_cap=cap))
+        ref = np.einsum("bpcw,bw->bpc",
+                        vals[np.asarray(probe)].astype(np.float32),
+                        np.asarray(q))
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-2)
