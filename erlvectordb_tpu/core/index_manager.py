@@ -31,6 +31,7 @@ built artifact.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from dataclasses import dataclass, field
@@ -38,6 +39,8 @@ from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np
+
+LOG = logging.getLogger(__name__)
 
 from erlvectordb_tpu.core.store import VectorStore
 
@@ -452,72 +455,94 @@ class IndexManager:
         if not root.exists():
             return loaded
         for idir in sorted(root.glob("idx_*")):
-            meta_path = idir / "meta.json"
-            if not meta_path.exists():
-                continue
-            meta = json.loads(meta_path.read_text())
-            if self._registry.get_or_none(meta["store"]) is None:
-                continue
-            arrays = {}
-            if (idir / "arrays.npz").exists():
-                with np.load(idir / "arrays.npz") as z:
-                    arrays = {k: z[k] for k in z.files}
-            info = IndexInfo(meta["name"], meta["store"], meta["type"],
-                             meta.get("parameters") or {})
-            info.built = bool(meta.get("built"))
-            info.built_at = meta.get("built_at")
-            info.build_seconds = meta.get("build_seconds")
-            info.stats = meta.get("stats") or {}
-            if info.type == "int8" and arrays:
-                info.artifact = {"codes": jnp.asarray(arrays["codes"]),
-                                 "scales": jnp.asarray(arrays["scales"]),
-                                 "norms": jnp.asarray(arrays["norms"]),
-                                 "valid": jnp.asarray(arrays["valid"])}
-            elif info.type in ("pq", "opq") and arrays:
-                if info.type == "opq":
-                    from erlvectordb_tpu.quant.opq import OPQCodebook
-
-                    cb = OPQCodebook.from_arrays(arrays)
-                else:
-                    from erlvectordb_tpu.quant.pq import PQCodebook
-
-                    cb = PQCodebook.from_arrays(arrays)
-                info.artifact = {
-                    "codebook": cb,
-                    "codes": jnp.asarray(arrays["codes"]),
-                    "rows": np.asarray(arrays["rows"]),
-                    "pad_dim": int(meta["pad_dim"]),
-                }
-            elif info.type == "ivf" and arrays:
-                from erlvectordb_tpu.core.ivf import IVFIndex
-
-                info.artifact = {"ivf": IVFIndex.from_arrays(arrays),
-                                 "nprobe": int(meta.get("nprobe", 8))}
-            elif info.type == "ep_ivf" and arrays:
-                from erlvectordb_tpu.parallel.ep_ivf import EPIVFIndex
-
-                info.artifact = {"ep_ivf": EPIVFIndex.from_arrays(arrays),
-                                 "nprobe": int(meta.get("nprobe", 8))}
-            elif info.type in ("hnsw", "cellprobe") and arrays:
-                from erlvectordb_tpu.core.cell_probe import CellProbeIndex
-
-                info.artifact = {
-                    "cell_probe": CellProbeIndex.from_arrays(arrays),
-                    "nprobe": int(meta.get("nprobe", 32)),
-                }
-            elif info.type == "ep_cellprobe" and arrays:
-                from erlvectordb_tpu.parallel.ep_cell_probe import (
-                    EPCellProbeIndex,
-                )
-
-                info.artifact = {
-                    "ep_cellprobe": EPCellProbeIndex.from_arrays(arrays),
-                    "nprobe": int(meta.get("nprobe", 32)),
-                }
-            with self._lock:
-                self._indexes.setdefault(meta["name"], info)
-            loaded.append(meta["name"])
+            try:
+                name = self._load_one_index(idir)
+            except Exception:  # noqa: BLE001 — one bad artifact must not
+                LOG.exception("skipping corrupt index artifact %s", idir)
+                continue  # abort Database.start(); skip it (stays stale)
+            if name is not None:
+                loaded.append(name)
         return loaded
+
+    def _load_one_index(self, idir):
+        """Re-hydrate a single persisted index dir; returns its name or None."""
+        import json
+
+        meta_path = idir / "meta.json"
+        if not meta_path.exists():
+            return None
+        meta = json.loads(meta_path.read_text())
+        if self._registry.get_or_none(meta["store"]) is None:
+            return None
+        arrays = {}
+        if (idir / "arrays.npz").exists():
+            with np.load(idir / "arrays.npz") as z:
+                arrays = {k: z[k] for k in z.files}
+        info = IndexInfo(meta["name"], meta["store"], meta["type"],
+                         meta.get("parameters") or {})
+        info.built = bool(meta.get("built"))
+        info.built_at = meta.get("built_at")
+        info.build_seconds = meta.get("build_seconds")
+        info.stats = meta.get("stats") or {}
+        if info.type == "int8" and arrays:
+            # Artifacts written before norms/valid were persisted lack
+            # those keys — fall back to the live store's buffers rather
+            # than raising KeyError and aborting startup (ADVICE r2).
+            store = self._registry.get_or_none(meta["store"])
+            norms = arrays.get("norms")
+            valid = arrays.get("valid")
+            if norms is None:
+                norms = store._norms
+            if valid is None:
+                valid = store._valid
+            info.artifact = {"codes": jnp.asarray(arrays["codes"]),
+                             "scales": jnp.asarray(arrays["scales"]),
+                             "norms": jnp.asarray(norms),
+                             "valid": jnp.asarray(valid)}
+        elif info.type in ("pq", "opq") and arrays:
+            if info.type == "opq":
+                from erlvectordb_tpu.quant.opq import OPQCodebook
+
+                cb = OPQCodebook.from_arrays(arrays)
+            else:
+                from erlvectordb_tpu.quant.pq import PQCodebook
+
+                cb = PQCodebook.from_arrays(arrays)
+            info.artifact = {
+                "codebook": cb,
+                "codes": jnp.asarray(arrays["codes"]),
+                "rows": np.asarray(arrays["rows"]),
+                "pad_dim": int(meta["pad_dim"]),
+            }
+        elif info.type == "ivf" and arrays:
+            from erlvectordb_tpu.core.ivf import IVFIndex
+
+            info.artifact = {"ivf": IVFIndex.from_arrays(arrays),
+                             "nprobe": int(meta.get("nprobe", 8))}
+        elif info.type == "ep_ivf" and arrays:
+            from erlvectordb_tpu.parallel.ep_ivf import EPIVFIndex
+
+            info.artifact = {"ep_ivf": EPIVFIndex.from_arrays(arrays),
+                             "nprobe": int(meta.get("nprobe", 8))}
+        elif info.type in ("hnsw", "cellprobe") and arrays:
+            from erlvectordb_tpu.core.cell_probe import CellProbeIndex
+
+            info.artifact = {
+                "cell_probe": CellProbeIndex.from_arrays(arrays),
+                "nprobe": int(meta.get("nprobe", 32)),
+            }
+        elif info.type == "ep_cellprobe" and arrays:
+            from erlvectordb_tpu.parallel.ep_cell_probe import (
+                EPCellProbeIndex,
+            )
+
+            info.artifact = {
+                "ep_cellprobe": EPCellProbeIndex.from_arrays(arrays),
+                "nprobe": int(meta.get("nprobe", 32)),
+            }
+        with self._lock:
+            self._indexes.setdefault(meta["name"], info)
+        return meta["name"]
 
     def save_all(self, root) -> int:
         n = 0

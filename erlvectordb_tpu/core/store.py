@@ -820,6 +820,12 @@ class VectorStore:
     ) -> List[Tuple[str, Any, float]]:
         """Top-k search for one query (exact unless ``nprobe`` is given).
 
+        Accuracy note: above ~590k rows (ops/fused_topk.POS_MIN_TILES) with
+        k <= 16, the fused scan uses the positive-packed extraction, which
+        drops ~0.4-0.8% of true top-k candidates per query in exchange for
+        ~1.4x throughput (measured recall@10 0.9625 vs 0.9648 at N=1.2M).
+        Set ``EVDB_EXACT_SCAN=1`` to force (near-)exact extraction at any N.
+
         Returns ``[(id, metadata, distance)]`` ascending by distance —
         the reference's result shape (src/vector_store.erl:234-236).
         ``where`` restricts results to vectors whose metadata matches every

@@ -37,6 +37,7 @@ mult 0 — cosine similarity 0, i.e. distance 1.0, the reference's semantics
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -197,6 +198,9 @@ POS_SLICE = 1024
 POS_LANE_MASK = POS_SLICE - 1
 POS_MIN_TILES = 144          # ~590k rows: expected candidate loss < 0.8%/query
 POS_MAX_K = 16
+# Opt-out (ADVICE r2): EVDB_EXACT_SCAN=1 disables the approximate pos path
+# so large-N searches stay on the (near-)exact masked-extraction kernel.
+POS_PATH_ENABLED = os.environ.get("EVDB_EXACT_SCAN", "0") != "1"
 
 
 def _pick_sub(n_cap: int, n_tiles: int, row_bytes: int, max_sub: int = 4) -> int:
@@ -383,8 +387,15 @@ def _pos_topk(codes, scales, norms, valid, queries, q_in, qmult, rowmult,
 
 
 def pos_path_applies(metric: str, n_tiles: int, k: int) -> bool:
-    """Big-store gate for the positive-packed scan (see block comment)."""
-    return (metric in ("cosine", "euclidean", "dot")
+    """Big-store gate for the positive-packed scan (see block comment).
+
+    The pos path trades ~0.4-0.8% of true top-k candidates per query (top-1
+    per 1024-row slice extraction) for ~1.4x throughput at n_tiles >=
+    POS_MIN_TILES.  Set ``EVDB_EXACT_SCAN=1`` (checked at import) or flip
+    ``fused_topk.POS_PATH_ENABLED`` to force the (near-)exact
+    masked-extraction kernel at any N.
+    """
+    return (POS_PATH_ENABLED and metric in ("cosine", "euclidean", "dot")
             and n_tiles >= POS_MIN_TILES and k <= POS_MAX_K)
 
 

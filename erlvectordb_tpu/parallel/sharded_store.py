@@ -585,7 +585,9 @@ class ShardedVectorStore:
         with self._lock.read():
             rows_now = self._remap_ticket_rows(rows_np, t)
             ids = self._ids_view().reshape(-1)[rows_now]
-        return dists_np, rows_np, ids
+        # Return the remapped rows: after a concurrent grow, rows_np decodes
+        # wrongly against the current flat layout while ids came from rows_now.
+        return dists_np, rows_now, ids
 
     def _remap_ticket_rows(self, rows_np, t):
         """Device rows encode shard*cap+local with the SUBMIT-TIME per-shard

@@ -282,7 +282,9 @@ class GrpcServer:
         metric = request.metric or None
         where = self._where(request.filter_json)
         if request.nprobe:
-            return self.db.any_store(request.store).search(
+            store = self.db.any_store(request.store)
+            self.db._check_nprobe(store)  # ValueError, not TypeError, for
+            return store.search(          # distributed store classes
                 q, k=k, metric=metric, where=where,
                 nprobe=int(request.nprobe))
         batcher = getattr(self.db, "batcher", None)
@@ -337,6 +339,8 @@ class GrpcServer:
                 dists, _rows, ids = box["cols"]
             else:
                 store = self.db.any_store(request.store)
+                if request.nprobe:
+                    self.db._check_nprobe(store)
                 kw = ({"nprobe": int(request.nprobe)} if request.nprobe
                       else {})
                 t = store.search_batch_submit(rows, k=k, metric=metric,

@@ -370,7 +370,9 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         if args.get("nprobe") is not None:
             # the sub-linear latency path: a direct dispatch IS the point
             # (no batching window) — only the probed cells are read
-            hits = db.any_store(args["store"]).search(
+            store = db.any_store(args["store"])
+            db._check_nprobe(store)  # clean ValueError for distributed stores
+            hits = store.search(
                 decode_query(args), k=int(args.get("k", 10)),
                 metric=args.get("metric"), where=args.get("filter"),
                 nprobe=int(args["nprobe"]))
@@ -389,6 +391,7 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         kw = dict(k=int(args.get("k", 10)), metric=args.get("metric"),
                   where=args.get("filter"))
         if args.get("nprobe") is not None:
+            db._check_nprobe(store)
             kw["nprobe"] = int(args["nprobe"])
         if args.get("encoding") == "b64":
             cols = store.search_batch_complete_raw(

@@ -103,8 +103,16 @@ DEMO_DOCS = {
 
 
 def run_demo() -> int:
+    import os
+
+    # honor the bridge env-var matrix (docs/BRIDGE_SETUP.md) so the demo
+    # follows fallback ports picked by the server's port manager
+    mcp_port = int(os.environ.get("EVDB_MCP_PORT", "8080"))
+    oauth_url = os.environ.get(
+        "EVDB_OAUTH_URL", "http://127.0.0.1:8081/oauth/token")
     client = VectorDBClient(
-        mcp_port=8080, oauth_url="http://127.0.0.1:8081/oauth/token"
+        host=os.environ.get("EVDB_HOST", "127.0.0.1"),
+        mcp_port=mcp_port, oauth_url=oauth_url,
     )
     smart = SmartClient(client)
     try:

@@ -3,6 +3,8 @@
 # test_server.sh analogue): OAuth token -> MCP initialize -> tools/list ->
 # create/insert/search roundtrip -> REST health -> client info.
 # Usage: ./test_server.sh [host] [mcp_port] [oauth_port] [rest_port]
+# Client/bridge wiring (env-var matrix, Gemini CLI / Claude Desktop configs):
+# docs/BRIDGE_SETUP.md; scripted end-to-end demo: examples/setup_demo.sh
 set -u
 HOST=${1:-127.0.0.1}
 MCP=${2:-${EVDB_MCP_PORT:-8080}}

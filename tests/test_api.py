@@ -112,6 +112,21 @@ class TestDistributedVerbs:
         assert db.get_cluster_stats()["stores"]["dist1"] == 100
         assert len(db.get_cluster_nodes()) >= 1
 
+    def test_nprobe_on_distributed_store_tool_error(self, db, rng):
+        """Regression (ADVICE r2): the MCP nprobe fast path must surface the
+        domain ValueError for distributed stores, not a TypeError from the
+        store signature."""
+        from erlvectordb_tpu.serve.tools import call_tool
+
+        db.create_distributed_store("distnp", dtype="int8")
+        data = rng.standard_normal((50, 16)).astype(np.float32)
+        db.any_store("distnp").insert_batch(
+            [f"v{i}" for i in range(50)], data)
+        with pytest.raises(ValueError, match="nprobe requires"):
+            call_tool(db, "search_vectors", {
+                "store": "distnp", "vector": data[0].tolist(),
+                "k": 3, "nprobe": 4})
+
     def test_distribute_existing_store(self, db, rng):
         db.create_store("local1")
         data = rng.standard_normal((50, 8)).astype(np.float32)

@@ -198,6 +198,15 @@ def pos_gate(monkeypatch):
     monkeypatch.setattr(ft, "POS_MIN_TILES", 1)
 
 
+def test_pos_path_opt_out(monkeypatch):
+    """EVDB_EXACT_SCAN / POS_PATH_ENABLED forces exact extraction (ADVICE r2)."""
+    import erlvectordb_tpu.ops.fused_topk as ft
+
+    assert ft.pos_path_applies("cosine", ft.POS_MIN_TILES, 10)
+    monkeypatch.setattr(ft, "POS_PATH_ENABLED", False)
+    assert not ft.pos_path_applies("cosine", ft.POS_MIN_TILES, 10)
+
+
 @pytest.mark.parametrize("metric", ["cosine", "euclidean", "dot"])
 def test_pos_path_int8_matches_xla(spiked_corpus, pos_gate, metric):
     data, norms, valid, queries, targets = spiked_corpus

@@ -174,6 +174,36 @@ class TestIndexPersistence:
         im2 = IndexManager(StoreRegistry())  # store 's' absent
         assert im2.load_indexes(tmp_path) == []
 
+    def test_load_pre_norms_artifact(self, setup, tmp_path):
+        """Regression (ADVICE r2): int8 artifacts saved before norms/valid
+        were persisted must re-hydrate from the live store instead of
+        raising KeyError and aborting Database.start()."""
+        registry, im, data = setup
+        im.create_index("old8", "s", "int8")
+        im.build_index("old8")
+        im.save_all(tmp_path)
+        idir = tmp_path / "idx_old8"
+        with np.load(idir / "arrays.npz") as z:
+            arrays = {k: z[k] for k in z.files}
+        arrays.pop("norms")
+        arrays.pop("valid")
+        np.savez(idir / "arrays.npz", **arrays)
+        im2 = IndexManager(registry)
+        assert im2.load_indexes(tmp_path) == ["old8"]
+        assert im2.search("old8", data[42], k=1)[0][0] == "v42"
+
+    def test_load_skips_corrupt_artifact(self, setup, tmp_path):
+        """One unreadable artifact must not abort loading the others."""
+        registry, im, data = setup
+        im.create_index("good8", "s", "int8")
+        im.build_index("good8")
+        im.save_all(tmp_path)
+        bad = tmp_path / "idx_bad"
+        bad.mkdir()
+        (bad / "meta.json").write_text('{"name": "bad", "store": "s", ')
+        im2 = IndexManager(registry)
+        assert im2.load_indexes(tmp_path) == ["good8"]
+
     def test_database_persists_indexes(self, rng, tmp_path):
         from erlvectordb_tpu.api import Database
         from erlvectordb_tpu.infra.config import load_config

@@ -1,8 +1,10 @@
 """Opt-in REAL-TPU smoke tests — skipped under the CPU CI platform.
 
-Run on hardware with:  JAX_PLATFORMS= python -m pytest tests/test_tpu_hardware.py --no-header -q -p no:cacheprovider
-(the repo conftest pins tests to CPU; this module re-checks the actual
-backend and skips itself when no TPU is present).
+Run on hardware with:  EVDB_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py --no-header -q -p no:cacheprovider
+(the repo conftest pins tests to CPU UNLESS EVDB_TPU_TESTS=1 is set —
+see tests/conftest.py; without that variable every test here silently
+skips.  This module also re-checks the actual backend and skips itself
+when no TPU is present.)
 """
 
 import numpy as np
