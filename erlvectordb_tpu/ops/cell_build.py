@@ -1,0 +1,477 @@
+"""Device-side streaming cell build — centroids, balanced assignment and
+residual encode with NO O(N)-sized host round-trip.
+
+Round 2's cell builds (core/store.py::_build_int4r, core/cell_probe.py)
+computed choice lists on device but ran the capacity-constrained greedy on
+HOST, which meant reading [N, j] preference lists back through the rig's
+~1-2 MB/s device->host tunnel: 213 s for 1.2M rows (5.6k vec/s) against a
+>= 1M vec/s build bar.  This module keeps every per-row intermediate —
+staged codes, choice lists, owners, ranks, slot positions — on device; the
+only readbacks are [K]-sized cell stats and O(1) scalars.
+
+The reference's index "build" is a timer that marks a flag
+(src/vector_index_manager.erl:58-66); this is the real thing, designed for
+the TPU memory system:
+
+  stage   corpus chunks -> int8 row codes (absmax/127) + scales + norms.
+          The staged corpus is the build's working set: 8M x 768 f32 would
+          be 24.5 GB (over HBM); int8 is 6.1 GB and adds quantization noise
+          ~16x below the int4 residual codes the build emits.
+  seed    k-means centroids on a strided training sample (ops/kmeans.py).
+  route   [N, j] nearest-cell preference lists: chunked bf16 matmuls +
+          approx_max_k (lax.map bounds the [sub, K] f32 intermediate).
+  assign  capacity-constrained greedy, SORT-FREE: rounds of
+          histogram-threshold acceptance (see _assign_capacity) — each cell
+          accepts its closest proposals up to remaining capacity, rejected
+          rows walk down their own preference list.  Same acceptance rule
+          as the host greedy (core/ivf.py::_balanced_assign), but each
+          round is a segment-sum + cumsum instead of a global sort.
+  refit   capacity-constrained Lloyd: refit each centroid to the members it
+          actually got (segment-sums over the staged corpus), then
+          re-route + re-assign.  Keeps residuals small at the slots rows
+          actually landed in.
+  place   slot positions from ONE device argsort of the owner vector.
+  encode  residual quantize (packed int4 with per-row clip sweep, or int8)
+          + scatter into the cell-major layout, chunk by chunk.
+
+All phases are jitted device programs; the Python driver only sequences
+them, so build throughput is set by MXU/HBM rates, not the tunnel.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from typing import Iterable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+_NEG = -1e30
+_INF = jnp.inf
+
+
+def _pad128(d: int) -> int:
+    return -(-d // 128) * 128
+
+
+class CellBuildResult(NamedTuple):
+    """Device-resident cell build output (perm maps slot -> original row)."""
+
+    centroids: jax.Array        # [K, W] f32 (trailing cells may be empty)
+    codes: jax.Array            # [S, W//2] uint8 (int4 packed) or [S, W] int8
+    scales: jax.Array           # [S] f32 per-row residual scales
+    norms: jax.Array            # [S] f32 reconstruction norms
+    valid: jax.Array            # [S] bool
+    perm: jax.Array             # [S] int32 original row at slot (-1 empty)
+    counts: np.ndarray          # [K] int64 rows per cell (host)
+    n_cells: int
+    cell_cap: int
+    stats: dict
+
+
+# --------------------------------------------------------------------- stage
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("w",))
+def _stage_chunk(codes8, scales, norms, chunk, at, *, w):
+    """Quantize one f32 chunk to int8 rows and write it at row ``at``."""
+    x = chunk.astype(jnp.float32)
+    if x.shape[1] != w:
+        x = jnp.pad(x, ((0, 0), (0, w - x.shape[1])))
+    am = jnp.max(jnp.abs(x), axis=-1)
+    s = jnp.where(am > 0, am / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / s[:, None]), -127, 127).astype(jnp.int8)
+    nn = jnp.sqrt(jnp.sum(x * x, axis=-1))
+    codes8 = lax.dynamic_update_slice(codes8, q, (at, 0))
+    scales = lax.dynamic_update_slice(scales, s, (at,))
+    norms = lax.dynamic_update_slice(norms, nn, (at,))
+    return codes8, scales, norms
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("stride", "take", "w"))
+def _stage_sample(sample, chunk, at, *, stride, take, w):
+    """Strided training rows from a chunk into the sample buffer."""
+    x = chunk.astype(jnp.float32)
+    if x.shape[1] != w:
+        x = jnp.pad(x, ((0, 0), (0, w - x.shape[1])))
+    rows = x[::stride][:take]
+    return lax.dynamic_update_slice(sample, rows, (at, 0))
+
+
+# --------------------------------------------------------------------- route
+
+
+@functools.partial(jax.jit, static_argnames=("j", "sub"))
+def _choices_all(codes8, scales, cents_bf, cn2, *, j, sub):
+    """[N, j] nearest-cell preference lists over the staged int8 corpus.
+
+    bf16 dequant + routing matmul (ranking-grade; exact distances are never
+    needed for placement), approx_max_k for the preference lists — a 95%
+    recall miss still yields a near-nearest cell.  lax.map over row
+    sub-chunks bounds the [sub, K] f32 intermediate."""
+    w = codes8.shape[1]
+
+    def one(args):
+        rows8, s = args
+        x = rows8.astype(jnp.bfloat16) * s[:, None].astype(jnp.bfloat16)
+        dots = jnp.dot(x, cents_bf.T, preferred_element_type=jnp.float32)
+        negd, ids = lax.approx_max_k(-(cn2[None, :] - 2.0 * dots), j)
+        return (-negd).astype(jnp.float16), ids.astype(jnp.int32)
+
+    d, i = lax.map(one, (codes8.reshape(-1, sub, w),
+                         scales.reshape(-1, sub)))
+    return d.reshape(-1, j), i.reshape(-1, j)
+
+
+# -------------------------------------------------------------------- assign
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "cap", "j", "n_buckets"))
+def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048):
+    """Capacity-constrained greedy assignment, sort-free.
+
+    Round r: every unassigned row proposes its ptr-th choice cell.  A cell
+    accepts the proposals that fit its remaining capacity, CLOSEST FIRST —
+    enforced by bucketing proposal distances into a [K, n_buckets]
+    histogram and accepting a row iff the cumulative count of same-cell
+    proposals at <= its bucket fits.  Rows in the cutoff bucket (and
+    beyond) advance to their next choice.  This reproduces the host
+    greedy's acceptance rule (core/ivf.py::_balanced_assign) with
+    segment-sums instead of per-round global sorts.
+
+    Rows exhausting all j choices are dumped into cells with space via a
+    prefix-sum over remaining capacities (arbitrary placement; with >= 25%
+    capacity slack and j >= 16 this is ~0 rows — reported in stats so a
+    degenerate geometry is visible).
+
+    Returns (owner [N] int32 in [0, k), or k for invalid rows;
+    n_dumped scalar)."""
+    n = ch_d.shape[0]
+    chd = ch_d.astype(jnp.float32)
+    dmin = jnp.min(jnp.where(row_valid[:, None], chd, _INF))
+    dmax = jnp.max(jnp.where(row_valid[:, None], chd, -_INF))
+    bscale = n_buckets / jnp.maximum(dmax - dmin, 1e-9)
+    rows_idx = jnp.arange(n, dtype=jnp.int32)
+
+    def round_(state, _):
+        owner, ptr, fill = state
+        act = (owner < 0) & (ptr < j) & row_valid
+        pc = jnp.clip(ptr, 0, j - 1)
+        cell = jnp.where(act, ch_i[rows_idx, pc], k)
+        dist = jnp.where(act, chd[rows_idx, pc], _INF)
+        b = jnp.clip(((dist - dmin) * bscale).astype(jnp.int32),
+                     0, n_buckets - 1)
+        idx = cell * n_buckets + b
+        hist = jax.ops.segment_sum(
+            act.astype(jnp.int32), idx, num_segments=(k + 1) * n_buckets
+        ).reshape(k + 1, n_buckets)
+        cum = jnp.cumsum(hist, axis=1)
+        rem = jnp.append(cap - fill, 0)                    # dummy cell: 0
+        accept = act & (cum[cell, b] <= rem[cell])
+        owner = jnp.where(accept, cell, owner)
+        acc_cell = jnp.where(accept, cell, k)
+        fill = fill + jax.ops.segment_sum(
+            jnp.ones((n,), jnp.int32), acc_cell, num_segments=k + 1)[:k]
+        ptr = ptr + (act & ~accept).astype(jnp.int32)
+        return (owner, ptr, fill), None
+
+    owner0 = jnp.full((n,), -1, jnp.int32)
+    ptr0 = jnp.zeros((n,), jnp.int32)
+    fill0 = jnp.zeros((k,), jnp.int32)
+    (owner, _, fill), _ = lax.scan(round_, (owner0, ptr0, fill0), None,
+                                   length=j)
+
+    # exhausted rows -> cells with space (prefix-sum dump)
+    left = (owner < 0) & row_valid
+    space = jnp.maximum(cap - fill, 0)
+    cum_space = jnp.cumsum(space)
+    lrank = jnp.cumsum(left.astype(jnp.int32)) - 1
+    dump_cell = jnp.clip(
+        jnp.searchsorted(cum_space, lrank, side="right"), 0, k - 1
+    ).astype(jnp.int32)
+    owner = jnp.where(left, dump_cell, owner)
+    owner = jnp.where(row_valid, owner, k)
+    return owner, jnp.sum(left.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "sub"))
+def _refit_centroids(codes8, scales, owner, cents_old, *, k, sub):
+    """Mean of each cell's ACTUAL members (chunked segment-sums over the
+    staged int8 corpus); empty cells keep their old centroid."""
+    w = codes8.shape[1]
+    n_sub = codes8.shape[0] // sub
+
+    def body(c, carry):
+        sums, cnt = carry
+        rows8 = lax.dynamic_slice(codes8, (c * sub, 0), (sub, w))
+        s = lax.dynamic_slice(scales, (c * sub,), (sub,))
+        o = lax.dynamic_slice(owner, (c * sub,), (sub,))
+        x = rows8.astype(jnp.float32) * s[:, None]
+        sums = sums + jax.ops.segment_sum(x, o, num_segments=k + 1)
+        cnt = cnt + jax.ops.segment_sum(jnp.ones((sub,), jnp.float32), o,
+                                        num_segments=k + 1)
+        return sums, cnt
+
+    sums0 = jnp.zeros((k + 1, w), jnp.float32)
+    cnt0 = jnp.zeros((k + 1,), jnp.float32)
+    sums, cnt = lax.fori_loop(0, n_sub, body, (sums0, cnt0))
+    cents = sums[:k] / jnp.maximum(cnt[:k], 1.0)[:, None]
+    return jnp.where((cnt[:k] > 0.5)[:, None], cents, cents_old)
+
+
+# --------------------------------------------------------------------- place
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cap"))
+def _positions(owner, *, k, cap):
+    """Slot position per row (pos = cell * cap + rank) from one stable
+    argsort of the owner vector; invalid rows (owner == k) land past the
+    last cell and are dropped by the scatter."""
+    n = owner.shape[0]
+    order = jnp.argsort(owner, stable=True)
+    so = owner[order]
+    starts = jnp.searchsorted(so, jnp.arange(k + 1, dtype=jnp.int32))
+    rank = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(so, 0, k)]
+    # invalid rows (owner == k) get positions far past ANY padded layout
+    # (k may be smaller than the padded cell count) so the scatter drops them
+    pos_sorted = jnp.where(so < k, so * cap + rank, jnp.int32(1 << 30))
+    pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
+    return pos
+
+
+# -------------------------------------------------------------------- encode
+
+
+def _quantize_residual_int4(res):
+    """Per-row clip-swept min-MSE int4 residual quantization (mirrors
+    core/store.py::_quantize_residual)."""
+    absmax = jnp.max(jnp.abs(res), axis=-1)
+    best_q = best_s = best_e = None
+    for c in (0.7, 0.8, 0.9, 1.0):
+        s = jnp.where(absmax > 0, c * absmax / 7.0, 1.0)
+        q = jnp.clip(jnp.round(res / s[:, None]), -7, 7).astype(jnp.int8)
+        e = jnp.sum((q.astype(jnp.float32) * s[:, None] - res) ** 2, axis=-1)
+        if best_q is None:
+            best_q, best_s, best_e = q, s, e
+        else:
+            take = e < best_e
+            best_q = jnp.where(take[:, None], q, best_q)
+            best_s = jnp.where(take, s, best_s)
+            best_e = jnp.minimum(e, best_e)
+    return best_q, best_s
+
+
+def _pack_int4(q):
+    """[R, W] int4-valued int8 -> [R, W/2] uint8, dim 2p in the high nibble
+    (same packing as core/store.py)."""
+    u = jnp.where(q < 0, q + 16, q).astype(jnp.uint8)
+    return (u[:, 0::2] << 4) | u[:, 1::2]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
+                   static_argnames=("bits", "sub", "k"))
+def _encode_scatter(out_codes, out_scales, out_norms, out_valid, out_perm,
+                    codes8, scales_in, owner, pos, cents, *, bits, sub, k):
+    """Residual-quantize the staged corpus against each row's owning
+    centroid and scatter into the cell-major layout, chunk by chunk.
+
+    The centroid rows are fetched by a one-hot matmul (sub x K x W on the
+    MXU) rather than a row gather: TPU row gathers are descriptor-bound
+    and at N x 3 KB would dominate the whole build.  The matmul runs bf16,
+    so the encode's centroid copy carries ~0.4%-per-element rounding —
+    1-2% of the residual magnitude, well under the int4 quantization noise
+    and the search kernel's own bf16-class matmul precision
+    (ops/cell_probe.py module docstring); the exact f32 centroids are what
+    search scores against."""
+    w = codes8.shape[1]
+    n_sub = codes8.shape[0] // sub
+
+    def body(c, carry):
+        oc, os, on, ov, op = carry
+        rows8 = lax.dynamic_slice(codes8, (c * sub, 0), (sub, w))
+        s_in = lax.dynamic_slice(scales_in, (c * sub,), (sub,))
+        o = lax.dynamic_slice(owner, (c * sub,), (sub,))
+        p = lax.dynamic_slice(pos, (c * sub,), (sub,))
+        x = rows8.astype(jnp.float32) * s_in[:, None]
+        oh = jax.nn.one_hot(o, k, dtype=jnp.bfloat16)       # [sub, K]
+        cent = jnp.dot(oh, cents.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)  # [sub, W]
+        res = x - cent
+        if bits == 4:
+            q, s = _quantize_residual_int4(res)
+            enc = _pack_int4(q)
+        else:
+            am = jnp.max(jnp.abs(res), axis=-1)
+            s = jnp.where(am > 0, am / 127.0, 1.0)
+            q = jnp.clip(jnp.round(res / s[:, None]),
+                         -127, 127).astype(jnp.int8)
+            enc = q
+        recon = cent + q.astype(jnp.float32) * s[:, None]
+        rnorm = jnp.sqrt(jnp.sum(recon * recon, axis=-1))
+        live = o < k
+        oc = oc.at[p].set(enc, mode="drop")
+        os = os.at[p].set(s, mode="drop")
+        on = on.at[p].set(rnorm, mode="drop")
+        ov = ov.at[p].set(live, mode="drop")
+        orig = c * sub + jnp.arange(sub, dtype=jnp.int32)
+        op = op.at[p].set(jnp.where(live, orig, -1), mode="drop")
+        return oc, os, on, ov, op
+
+    return lax.fori_loop(
+        0, n_sub, body,
+        (out_codes, out_scales, out_norms, out_valid, out_perm))
+
+
+# -------------------------------------------------------------------- driver
+
+
+def build_cells_streaming(
+    chunks: Iterable,           # [CH, dim] f32 chunks (device or host)
+    *,
+    n: int,                     # total rows (sum of chunk rows)
+    dim: int,
+    cell_rows: int = 96,        # target rows per cell
+    cell_cap: int = 128,        # physical slots per cell
+    residual_bits: int = 4,     # 4 (packed, int4r store) | 8 (CellProbe)
+    j: int = 16,                # preference-list depth
+    refits: int = 1,            # capacity-constrained Lloyd rounds
+    seed: int = 0,
+    train_rows: int = 262_144,
+    kmeans_iters: int = 8,
+    kmeans_init: str = "kpp",
+    k_block: int = 64,          # pad cell count to a multiple (store tiling)
+    route_sub: int = 16384,     # rows per routing sub-chunk
+    device: Optional[jax.Device] = None,
+) -> CellBuildResult:
+    """Streaming device build of a balanced cell-residual layout.
+
+    See module docstring.  ``n`` must be exact; every chunk except the last
+    must have the same row count.  Returns device arrays ready to serve as
+    an int4r VectorStore (bits=4) or CellProbeIndex (bits=8)."""
+    if residual_bits not in (4, 8):
+        raise ValueError("residual_bits must be 4 or 8")
+    if cell_cap < cell_rows:
+        raise ValueError(
+            f"cell_cap ({cell_cap}) must be >= cell_rows ({cell_rows})")
+    if n <= 0:
+        raise ValueError("n must be positive")
+    t_start = time.perf_counter()
+    put = (lambda x: jax.device_put(x, device)) if device else jnp.asarray
+    w = _pad128(dim)
+    k_real = max(1, -(-n // cell_rows))
+    k_total = -(-k_real // k_block) * k_block
+    if k_real * cell_cap < n:
+        raise ValueError(
+            f"{k_real} cells x {cell_cap} slots < {n} rows; raise cell_cap")
+
+    # ---- stage ----------------------------------------------------------
+    chunks = iter(chunks)
+    first = next(chunks)
+    ch = int(first.shape[0])
+    n_chunks = -(-n // ch)
+    npad = n_chunks * ch
+    codes8 = put(jnp.zeros((npad, w), jnp.int8))
+    scales = put(jnp.ones((npad,), jnp.float32))
+    norms = put(jnp.zeros((npad,), jnp.float32))
+    # the training sample must comfortably over-determine k_real centroids
+    train_rows = min(n, max(train_rows, 3 * k_real))
+    spc = -(-train_rows // n_chunks)           # sample rows per chunk
+    stride = max(1, ch // spc)
+    sample = put(jnp.zeros((n_chunks * spc, w), jnp.float32))
+
+    for i in range(n_chunks):
+        try:
+            chunk = first if i == 0 else next(chunks)
+        except StopIteration:
+            raise ValueError(
+                f"chunks exhausted after {i * ch} rows, expected n={n}")
+        if chunk.shape[0] != ch and i != n_chunks - 1:
+            raise ValueError("all chunks but the last must be equal length")
+        if chunk.shape[0] < ch:                # pad the final short chunk
+            chunk = jnp.pad(jnp.asarray(chunk, jnp.float32),
+                            ((0, ch - chunk.shape[0]), (0, 0)))
+        chunk = put(chunk)
+        codes8, scales, norms = _stage_chunk(
+            codes8, scales, norms, chunk, jnp.int32(i * ch), w=w)
+        sample = _stage_sample(sample, chunk, jnp.int32(i * spc),
+                               stride=stride, take=spc, w=w)
+    row_valid = jnp.arange(npad) < n
+    t_stage = time.perf_counter()
+
+    # ---- seed k-means ---------------------------------------------------
+    train = sample[:train_rows]
+    cents, _ = kmeans_fit(train, jnp.uint32(seed), k=k_real,
+                          iters=kmeans_iters, init=kmeans_init)
+    t_seed = time.perf_counter()
+
+    # ---- route + assign (+ capacity-constrained Lloyd refits) -----------
+    jj = min(j, k_real)
+    sub = min(route_sub, npad)
+    while npad % sub:
+        sub //= 2
+    n_dumped = jnp.int32(0)
+    nb = max(64, min(2048, (1 << 26) // max(k_real, 1)))
+    for r in range(refits + 1):
+        cents_bf = cents.astype(jnp.bfloat16)
+        cn2 = jnp.sum(cents * cents, axis=-1)
+        ch_d, ch_i = _choices_all(codes8, scales, cents_bf, cn2,
+                                  j=jj, sub=sub)
+        owner, n_dumped = _assign_capacity(
+            ch_d, ch_i, row_valid, k=k_real, cap=cell_cap, j=jj,
+            n_buckets=nb)
+        if r < refits:
+            cents = _refit_centroids(codes8, scales, owner, cents,
+                                     k=k_real, sub=sub)
+    t_assign = time.perf_counter()
+
+    # ---- place + encode -------------------------------------------------
+    pos = _positions(owner, k=k_real, cap=cell_cap)
+    s_total = k_total * cell_cap
+    if residual_bits == 4:
+        out_codes = put(jnp.zeros((s_total, w // 2), jnp.uint8))
+    else:
+        out_codes = put(jnp.zeros((s_total, w), jnp.int8))
+    out_scales = put(jnp.ones((s_total,), jnp.float32))
+    out_norms = put(jnp.zeros((s_total,), jnp.float32))
+    out_valid = put(jnp.zeros((s_total,), bool))
+    out_perm = put(jnp.full((s_total,), -1, jnp.int32))
+    cents_pad = (cents if k_total == k_real
+                 else jnp.pad(cents, ((0, k_total - k_real), (0, 0))))
+    out_codes, out_scales, out_norms, out_valid, out_perm = _encode_scatter(
+        out_codes, out_scales, out_norms, out_valid, out_perm,
+        codes8, scales, owner, pos, cents,
+        bits=residual_bits, sub=sub, k=k_real)
+    jax.block_until_ready(out_valid)
+    t_encode = time.perf_counter()
+
+    counts_dev = jax.ops.segment_sum(
+        jnp.where(row_valid, 1, 0), owner, num_segments=k_real + 1)[:k_real]
+    counts = np.zeros((k_total,), np.int64)            # [K] readback, ~100 KB
+    counts[:k_real] = np.asarray(counts_dev)
+    dumped = int(n_dumped)
+    stats = {
+        "n": n,
+        "n_cells": k_total,
+        "n_cells_real": k_real,
+        "cell_cap": cell_cap,
+        "dumped_rows": dumped,
+        "residual_bits": residual_bits,
+        "stage_s": round(t_stage - t_start, 3),
+        "kmeans_s": round(t_seed - t_stage, 3),
+        "assign_s": round(t_assign - t_seed, 3),
+        "encode_s": round(t_encode - t_assign, 3),
+        "total_s": round(t_encode - t_start, 3),
+        "vec_per_sec": round(n / max(t_encode - t_start, 1e-9), 1),
+    }
+    return CellBuildResult(
+        centroids=cents_pad, codes=out_codes, scales=out_scales,
+        norms=out_norms, valid=out_valid, perm=out_perm, counts=counts,
+        n_cells=k_total, cell_cap=cell_cap, stats=stats)

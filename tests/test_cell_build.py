@@ -1,0 +1,217 @@
+"""Device-side streaming cell build (ops/cell_build.py).
+
+Validates the sort-free capacity assignment, the slot placement, the
+residual encode, and parity with the host greedy the engine replaces
+(core/ivf.py::_balanced_assign) — all on the CPU backend at small sizes.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from erlvectordb_tpu.ops.cell_build import (
+    _assign_capacity,
+    _positions,
+    build_cells_streaming,
+)
+
+
+def _chunks(data, ch):
+    for i in range(0, len(data), ch):
+        yield data[i:i + ch]
+
+
+def _unpack_int4(packed):
+    hi = (packed >> 4).astype(np.int8)
+    lo = (packed & 0xF).astype(np.int8)
+    hi = np.where(hi > 7, hi - 16, hi)
+    lo = np.where(lo > 7, lo - 16, lo)
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), np.int8)
+    out[:, 0::2] = hi
+    out[:, 1::2] = lo
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(module_rng):
+    centers = module_rng.standard_normal((20, 48)).astype(np.float32)
+    assign = module_rng.integers(0, 20, 3000)
+    data = (centers[assign]
+            + 0.3 * module_rng.standard_normal((3000, 48))).astype(np.float32)
+    return data
+
+
+@pytest.fixture(scope="module")
+def module_rng():
+    return np.random.default_rng(7)
+
+
+class TestAssignCapacity:
+    def test_capacity_respected_and_all_assigned(self, module_rng):
+        n, k, j, cap = 2000, 40, 8, 64
+        ch_d = module_rng.random((n, j)).astype(np.float16)
+        ch_d.sort(axis=1)
+        ch_i = np.stack([module_rng.permutation(k)[:j] for _ in range(n)])
+        owner, dumped = _assign_capacity(
+            jnp.asarray(ch_d), jnp.asarray(ch_i.astype(np.int32)),
+            jnp.ones((n,), bool), k=k, cap=cap, j=j)
+        owner = np.asarray(owner)
+        assert (owner >= 0).all() and (owner < k).all()
+        fills = np.bincount(owner, minlength=k)
+        assert fills.max() <= cap
+        assert fills.sum() == n
+
+    def test_first_choice_wins_when_space(self, module_rng):
+        """With capacity far above load, everyone gets their first choice."""
+        n, k, j = 500, 50, 4
+        ch_d = np.sort(module_rng.random((n, j)).astype(np.float16), axis=1)
+        ch_i = np.stack([module_rng.permutation(k)[:j] for _ in range(n)])
+        owner, dumped = _assign_capacity(
+            jnp.asarray(ch_d), jnp.asarray(ch_i.astype(np.int32)),
+            jnp.ones((n,), bool), k=k, cap=n, j=j)
+        np.testing.assert_array_equal(np.asarray(owner), ch_i[:, 0])
+        assert int(dumped) == 0
+
+    def test_closest_first_within_cell(self):
+        """A contended cell must keep its CLOSEST proposals."""
+        n, k, cap = 20, 2, 10
+        # everyone's first choice is cell 0 at distance = row index / n
+        ch_d = np.stack([np.arange(n) / n, np.full(n, 0.99)], 1).astype(
+            np.float16)
+        ch_i = np.broadcast_to(np.array([0, 1], np.int32), (n, 2)).copy()
+        owner, _ = _assign_capacity(
+            jnp.asarray(ch_d), jnp.asarray(ch_i), jnp.ones((n,), bool),
+            k=k, cap=cap, j=2)
+        owner = np.asarray(owner)
+        # the 10 CLOSEST rows won cell 0; the rest fell to cell 1
+        assert (owner[:cap] == 0).all()
+        assert (owner[cap:] == 1).all()
+
+    def test_invalid_rows_excluded(self, module_rng):
+        n, k, j, cap = 64, 4, 2, 64
+        ch_d = module_rng.random((n, j)).astype(np.float16)
+        ch_i = module_rng.integers(0, k, (n, j)).astype(np.int32)
+        rv = np.zeros(n, bool)
+        rv[:10] = True
+        owner, _ = _assign_capacity(
+            jnp.asarray(ch_d), jnp.asarray(ch_i), jnp.asarray(rv),
+            k=k, cap=cap, j=j)
+        owner = np.asarray(owner)
+        assert (owner[10:] == k).all()
+        assert (owner[:10] < k).all()
+
+
+class TestPositions:
+    def test_positions_unique_and_cell_local(self, module_rng):
+        n, k, cap = 1000, 16, 128
+        owner = module_rng.integers(0, k, n).astype(np.int32)
+        # keep every cell under cap
+        owner = np.sort(owner)
+        pos = np.asarray(_positions(jnp.asarray(owner), k=k, cap=cap))
+        assert len(set(pos.tolist())) == n            # unique slots
+        np.testing.assert_array_equal(pos // cap, owner)
+        assert (pos % cap < cap).all()
+
+    def test_invalid_rows_dropped_far(self):
+        owner = np.array([0, 1, 2, 3, 3], np.int32)   # owner == k=3 invalid
+        pos = np.asarray(_positions(jnp.asarray(owner), k=3, cap=8))
+        assert (pos[3:] >= 1 << 30).all()
+        assert (pos[:3] < 3 * 8).all()
+
+
+class TestBuildStreaming:
+    @pytest.mark.parametrize("bits", [4, 8])
+    def test_build_roundtrip(self, corpus, bits):
+        n, d = corpus.shape
+        res = build_cells_streaming(
+            _chunks(corpus, 512), n=n, dim=d, cell_rows=24, cell_cap=32,
+            residual_bits=bits, train_rows=1024, k_block=8)
+        assert res.stats["dumped_rows"] <= n * 0.02
+        valid = np.asarray(res.valid)
+        perm = np.asarray(res.perm)
+        assert valid.sum() == n
+        live = perm[valid]
+        assert sorted(live.tolist()) == list(range(n))  # a permutation
+        assert res.counts.sum() == n
+        assert res.counts.max() <= res.cell_cap
+
+        # decode each slot and compare to its original row
+        cents = np.asarray(res.centroids)
+        codes = np.asarray(res.codes)
+        scales = np.asarray(res.scales)
+        slots = np.where(valid)[0]
+        q = (_unpack_int4(codes[slots]) if bits == 4
+             else codes[slots]).astype(np.float32)
+        w = cents.shape[1]
+        recon = cents[slots // res.cell_cap] + q * scales[slots][:, None]
+        orig = np.zeros((len(slots), w), np.float32)
+        orig[:, :d] = corpus[perm[slots]]
+        err = np.linalg.norm(recon - orig, axis=1)
+        base = np.linalg.norm(orig, axis=1)
+        # int4 residual: coarse but small vs the row norm; int8: tight
+        bound = 0.30 if bits == 4 else 0.05
+        assert np.median(err / np.maximum(base, 1e-9)) < bound
+
+        # reconstruction norms stored (bf16-class tolerance: the encode's
+        # centroid fetch is a bf16 one-hot matmul — see _encode_scatter)
+        norms = np.asarray(res.norms)[slots]
+        np.testing.assert_allclose(norms, np.linalg.norm(recon, axis=1),
+                                   rtol=6e-3, atol=6e-3)
+
+    def test_assignment_quality_vs_host_greedy(self, corpus):
+        """Mean distance-to-owner-centroid within 10% of the host greedy
+        run on the SAME centroids."""
+        from erlvectordb_tpu.core.ivf import _balanced_assign
+
+        n, d = corpus.shape
+        res = build_cells_streaming(
+            _chunks(corpus, 512), n=n, dim=d, cell_rows=24, cell_cap=32,
+            residual_bits=8, train_rows=1024, k_block=8, refits=0)
+        cents = np.asarray(res.centroids)[:res.stats["n_cells_real"], :d]
+        perm = np.asarray(res.perm)
+        valid = np.asarray(res.valid)
+        slots = np.where(valid)[0]
+        owner_dev = slots // res.cell_cap
+        d_dev = np.linalg.norm(
+            corpus[perm[slots]] - cents[owner_dev], axis=1).mean()
+
+        owner_host = _balanced_assign(corpus, cents, 32, j=16)
+        d_host = np.linalg.norm(corpus - cents[owner_host], axis=1).mean()
+        assert d_dev <= d_host * 1.10
+
+    def test_uneven_last_chunk_and_single_cell(self):
+        rng = np.random.default_rng(3)
+        data = rng.standard_normal((70, 16)).astype(np.float32)
+        res = build_cells_streaming(
+            _chunks(data, 32), n=70, dim=16, cell_rows=128, cell_cap=128,
+            residual_bits=4, k_block=1)
+        assert res.n_cells == 1
+        assert np.asarray(res.valid).sum() == 70
+
+    def test_chunk_exhaustion_raises(self):
+        rng = np.random.default_rng(3)
+        data = rng.standard_normal((64, 16)).astype(np.float32)
+        with pytest.raises(ValueError, match="exhausted"):
+            build_cells_streaming(
+                _chunks(data, 32), n=200, dim=16, cell_rows=32,
+                cell_cap=64)
+
+    def test_refit_reduces_residuals(self, corpus):
+        n, d = corpus.shape
+        kw = dict(n=n, dim=d, cell_rows=24, cell_cap=32, residual_bits=8,
+                  train_rows=512, kmeans_iters=2, k_block=8)
+        r0 = build_cells_streaming(_chunks(corpus, 512), refits=0, **kw)
+        r2 = build_cells_streaming(_chunks(corpus, 512), refits=2, **kw)
+
+        def mean_res(res):
+            valid = np.asarray(res.valid)
+            slots = np.where(valid)[0]
+            cents = np.asarray(res.centroids)
+            perm = np.asarray(res.perm)
+            orig = np.zeros((len(slots), cents.shape[1]), np.float32)
+            orig[:, :d] = corpus[perm[slots]]
+            return np.linalg.norm(
+                orig - cents[slots // res.cell_cap], axis=1).mean()
+
+        assert mean_res(r2) <= mean_res(r0) * 1.01
