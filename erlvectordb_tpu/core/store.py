@@ -173,6 +173,13 @@ def _scatter_delete(valid, rows):
     return valid.at[rows].set(False, mode="drop")
 
 
+@jax.jit
+def _perm_map(perm, rows):
+    """Slot rows -> original rows on device (streaming-built stores); empty
+    slots carry perm == -1, matching the -1 no-hit convention."""
+    return perm[jnp.clip(rows, 0, perm.shape[0] - 1)]
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def _pad_width(arr, width):
     return jnp.pad(arr, ((0, 0), (0, width - arr.shape[1])))
@@ -234,6 +241,10 @@ class SearchTicket:
     shard_cap: int = 0  # sharded stores: per-shard capacity AT SUBMIT TIME
     #                    (rows encode shard*cap+local; a grow between submit
     #                    and complete changes the flat id layout)
+    rows_are_orig: bool = False  # streaming-built stores: rows were perm-
+    #                    mapped slot->original ON DEVICE, so ids are
+    #                    str(row) directly (valid even if the store
+    #                    materializes host tables before completion)
 
 
 class DimensionMismatch(ValueError):
@@ -331,6 +342,14 @@ class VectorStore:
         # implicit ids, ids are "0".."n-1" and the dicts above stay empty
         # until the first targeted mutation materializes them.
         self._contig = 0
+        # Streaming cell builds (from_chunks) leave rows PERMUTED by cell
+        # with the slot -> original-row map resident on DEVICE: ids stay
+        # implicit ("0".."n-1" by original row) and search results are
+        # perm-mapped by a tiny device gather, so no O(N) id table or perm
+        # readback ever crosses the tunnel.  The first targeted mutation
+        # materializes host tables from one perm readback (documented cost).
+        self._perm_dev: Optional[jax.Array] = None
+        self._perm_count = 0
 
         # Change tracking for persistence (dirty-flag, like the reference's
         # ETS dirty bit, src/vector_persistence.erl:131-135), plus the rows
@@ -353,7 +372,7 @@ class VectorStore:
 
     @property
     def count(self) -> int:
-        return len(self._id_to_row) + self._contig
+        return len(self._id_to_row) + self._contig + self._perm_count
 
     @property
     def capacity(self) -> int:
@@ -363,13 +382,14 @@ class VectorStore:
         return self.count
 
     def __contains__(self, vector_id: str) -> bool:
-        if self._contig:
+        implicit = self._contig or self._perm_count
+        if implicit:
             sid = str(vector_id)
             # canonical form only: '007'/' 7'/'+7' are NOT stored ids, and
             # int() would accept them (disagreeing with get/delete)
             if not (sid.isdigit() and (sid == "0" or sid[0] != "0")):
                 return False
-            return 0 <= int(sid) < self._contig
+            return 0 <= int(sid) < implicit
         return vector_id in self._id_to_row
 
     def _rid(self, row: int) -> Optional[str]:
@@ -387,9 +407,26 @@ class VectorStore:
         its own mutex with ``_contig`` cleared LAST: a concurrent reader
         either blocks here or sees the fully-built tables — never the
         half-built state."""
-        if not self._contig:
+        if not self._contig and not self._perm_count:
             return
         with self._mat_lock:
+            if self._perm_count:
+                # Streaming-built store: ONE perm readback (slot -> original
+                # row; ~4 bytes/row through the tunnel — the documented cost
+                # of the first targeted mutation on a bulk-streamed store),
+                # then id tables keyed by original row, valued by slot.
+                perm = np.asarray(self._perm_dev)
+                slots = np.where(perm >= 0)[0]
+                origs = perm[slots]
+                sids = origs.astype(str)
+                self._id_to_row = dict(zip(sids.tolist(), slots.tolist()))
+                self._row_to_id = dict(zip(slots.tolist(), sids.tolist()))
+                if self._ids_np is None or len(self._ids_np) < self._capacity:
+                    self._ids_np = np.full((self._capacity,), None, object)
+                self._ids_np[slots] = sids.astype(object)
+                self._perm_count = 0   # publish: tables complete
+                self._perm_dev = None  # dispatch stops perm-mapping rows
+                return
             n = self._contig
             if not n:  # lost the race: another thread materialized
                 return
@@ -1003,7 +1040,8 @@ class VectorStore:
         metrics.inc("store.search_total")
         metrics.inc("store.queries_total", t.nq)
         with self._lock.read():
-            return self._map_results(dists_np, rows_np, t.k, t.kb)
+            return self._map_results(dists_np, rows_np, t.k, t.kb,
+                                     rows_are_orig=t.rows_are_orig)
 
     def search_batch_complete_raw(self, t: SearchTicket):
         """Columnar completion: (distances [nq, kk] f32, rows [nq, kk] int32,
@@ -1015,16 +1053,28 @@ class VectorStore:
         kk = min(t.k, t.kb)
         dists_np = np.asarray(t.dists)[: t.nq, :kk]
         rows_np = np.asarray(t.rows)[: t.nq, :kk]
+        if t.rows_are_orig:
+            # streaming-built store: rows already ARE the implicit ids
+            ids = np.where(rows_np >= 0,
+                           rows_np.astype(str).astype(object), None)
+            return dists_np, rows_np, ids
         with self._lock.read():
             ids = self._ids_view()[rows_np]
         return dists_np, rows_np, ids
 
-    def _map_results(self, dists_np, rows_np, k, kb):
+    def _map_results(self, dists_np, rows_np, k, kb, rows_are_orig=False):
         """Vectorized row->id mapping: one fancy-index into the columnar id
         table + tolist(), instead of a per-hit dict lookup loop."""
         kk = min(k, kb)
-        ids_arr = self._ids_view()
-        ids_l = ids_arr[rows_np[:, :kk]].tolist()
+        if rows_are_orig:
+            # streaming-built store: the device already perm-mapped slots to
+            # original rows, and ids are implicit str(original row)
+            rr = rows_np[:, :kk]
+            ids_l = np.where(rr >= 0, rr.astype(str).astype(object),
+                             None).tolist()
+        else:
+            ids_arr = self._ids_view()
+            ids_l = ids_arr[rows_np[:, :kk]].tolist()
         d_l = dists_np[:, :kk].tolist()
         md = self._metadata
         isfinite = math.isfinite
@@ -1091,6 +1141,10 @@ class VectorStore:
                     cell_cap=self._cell_cap,
                     centroids_route=self._cents_rt, cn2=self._cents_cn2,
                 )
+                if self._perm_dev is not None:
+                    rows = _perm_map(self._perm_dev, rows)
+                    return SearchTicket(dists, rows, nq, min(k, self.count),
+                                        kb, rows_are_orig=True)
                 return SearchTicket(dists, rows, nq, min(k, self.count), kb)
             nt = ft.n_tiles_for(self._capacity, self._capacity)
             if (
@@ -1112,6 +1166,10 @@ class VectorStore:
                     self._centroids, q_j, metric=metric, k=kb,
                     cell_cap=self._cell_cap,
                 )
+            if self._perm_dev is not None:
+                rows = _perm_map(self._perm_dev, rows)
+                return SearchTicket(dists, rows, nq, min(k, self.count), kb,
+                                    rows_are_orig=True)
             return SearchTicket(dists, rows, nq, min(k, self.count), kb)
 
         if ft.fused_topk_available(
@@ -1423,6 +1481,67 @@ class VectorStore:
         self._row_to_id = dict(zip(pos_l, sids))
         self._ids_np = np.full((n_rows,), None, object)
         self._ids_np[pos] = sids
+
+    @classmethod
+    def from_chunks(
+        cls,
+        name: str,
+        chunks,
+        *,
+        n: int,
+        dim: int,
+        metric: str = "cosine",
+        device: Optional[jax.Device] = None,
+        cell_rows: int = 96,
+        cell_cap: int = 128,
+        **build_kw,
+    ) -> "VectorStore":
+        """Streaming int4r bulk build: consumes [CH, dim] f32 chunks (host
+        or device) through the device-side cell build engine
+        (ops/cell_build.py) — centroids, balanced assignment, residual
+        encode and the slot->row permutation ALL stay on device, so build
+        throughput is set by MXU/HBM rates, not the host link.  This is
+        the flagship-scale path: an 8M x 768 corpus never exists as one
+        host array (24.5 GB) nor as device f32.
+
+        Ids are implicit ("0".."n-1" by arrival order); explicit ids would
+        force an O(N) host table — use ``from_matrix`` for those.  The
+        first targeted mutation (get/delete/insert) materializes host id
+        tables from one perm readback.
+
+        Build stats land in ``store.build_stats`` (phase timings,
+        vec/sec, dumped rows)."""
+        from erlvectordb_tpu.ops.cell_build import build_cells_streaming
+
+        store = cls(name, dim=dim, metric=metric, dtype="int4r",
+                    device=device)
+        res = build_cells_streaming(
+            chunks, n=n, dim=dim, cell_rows=cell_rows, cell_cap=cell_cap,
+            residual_bits=4, k_block=cls.CELL_BLOCK, device=device,
+            **build_kw)
+        store._vectors = res.codes
+        store._scales = res.scales
+        store._norms = res.norms
+        store._valid = res.valid
+        store._centroids = res.centroids
+        store._cell_cap = res.cell_cap
+        store._capacity = res.n_cells * res.cell_cap
+        store._next_row = store._capacity
+        k_real = res.stats["n_cells_real"]
+        cell_next = res.counts.copy()
+        cell_next[k_real:] = res.cell_cap      # blocked padding cells
+        store._cell_next = cell_next
+        store._cell_avail = np.where(
+            np.arange(res.n_cells) < k_real,
+            res.cell_cap - cell_next, 0)
+        store._cell_free = {}
+        store._perm_dev = res.perm
+        store._perm_count = n
+        store._ids_np = None   # allocated on materialization only
+        store.build_stats = res.stats
+        store.version = 1
+        store.dirty = True
+        return store
 
     @classmethod
     def from_matrix(
