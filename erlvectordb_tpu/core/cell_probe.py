@@ -23,9 +23,18 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from erlvectordb_tpu.core.ivf import _balanced_assign
 from erlvectordb_tpu.ops.cell_probe import multiprobe_topk
 from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+
+@jax.jit
+def _rows_to_store(row_map_dev, dev_rows):
+    """Slot rows -> store rows on device (streaming builds keep the map
+    device-resident; empty slots carry -1 already)."""
+    return row_map_dev[jnp.clip(dev_rows, 0, row_map_dev.shape[0] - 1)]
 
 
 class CellProbeIndex:
@@ -45,7 +54,8 @@ class CellProbeIndex:
     HIER_MIN_CELLS = 131072
 
     def __init__(self, centroids, codes, scales, norms, valid, row_map,
-                 cell_cap: int, super_cents=None, child_cap: int = 0):
+                 cell_cap: int, super_cents=None, child_cap: int = 0,
+                 row_map_dev=None):
         self.centroids = jnp.asarray(centroids, jnp.float32)   # [K, W]
         self.cents_route = self.centroids.astype(jnp.bfloat16)  # routing copy
         self.cn2 = jnp.sum(self.centroids * self.centroids, axis=-1)
@@ -53,13 +63,24 @@ class CellProbeIndex:
         self.scales = jnp.asarray(scales, jnp.float32)         # [K*cap]
         self.norms = jnp.asarray(norms, jnp.float32)           # [K*cap]
         self.valid = jnp.asarray(valid)                        # [K*cap] bool
-        self.row_map = np.asarray(row_map)                     # [K*cap] i64
+        # slot -> store row.  Streaming builds keep it on DEVICE
+        # (row_map_dev) so results map without an O(N) readback; the host
+        # copy is then fetched lazily (stats/persistence only).
+        self._row_map_np = (None if row_map is None
+                            else np.asarray(row_map))          # [K*cap] i64
+        self.row_map_dev = row_map_dev                         # [K*cap] i32
         self.cell_cap = int(cell_cap)
         self.n_cells = int(self.centroids.shape[0])
         self.child_cap = int(child_cap)
         self.super_route = (jnp.asarray(super_cents, jnp.float32)
                             .astype(jnp.bfloat16)
                             if super_cents is not None else None)
+
+    @property
+    def row_map(self) -> np.ndarray:
+        if self._row_map_np is None:
+            self._row_map_np = np.asarray(self.row_map_dev).astype(np.int64)
+        return self._row_map_np
 
     # ------------------------------------------------------------------ build
 
@@ -132,6 +153,36 @@ class CellProbeIndex:
             idx = idx._with_hierarchy(seed=seed, iters=iters)
         return idx
 
+    @classmethod
+    def build_streaming(
+        cls,
+        chunks,
+        *,
+        n: int,
+        dim: int,
+        cell_rows: int = 96,
+        cell_cap: int = 128,
+        **build_kw,
+    ) -> "CellProbeIndex":
+        """Flagship-scale build through the device-side streaming engine
+        (ops/cell_build.py): int8 residual codes, balanced cells, and a
+        DEVICE-resident slot->row map — no O(N) host round-trip anywhere
+        (the round-2 host-greedy build paid ~[N, j] choice-list readbacks
+        and ran at 5.6k vec/s on tunneled rigs).
+
+        Store rows are implicit arrival order 0..n-1 (the index maps slots
+        back to them on device at search time).  Build phase timings land
+        in ``idx.build_stats``."""
+        from erlvectordb_tpu.ops.cell_build import build_cells_streaming
+
+        res = build_cells_streaming(
+            chunks, n=n, dim=dim, cell_rows=cell_rows, cell_cap=cell_cap,
+            residual_bits=8, **build_kw)
+        idx = cls(res.centroids, res.codes, res.scales, res.norms,
+                  res.valid, None, res.cell_cap, row_map_dev=res.perm)
+        idx.build_stats = res.stats
+        return idx
+
     def _with_hierarchy(self, *, seed: int = 0, iters: int = 10,
                         child_target: int = 192) -> "CellProbeIndex":
         """Cluster cell centroids into supercells, permute cells
@@ -196,8 +247,13 @@ class CellProbeIndex:
             super_route=self.super_route, child_cap=self.child_cap,
             sprobe=sprobe,
         )
-        dists = np.asarray(dists)
-        store_rows = self.row_map[np.asarray(dev_rows)]
+        if self.row_map_dev is not None:
+            dev_rows = _rows_to_store(self.row_map_dev, dev_rows)
+            dists = np.asarray(dists)
+            store_rows = np.asarray(dev_rows).astype(np.int64)
+        else:
+            dists = np.asarray(dists)
+            store_rows = self.row_map[np.asarray(dev_rows)]
         store_rows = np.where(np.isfinite(dists), store_rows, -1)
         return dists, store_rows
 

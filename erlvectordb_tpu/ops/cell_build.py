@@ -161,8 +161,15 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048):
     bscale = n_buckets / jnp.maximum(dmax - dmin, 1e-9)
     rows_idx = jnp.arange(n, dtype=jnp.int32)
 
-    def round_(state, _):
-        owner, ptr, fill = state
+    # while_loop, not a fixed-length scan: with capacity slack the bulk of
+    # rows land in the first 1-3 rounds, and each round is a full O(N)
+    # pass — early exit cuts the phase ~3-5x at flagship scale
+    def cond_(state):
+        _, _, _, rnd, n_act = state
+        return (n_act > 0) & (rnd < j)
+
+    def body_(state):
+        owner, ptr, fill, rnd, _ = state
         act = (owner < 0) & (ptr < j) & row_valid
         pc = jnp.clip(ptr, 0, j - 1)
         cell = jnp.where(act, ch_i[rows_idx, pc], k)
@@ -181,13 +188,16 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048):
         fill = fill + jax.ops.segment_sum(
             jnp.ones((n,), jnp.int32), acc_cell, num_segments=k + 1)[:k]
         ptr = ptr + (act & ~accept).astype(jnp.int32)
-        return (owner, ptr, fill), None
+        n_act = jnp.sum(((owner < 0) & (ptr < j) & row_valid)
+                        .astype(jnp.int32))
+        return owner, ptr, fill, rnd + 1, n_act
 
     owner0 = jnp.full((n,), -1, jnp.int32)
     ptr0 = jnp.zeros((n,), jnp.int32)
     fill0 = jnp.zeros((k,), jnp.int32)
-    (owner, _, fill), _ = lax.scan(round_, (owner0, ptr0, fill0), None,
-                                   length=j)
+    n_act0 = jnp.sum(row_valid.astype(jnp.int32))
+    owner, _, fill, _, _ = lax.while_loop(
+        cond_, body_, (owner0, ptr0, fill0, jnp.int32(0), n_act0))
 
     # exhausted rows -> cells with space (prefix-sum dump)
     left = (owner < 0) & row_valid

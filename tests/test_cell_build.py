@@ -215,3 +215,28 @@ class TestBuildStreaming:
                 orig - cents[slots // res.cell_cap], axis=1).mean()
 
         assert mean_res(r2) <= mean_res(r0) * 1.01
+
+
+class TestCellProbeStreaming:
+    def test_build_streaming_search_and_roundtrip(self):
+        from erlvectordb_tpu.core.cell_probe import CellProbeIndex
+
+        rng = np.random.default_rng(4)
+        n, d = 800, 48
+        data = rng.standard_normal((n, d)).astype(np.float32)
+
+        def chunks():
+            for i in range(0, n, 256):
+                yield data[i:i + 256]
+
+        idx = CellProbeIndex.build_streaming(
+            chunks(), n=n, dim=d, cell_rows=48, cell_cap=64,
+            train_rows=512, k_block=8)
+        assert idx.row_map_dev is not None
+        dists, rows = idx.search(data[:16], k=3, nprobe=6)
+        assert (rows[:, 0] == np.arange(16)).mean() > 0.9
+        # lazy host row_map + persistence roundtrip
+        idx2 = CellProbeIndex.from_arrays(idx.to_arrays())
+        _, r2 = idx2.search(data[:8], k=1, nprobe=6)
+        assert (r2[:, 0] == np.arange(8)).all()
+        assert idx.build_stats["vec_per_sec"] > 0
