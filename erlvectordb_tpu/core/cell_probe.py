@@ -75,6 +75,9 @@ class CellProbeIndex:
         self.super_route = (jnp.asarray(super_cents, jnp.float32)
                             .astype(jnp.bfloat16)
                             if super_cents is not None else None)
+        # multi-assigned (SOAR-spill) layouts carry duplicate rows: search
+        # over-fetches and dedups per query (ops/cell_probe.dedup_rows_topk)
+        self.spilled = False
 
     @property
     def row_map(self) -> np.ndarray:
@@ -181,6 +184,7 @@ class CellProbeIndex:
         idx = cls(res.centroids, res.codes, res.scales, res.norms,
                   res.valid, None, res.cell_cap, row_map_dev=res.perm)
         idx.build_stats = res.stats
+        idx.spilled = res.stats.get("spilled_rows", 0) > 0
         return idx
 
     def _with_hierarchy(self, *, seed: int = 0, iters: int = 10,
@@ -239,9 +243,11 @@ class CellProbeIndex:
             qp = np.zeros((q.shape[0], w), np.float32)
             qp[:, : q.shape[1]] = q
             q = qp
+        # spilled layouts: over-fetch, then dedup duplicate rows per query
+        k_eff = min(2 * k, self.n_cells * self.cell_cap) if self.spilled else k
         dists, dev_rows = multiprobe_topk(
             self.codes, self.scales, self.norms, self.valid, self.centroids,
-            jnp.asarray(q), metric=metric, k=k,
+            jnp.asarray(q), metric=metric, k=k_eff,
             nprobe=min(nprobe, self.n_cells), cell_cap=self.cell_cap,
             centroids_route=self.cents_route, cn2=self.cn2,
             super_route=self.super_route, child_cap=self.child_cap,
@@ -255,6 +261,10 @@ class CellProbeIndex:
             dists = np.asarray(dists)
             store_rows = self.row_map[np.asarray(dev_rows)]
         store_rows = np.where(np.isfinite(dists), store_rows, -1)
+        if k_eff > k:
+            from erlvectordb_tpu.ops.cell_probe import dedup_rows_topk
+
+            dists, store_rows = dedup_rows_topk(dists, store_rows, k)
         return dists, store_rows
 
     # ------------------------------------------------------------------ misc
@@ -285,6 +295,8 @@ class CellProbeIndex:
             "row_map": self.row_map,
             "cell_cap": np.asarray(self.cell_cap),
         }
+        if self.spilled:
+            out["spilled"] = np.asarray(1)
         if self.super_route is not None:
             out["super_cents"] = np.asarray(
                 self.super_route.astype(jnp.float32))
@@ -294,7 +306,9 @@ class CellProbeIndex:
     @classmethod
     def from_arrays(cls, d: dict) -> "CellProbeIndex":
         row_map = np.asarray(d["row_map"])
-        return cls(d["centroids"], d["codes"], d["scales"], d["norms"],
-                   row_map >= 0, row_map, int(d["cell_cap"]),
-                   super_cents=d.get("super_cents"),
-                   child_cap=int(d["child_cap"]) if "child_cap" in d else 0)
+        idx = cls(d["centroids"], d["codes"], d["scales"], d["norms"],
+                  row_map >= 0, row_map, int(d["cell_cap"]),
+                  super_cents=d.get("super_cents"),
+                  child_cap=int(d["child_cap"]) if "child_cap" in d else 0)
+        idx.spilled = bool(int(d.get("spilled", 0)))
+        return idx

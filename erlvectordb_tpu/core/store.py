@@ -350,6 +350,10 @@ class VectorStore:
         # materializes host tables from one perm readback (documented cost).
         self._perm_dev: Optional[jax.Array] = None
         self._perm_count = 0
+        # spill_mult builds (SOAR multi-assignment) carry duplicate rows:
+        # searches over-fetch and dedup by id; targeted mutations are
+        # rejected (a delete could not atomically kill both copies)
+        self._spilled = False
 
         # Change tracking for persistence (dirty-flag, like the reference's
         # ETS dirty bit, src/vector_persistence.erl:131-135), plus the rows
@@ -410,6 +414,11 @@ class VectorStore:
         if not self._contig and not self._perm_count:
             return
         with self._mat_lock:
+            if self._perm_count and self._spilled:
+                raise ValueError(
+                    "store was built with spill_mult (multi-assigned rows): "
+                    "targeted mutations are not supported on spilled "
+                    "layouts — rebuild without spill for mutable use")
             if self._perm_count:
                 # Streaming-built store: ONE perm readback (slot -> original
                 # row; ~4 bytes/row through the tunnel — the documented cost
@@ -1041,7 +1050,8 @@ class VectorStore:
         metrics.inc("store.queries_total", t.nq)
         with self._lock.read():
             return self._map_results(dists_np, rows_np, t.k, t.kb,
-                                     rows_are_orig=t.rows_are_orig)
+                                     rows_are_orig=t.rows_are_orig,
+                                     dedup=self._spilled)
 
     def search_batch_complete_raw(self, t: SearchTicket):
         """Columnar completion: (distances [nq, kk] f32, rows [nq, kk] int32,
@@ -1050,9 +1060,13 @@ class VectorStore:
         if t.kb == 0 or t.dists is None:
             return (np.zeros((t.nq, 0), np.float32),
                     np.zeros((t.nq, 0), np.int32), None)
-        kk = min(t.k, t.kb)
+        kk = min(2 * t.k if self._spilled else t.k, t.kb)
         dists_np = np.asarray(t.dists)[: t.nq, :kk]
         rows_np = np.asarray(t.rows)[: t.nq, :kk]
+        if self._spilled:
+            from erlvectordb_tpu.ops.cell_probe import dedup_rows_topk
+
+            dists_np, rows_np = dedup_rows_topk(dists_np, rows_np, t.k)
         if t.rows_are_orig:
             # streaming-built store: rows already ARE the implicit ids
             ids = np.where(rows_np >= 0,
@@ -1062,10 +1076,13 @@ class VectorStore:
             ids = self._ids_view()[rows_np]
         return dists_np, rows_np, ids
 
-    def _map_results(self, dists_np, rows_np, k, kb, rows_are_orig=False):
+    def _map_results(self, dists_np, rows_np, k, kb, rows_are_orig=False,
+                     dedup=False):
         """Vectorized row->id mapping: one fancy-index into the columnar id
-        table + tolist(), instead of a per-hit dict lookup loop."""
-        kk = min(k, kb)
+        table + tolist(), instead of a per-hit dict lookup loop.  ``dedup``
+        (spilled layouts) scans the over-fetched columns, keeps each id's
+        first (best) hit and caps output at k."""
+        kk = min(2 * k if dedup else k, kb)
         if rows_are_orig:
             # streaming-built store: the device already perm-mapped slots to
             # original rows, and ids are implicit str(original row)
@@ -1081,11 +1098,16 @@ class VectorStore:
         out: List[List[Tuple[str, Any, float]]] = []
         for irow, drow in zip(ids_l, d_l):
             hits = []
+            seen = set() if dedup else None
             for vid, d in zip(irow, drow):
                 if not isfinite(d):
                     break  # ran past the valid rows
                 if vid is None:
                     continue  # row deleted between device scan and host map
+                if dedup:
+                    if vid in seen or len(hits) >= k:
+                        continue
+                    seen.add(vid)
                 hits.append((vid, md.get(vid, {}), d))
             out.append(hits)
         return out
@@ -1095,7 +1117,9 @@ class VectorStore:
         nq = q.shape[0]
         if self._vectors is None or self.count == 0 or k <= 0:
             return SearchTicket(None, None, nq, k, 0)
-        kb = search_mod.k_bucket(min(k, self.count), self._capacity)
+        # spilled layouts: over-fetch 2k so per-query dedup still fills k
+        k_fetch = min(2 * k, self.count) if self._spilled else k
+        kb = search_mod.k_bucket(min(k_fetch, self.count), self._capacity)
         # Bucket BOTH the batch size and the width: every distinct query
         # shape is a separate XLA compile (minutes via the remote TPU
         # compiler), and serving batches arrive at arbitrary sizes.
@@ -1281,7 +1305,8 @@ class VectorStore:
 
     def export_state(self) -> dict:
         with self._lock.read():
-            self._materialize()
+            if not (self._spilled and self._perm_count):
+                self._materialize()
             state = {
                 "format": 1,
                 "name": self.name,
@@ -1308,6 +1333,12 @@ class VectorStore:
                 state["cell_free"] = {
                     str(c): list(v) for c, v in self._cell_free.items()
                 }
+            if self._spilled and self._perm_count:
+                # spilled streaming layout: ids stay implicit (mutations are
+                # rejected anyway) — persist the slot->row perm instead
+                state["perm"] = np.asarray(self._perm_dev)
+                state["perm_count"] = self._perm_count
+                state["spilled"] = True
             return state
 
     @classmethod
@@ -1343,6 +1374,11 @@ class VectorStore:
                 + np.array([len(store._cell_free.get(c, []))
                             for c in range(len(store._cell_next))], np.int64)
             )
+        if state.get("spilled") and "perm" in state:
+            store._perm_dev = store._put(
+                np.asarray(state["perm"], np.int32))
+            store._perm_count = int(state["perm_count"])
+            store._spilled = True
         store._id_to_row = {str(k): int(v) for k, v in state.get("id_to_row", {}).items()}
         store._row_to_id = {v: k for k, v in store._id_to_row.items()}
         if store._capacity and store._id_to_row:
@@ -1537,6 +1573,7 @@ class VectorStore:
         store._cell_free = {}
         store._perm_dev = res.perm
         store._perm_count = n
+        store._spilled = res.stats.get("spilled_rows", 0) > 0
         store._ids_np = None   # allocated on materialization only
         store.build_stats = res.stats
         store.version = 1

@@ -134,8 +134,9 @@ def _choices_all(codes8, scales, cents_bf, cn2, *, j, sub):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "cap", "j", "n_buckets"))
-def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048):
+                   static_argnames=("k", "cap", "j", "n_buckets", "dump"))
+def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
+                     fill0=None, dump=True):
     """Capacity-constrained greedy assignment, sort-free.
 
     Round r: every unassigned row proposes its ptr-th choice cell.  A cell
@@ -150,10 +151,12 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048):
     Rows exhausting all j choices are dumped into cells with space via a
     prefix-sum over remaining capacities (arbitrary placement; with >= 25%
     capacity slack and j >= 16 this is ~0 rows — reported in stats so a
-    degenerate geometry is visible).
+    degenerate geometry is visible).  ``dump=False`` skips that pass (spill
+    rounds: an unplaced secondary copy is simply not spilled); ``fill0``
+    seeds per-cell occupancy (spill rounds start from the primary fill).
 
-    Returns (owner [N] int32 in [0, k), or k for invalid rows;
-    n_dumped scalar)."""
+    Returns (owner [N] int32 in [0, k), or k for invalid/unplaced rows;
+    n_unplaced scalar)."""
     n = ch_d.shape[0]
     chd = ch_d.astype(jnp.float32)
     dmin = jnp.min(jnp.where(row_valid[:, None], chd, _INF))
@@ -194,21 +197,25 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048):
 
     owner0 = jnp.full((n,), -1, jnp.int32)
     ptr0 = jnp.zeros((n,), jnp.int32)
-    fill0 = jnp.zeros((k,), jnp.int32)
+    fill_init = (jnp.zeros((k,), jnp.int32) if fill0 is None
+                 else fill0.astype(jnp.int32))
     n_act0 = jnp.sum(row_valid.astype(jnp.int32))
     owner, _, fill, _, _ = lax.while_loop(
-        cond_, body_, (owner0, ptr0, fill0, jnp.int32(0), n_act0))
+        cond_, body_, (owner0, ptr0, fill_init, jnp.int32(0), n_act0))
 
-    # exhausted rows -> cells with space (prefix-sum dump)
     left = (owner < 0) & row_valid
-    space = jnp.maximum(cap - fill, 0)
-    cum_space = jnp.cumsum(space)
-    lrank = jnp.cumsum(left.astype(jnp.int32)) - 1
-    dump_cell = jnp.clip(
-        jnp.searchsorted(cum_space, lrank, side="right"), 0, k - 1
-    ).astype(jnp.int32)
-    owner = jnp.where(left, dump_cell, owner)
-    owner = jnp.where(row_valid, owner, k)
+    if dump:
+        # exhausted rows -> cells with space (prefix-sum dump)
+        space = jnp.maximum(cap - fill, 0)
+        cum_space = jnp.cumsum(space)
+        lrank = jnp.cumsum(left.astype(jnp.int32)) - 1
+        dump_cell = jnp.clip(
+            jnp.searchsorted(cum_space, lrank, side="right"), 0, k - 1
+        ).astype(jnp.int32)
+        owner = jnp.where(left, dump_cell, owner)
+        owner = jnp.where(row_valid, owner, k)
+    else:
+        owner = jnp.where(owner < 0, k, owner)
     return owner, jnp.sum(left.astype(jnp.int32))
 
 
@@ -241,20 +248,51 @@ def _refit_centroids(codes8, scales, owner, cents_old, *, k, sub):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cap"))
-def _positions(owner, *, k, cap):
-    """Slot position per row (pos = cell * cap + rank) from one stable
-    argsort of the owner vector; invalid rows (owner == k) land past the
-    last cell and are dropped by the scatter."""
+def _positions(owner, *, k, cap, base=None):
+    """Slot position per row (pos = cell * cap + base[cell] + rank) from one
+    stable argsort of the owner vector; invalid rows (owner == k) land past
+    the last cell and are dropped by the scatter.  ``base`` seeds per-cell
+    slot offsets (spill rounds place after the primary rows)."""
     n = owner.shape[0]
     order = jnp.argsort(owner, stable=True)
     so = owner[order]
     starts = jnp.searchsorted(so, jnp.arange(k + 1, dtype=jnp.int32))
     rank = jnp.arange(n, dtype=jnp.int32) - starts[jnp.clip(so, 0, k)]
+    if base is not None:
+        rank = rank + base.astype(jnp.int32)[jnp.clip(so, 0, k - 1)]
     # invalid rows (owner == k) get positions far past ANY padded layout
     # (k may be smaller than the padded cell count) so the scatter drops them
     pos_sorted = jnp.where(so < k, so * cap + rank, jnp.int32(1 << 30))
     pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
     return pos
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _spill_proposals(ch_d, ch_i, owner, *, k, spill_mult, xn2):
+    """Secondary-cell (SOAR-style multi-assignment) proposals.
+
+    For each placed row: the closest choice cell that is NOT its owner,
+    eligible when its full squared distance is within ``spill_mult**2`` of
+    the owner-cell distance.  ch_d holds the routing proxy |c|^2 - 2 q.c;
+    adding |x|^2 recovers true squared distances for the ratio test.
+
+    Returns (cell [N] int32, proxy-dist [N] f32, eligible [N] bool)."""
+    n = ch_d.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    chd = ch_d.astype(jnp.float32)
+    is_owner = ch_i == owner[:, None]
+    # owner's own proxy distance (inf if the row was dump-placed off-list:
+    # then there is no trustworthy margin -> not eligible)
+    own_d = jnp.min(jnp.where(is_owner, chd, _INF), axis=1)
+    masked = jnp.where(is_owner, _INF, chd)
+    sec_col = jnp.argmin(masked, axis=1).astype(jnp.int32)
+    sec_d = masked[rows, sec_col]
+    sec_cell = ch_i[rows, sec_col]
+    d2_own = jnp.maximum(own_d + xn2, 0.0)
+    d2_sec = jnp.maximum(sec_d + xn2, 0.0)
+    ok = ((owner < k) & jnp.isfinite(own_d) & jnp.isfinite(sec_d)
+          & (d2_sec <= spill_mult * spill_mult * d2_own))
+    return sec_cell, jnp.where(ok, sec_d, _INF), ok
 
 
 # -------------------------------------------------------------------- encode
@@ -353,6 +391,11 @@ def build_cells_streaming(
     residual_bits: int = 4,     # 4 (packed, int4r store) | 8 (CellProbe)
     j: int = 16,                # preference-list depth
     refits: int = 1,            # capacity-constrained Lloyd rounds
+    spill_mult: float = 0.0,    # SOAR-style multi-assignment: rows whose
+    #                             second-closest cell is within this factor
+    #                             of the owner distance get a second copy
+    #                             there (0 = off).  Spilled copies share the
+    #                             perm row — consumers must dedup by row.
     seed: int = 0,
     train_rows: int = 262_144,
     kmeans_iters: int = 8,
@@ -459,11 +502,32 @@ def build_cells_streaming(
         out_codes, out_scales, out_norms, out_valid, out_perm,
         codes8, scales, owner, pos, cents,
         bits=residual_bits, sub=sub, k=k_real)
+
+    n_spilled = 0
+    counts_dev = jax.ops.segment_sum(
+        jnp.where(row_valid, 1, 0), owner, num_segments=k_real + 1)[:k_real]
+    if spill_mult:
+        sc_cell, sc_d, sc_ok = _spill_proposals(
+            ch_d, ch_i, owner, k=k_real,
+            spill_mult=jnp.float32(spill_mult), xn2=norms * norms)
+        sp_owner, _ = _assign_capacity(
+            sc_d[:, None], sc_cell[:, None], sc_ok, k=k_real, cap=cell_cap,
+            j=1, n_buckets=nb, fill0=counts_dev, dump=False)
+        sp_pos = _positions(sp_owner, k=k_real, cap=cell_cap,
+                            base=counts_dev)
+        (out_codes, out_scales, out_norms, out_valid,
+         out_perm) = _encode_scatter(
+            out_codes, out_scales, out_norms, out_valid, out_perm,
+            codes8, scales, sp_owner, sp_pos, cents,
+            bits=residual_bits, sub=sub, k=k_real)
+        sp_counts = jax.ops.segment_sum(
+            jnp.where(sp_owner < k_real, 1, 0), sp_owner,
+            num_segments=k_real + 1)[:k_real]
+        counts_dev = counts_dev + sp_counts
+        n_spilled = int(jnp.sum(sp_counts))
     jax.block_until_ready(out_valid)
     t_encode = time.perf_counter()
 
-    counts_dev = jax.ops.segment_sum(
-        jnp.where(row_valid, 1, 0), owner, num_segments=k_real + 1)[:k_real]
     counts = np.zeros((k_total,), np.int64)            # [K] readback, ~100 KB
     counts[:k_real] = np.asarray(counts_dev)
     dumped = int(n_dumped)
@@ -473,6 +537,7 @@ def build_cells_streaming(
         "n_cells_real": k_real,
         "cell_cap": cell_cap,
         "dumped_rows": dumped,
+        "spilled_rows": n_spilled,
         "residual_bits": residual_bits,
         "stage_s": round(t_stage - t_start, 3),
         "kmeans_s": round(t_seed - t_stage, 3),

@@ -59,11 +59,37 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
+
+
+def dedup_rows_topk(dists, rows, k):
+    """Host-side per-query dedup for spilled (multi-assigned) layouts.
+
+    ``rows`` [B, K'] store rows sorted best-first with possible duplicates
+    (a spilled row lives in two cells); keeps each query's FIRST occurrence
+    of every row and trims to k.  Vectorized: one stable argsort marks
+    later duplicates, a second packs survivors left.  Returns
+    (dists [B, k], rows [B, k]) with -1/inf past the unique hits."""
+    dists = np.asarray(dists)
+    rows = np.asarray(rows)
+    order = np.argsort(rows, axis=1, kind="stable")
+    sv = np.take_along_axis(rows, order, 1)
+    dup_sorted = np.zeros_like(sv, bool)
+    dup_sorted[:, 1:] = sv[:, 1:] == sv[:, :-1]
+    dup = np.zeros_like(dup_sorted)
+    np.put_along_axis(dup, order, dup_sorted, 1)
+    keep = ~dup
+    sel = np.argsort(~keep, axis=1, kind="stable")[:, :k]
+    out_r = np.take_along_axis(rows, sel, 1)
+    out_d = np.take_along_axis(dists, sel, 1)
+    mask = np.take_along_axis(keep, sel, 1)
+    return (np.where(mask, out_d, np.inf),
+            np.where(mask, out_r, -1))
 
 
 def _gather_dots_kernel(probe_ref, q_ref, codes_ref, out_ref):

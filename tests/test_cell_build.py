@@ -240,3 +240,89 @@ class TestCellProbeStreaming:
         _, r2 = idx2.search(data[:8], k=1, nprobe=6)
         assert (r2[:, 0] == np.arange(8)).all()
         assert idx.build_stats["vec_per_sec"] > 0
+
+
+class TestSpill:
+    """SOAR-style multi-assignment: second copies in near-tie cells."""
+
+    @pytest.fixture(scope="class")
+    def clustered(self):
+        rng = np.random.default_rng(21)
+        centers = rng.standard_normal((30, 48)).astype(np.float32) * 2
+        assign = rng.integers(0, 30, 4000)
+        data = (centers[assign]
+                + 0.8 * rng.standard_normal((4000, 48))).astype(np.float32)
+        return data
+
+    def test_spill_places_second_copies(self, clustered):
+        n, d = clustered.shape
+        res = build_cells_streaming(
+            _chunks(clustered, 1024), n=n, dim=d, cell_rows=48,
+            cell_cap=96, residual_bits=8, train_rows=2048, k_block=8,
+            spill_mult=1.3)
+        assert res.stats["spilled_rows"] > 0
+        valid = np.asarray(res.valid)
+        perm = np.asarray(res.perm)
+        assert valid.sum() == n + res.stats["spilled_rows"]
+        # every original row still present at least once; capacity holds
+        assert set(perm[valid].tolist()) == set(range(n))
+        assert res.counts.max() <= res.cell_cap
+        assert res.counts.sum() == valid.sum()
+
+    def test_spilled_index_search_no_duplicates(self, clustered):
+        from erlvectordb_tpu.core.cell_probe import CellProbeIndex
+
+        n, d = clustered.shape
+        idx = CellProbeIndex.build_streaming(
+            _chunks(clustered, 1024), n=n, dim=d, cell_rows=48,
+            cell_cap=96, train_rows=2048, k_block=8, spill_mult=1.3)
+        assert idx.spilled
+        dists, rows = idx.search(clustered[:64], k=10, nprobe=4)
+        for r in rows:
+            live = r[r >= 0]
+            assert len(set(live.tolist())) == len(live)  # deduped
+        assert (rows[:, 0] == np.arange(64)).mean() > 0.9
+
+    def test_spill_improves_low_nprobe_recall(self, clustered):
+        """The point of multi-assignment: near-boundary rows become findable
+        through either adjacent cell at equal nprobe."""
+        from erlvectordb_tpu.core.cell_probe import CellProbeIndex
+
+        n, d = clustered.shape
+        q = clustered[:256]
+        sims = (q @ clustered.T) / (
+            np.linalg.norm(q, axis=1)[:, None]
+            * np.linalg.norm(clustered, axis=1)[None, :])
+        truth = np.argsort(-sims, axis=1)[:, :10]
+
+        def recall(idx):
+            _, rows = idx.search(q, k=10, nprobe=2)
+            return np.mean([
+                len(set(rows[i].tolist()) & set(truth[i].tolist())) / 10
+                for i in range(len(q))])
+
+        kw = dict(n=n, dim=d, cell_rows=48, cell_cap=96, train_rows=2048,
+                  k_block=8)
+        r_plain = recall(CellProbeIndex.build_streaming(
+            _chunks(clustered, 1024), **kw))
+        r_spill = recall(CellProbeIndex.build_streaming(
+            _chunks(clustered, 1024), spill_mult=1.4, **kw))
+        assert r_spill >= r_plain
+
+    def test_spilled_store_roundtrip_and_mutation_guard(self, clustered):
+        from erlvectordb_tpu.core.store import VectorStore
+
+        n, d = clustered.shape
+        store = VectorStore.from_chunks(
+            "spill1", _chunks(clustered, 1024), n=n, dim=d, cell_rows=48,
+            cell_cap=96, train_rows=2048, spill_mult=1.3)
+        assert store._spilled and store.count == n
+        hits = store.search(clustered[5], k=10)
+        ids = [h[0] for h in hits]
+        assert ids[0] == "5" and len(set(ids)) == len(ids)
+        with pytest.raises(ValueError, match="spill"):
+            store.delete("5")
+        # persistence keeps the spilled layout searchable
+        s2 = VectorStore.from_state(store.export_state())
+        hits2 = s2.search(clustered[5], k=3)
+        assert hits2[0][0] == "5"
