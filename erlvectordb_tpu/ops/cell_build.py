@@ -298,15 +298,31 @@ def _spill_proposals(ch_d, ch_i, owner, *, k, spill_mult, xn2):
 # -------------------------------------------------------------------- encode
 
 
-def _quantize_residual_int4(res):
-    """Per-row clip-swept min-MSE int4 residual quantization (mirrors
-    core/store.py::_quantize_residual)."""
+def _quantize_residual_int4(res, x=None, aniso_eta=1.0):
+    """Per-row clip-swept int4 residual quantization.
+
+    Candidate scales (clip fractions of absmax) are scored by MSE, or —
+    with ``aniso_eta > 1`` and the original rows ``x`` — by the ScaNN-style
+    ANISOTROPIC loss |e|^2 + (eta - 1) (e . x/|x|)^2: reconstruction error
+    PARALLEL to the row shifts that row's inner-product score directly,
+    while orthogonal error only perturbs it second-order, so weighting the
+    parallel component picks scales that preserve ranking rather than
+    raw distance (Guo et al., "Accelerating Large-Scale Inference with
+    Anisotropic Vector Quantization", ICML 2020)."""
     absmax = jnp.max(jnp.abs(res), axis=-1)
+    use_aniso = x is not None and aniso_eta > 1.0
+    if use_aniso:
+        xn = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        u = x / jnp.maximum(xn, 1e-9)                     # [R, W] unit rows
     best_q = best_s = best_e = None
-    for c in (0.7, 0.8, 0.9, 1.0):
+    for c in (0.6, 0.7, 0.8, 0.9, 1.0):
         s = jnp.where(absmax > 0, c * absmax / 7.0, 1.0)
         q = jnp.clip(jnp.round(res / s[:, None]), -7, 7).astype(jnp.int8)
-        e = jnp.sum((q.astype(jnp.float32) * s[:, None] - res) ** 2, axis=-1)
+        err = q.astype(jnp.float32) * s[:, None] - res
+        e = jnp.sum(err * err, axis=-1)
+        if use_aniso:
+            par = jnp.sum(err * u, axis=-1)
+            e = e + (aniso_eta - 1.0) * par * par
         if best_q is None:
             best_q, best_s, best_e = q, s, e
         else:
@@ -325,9 +341,10 @@ def _pack_int4(q):
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
-                   static_argnames=("bits", "sub", "k"))
+                   static_argnames=("bits", "sub", "k", "aniso_eta"))
 def _encode_scatter(out_codes, out_scales, out_norms, out_valid, out_perm,
-                    codes8, scales_in, owner, pos, cents, *, bits, sub, k):
+                    codes8, scales_in, owner, pos, cents, *, bits, sub, k,
+                    aniso_eta=1.0):
     """Residual-quantize the staged corpus against each row's owning
     centroid and scatter into the cell-major layout, chunk by chunk.
 
@@ -354,7 +371,7 @@ def _encode_scatter(out_codes, out_scales, out_norms, out_valid, out_perm,
                        preferred_element_type=jnp.float32)  # [sub, W]
         res = x - cent
         if bits == 4:
-            q, s = _quantize_residual_int4(res)
+            q, s = _quantize_residual_int4(res, x, aniso_eta)
             enc = _pack_int4(q)
         else:
             am = jnp.max(jnp.abs(res), axis=-1)
@@ -390,12 +407,20 @@ def build_cells_streaming(
     cell_cap: int = 128,        # physical slots per cell
     residual_bits: int = 4,     # 4 (packed, int4r store) | 8 (CellProbe)
     j: int = 16,                # preference-list depth
-    refits: int = 1,            # capacity-constrained Lloyd rounds
+    refits: int = 1,            # capacity-constrained Lloyd rounds (each
+    #                             pays a full re-route + re-assign pass)
+    final_refit: bool = True,   # refit centroid means to their ACTUAL
+    #                             members after the last assignment and
+    #                             encode residuals against those — captures
+    #                             most of a full refit round's residual
+    #                             shrink at segment-sum cost (no re-route)
     spill_mult: float = 0.0,    # SOAR-style multi-assignment: rows whose
     #                             second-closest cell is within this factor
     #                             of the owner distance get a second copy
     #                             there (0 = off).  Spilled copies share the
     #                             perm row — consumers must dedup by row.
+    aniso_eta: float = 1.0,     # >1: anisotropic (parallel-weighted) loss
+    #                             for the int4 clip sweep (ScaNN-style)
     seed: int = 0,
     train_rows: int = 262_144,
     kmeans_iters: int = 8,
@@ -483,6 +508,10 @@ def build_cells_streaming(
         if r < refits:
             cents = _refit_centroids(codes8, scales, owner, cents,
                                      k=k_real, sub=sub)
+    if final_refit:
+        # residuals shrink against the members' ACTUAL mean; no re-route
+        cents = _refit_centroids(codes8, scales, owner, cents,
+                                 k=k_real, sub=sub)
     t_assign = time.perf_counter()
 
     # ---- place + encode -------------------------------------------------
@@ -501,7 +530,7 @@ def build_cells_streaming(
     out_codes, out_scales, out_norms, out_valid, out_perm = _encode_scatter(
         out_codes, out_scales, out_norms, out_valid, out_perm,
         codes8, scales, owner, pos, cents,
-        bits=residual_bits, sub=sub, k=k_real)
+        bits=residual_bits, sub=sub, k=k_real, aniso_eta=aniso_eta)
 
     n_spilled = 0
     counts_dev = jax.ops.segment_sum(
@@ -519,7 +548,7 @@ def build_cells_streaming(
          out_perm) = _encode_scatter(
             out_codes, out_scales, out_norms, out_valid, out_perm,
             codes8, scales, sp_owner, sp_pos, cents,
-            bits=residual_bits, sub=sub, k=k_real)
+            bits=residual_bits, sub=sub, k=k_real, aniso_eta=aniso_eta)
         sp_counts = jax.ops.segment_sum(
             jnp.where(sp_owner < k_real, 1, 0), sp_owner,
             num_segments=k_real + 1)[:k_real]
