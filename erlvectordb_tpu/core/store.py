@@ -34,6 +34,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from erlvectordb_tpu.core import search as search_mod
 from erlvectordb_tpu.utils.locks import RWLock
@@ -180,6 +181,17 @@ def _perm_map(perm, rows):
     return perm[jnp.clip(rows, 0, perm.shape[0] - 1)]
 
 
+@jax.jit
+def _pack_results(dists, rows):
+    """Fuse (dists f32, rows int32) into ONE [B, 2k] f32 array (rows
+    bitcast).  Every np.asarray readback costs a full link round-trip on
+    tunneled rigs (~30-60 ms here); packing halves the per-search readbacks
+    — the single largest controllable term in one-query serving latency."""
+    return jnp.concatenate(
+        [dists, lax.bitcast_convert_type(rows.astype(jnp.int32),
+                                         jnp.float32)], axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("width",))
 def _pad_width(arr, width):
     return jnp.pad(arr, ((0, 0), (0, width - arr.shape[1])))
@@ -245,6 +257,9 @@ class SearchTicket:
     #                    mapped slot->original ON DEVICE, so ids are
     #                    str(row) directly (valid even if the store
     #                    materializes host tables before completion)
+    packed: Any = None  # [B, 2*kb] f32 fused (dists | bitcast rows) device
+    #                    array: completion reads ONE array back (one link
+    #                    RTT) instead of two — see _pack_results
 
 
 class DimensionMismatch(ValueError):
@@ -1042,8 +1057,7 @@ class VectorStore:
         """Block on a ticket's device results and map rows to ids/metadata."""
         if t.kb == 0 or t.dists is None:
             return [[] for _ in range(t.nq)]
-        dists_np = np.asarray(t.dists)[: t.nq]   # device->host readback
-        rows_np = np.asarray(t.rows)[: t.nq]     # (trims batch-bucket pad)
+        dists_np, rows_np = self._readback(t)
         if t.t0:
             metrics.observe("store.search", time.perf_counter() - t.t0)
         metrics.inc("store.search_total")
@@ -1061,8 +1075,9 @@ class VectorStore:
             return (np.zeros((t.nq, 0), np.float32),
                     np.zeros((t.nq, 0), np.int32), None)
         kk = min(2 * t.k if self._spilled else t.k, t.kb)
-        dists_np = np.asarray(t.dists)[: t.nq, :kk]
-        rows_np = np.asarray(t.rows)[: t.nq, :kk]
+        dists_np, rows_np = self._readback(t)
+        dists_np = dists_np[:, :kk]
+        rows_np = rows_np[:, :kk]
         if self._spilled:
             from erlvectordb_tpu.ops.cell_probe import dedup_rows_topk
 
@@ -1075,6 +1090,15 @@ class VectorStore:
         with self._lock.read():
             ids = self._ids_view()[rows_np]
         return dists_np, rows_np, ids
+
+    def _readback(self, t: SearchTicket):
+        """One fused device->host readback per ticket (dists | bitcast rows
+        packed by _finish_ticket), trimmed to the real query count."""
+        if t.packed is not None:
+            arr = np.asarray(t.packed)[: t.nq]
+            return (arr[:, : t.kb],
+                    np.ascontiguousarray(arr[:, t.kb:]).view(np.int32))
+        return np.asarray(t.dists)[: t.nq], np.asarray(t.rows)[: t.nq]
 
     def _map_results(self, dists_np, rows_np, k, kb, rows_are_orig=False,
                      dedup=False):
@@ -1167,9 +1191,9 @@ class VectorStore:
                 )
                 if self._perm_dev is not None:
                     rows = _perm_map(self._perm_dev, rows)
-                    return SearchTicket(dists, rows, nq, min(k, self.count),
-                                        kb, rows_are_orig=True)
-                return SearchTicket(dists, rows, nq, min(k, self.count), kb)
+                    return self._finish_ticket(dists, rows, nq, k, kb,
+                                               rows_are_orig=True)
+                return self._finish_ticket(dists, rows, nq, k, kb)
             nt = ft.n_tiles_for(self._capacity, self._capacity)
             if (
                 jax.default_backend() == "tpu"
@@ -1192,9 +1216,9 @@ class VectorStore:
                 )
             if self._perm_dev is not None:
                 rows = _perm_map(self._perm_dev, rows)
-                return SearchTicket(dists, rows, nq, min(k, self.count), kb,
-                                    rows_are_orig=True)
-            return SearchTicket(dists, rows, nq, min(k, self.count), kb)
+                return self._finish_ticket(dists, rows, nq, k, kb,
+                                           rows_are_orig=True)
+            return self._finish_ticket(dists, rows, nq, k, kb)
 
         if ft.fused_topk_available(
             self.count, self._capacity, metric, jax.default_backend(), kb
@@ -1225,7 +1249,14 @@ class VectorStore:
             dists, rows = search_mod.exact_topk(
                 self._vectors, self._norms, valid, q_j, metric=metric, k=kb,
             )
-        return SearchTicket(dists, rows, nq, min(k, self.count), kb)
+        return self._finish_ticket(dists, rows, nq, k, kb)
+
+    def _finish_ticket(self, dists, rows, nq, k, kb, rows_are_orig=False):
+        """Enqueue the fused single-readback pack alongside the search
+        program (async — no extra round-trip) and wrap the ticket."""
+        return SearchTicket(dists, rows, nq, min(k, self.count), kb,
+                            rows_are_orig=rows_are_orig,
+                            packed=_pack_results(dists, rows))
 
     # ------------------------------------------------------------- accessors
 
