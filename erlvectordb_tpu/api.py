@@ -10,9 +10,12 @@ through this facade.
 
 from __future__ import annotations
 
+import logging
 import threading
 from pathlib import Path
 from typing import Any, List, Optional, Sequence, Tuple
+
+LOG = logging.getLogger(__name__)
 
 from erlvectordb_tpu.core import StoreRegistry, VectorStore
 from erlvectordb_tpu.core.registry import StoreNotFound
@@ -40,6 +43,10 @@ class Database:
                     else None
                 ),
             )
+            # staleness-driven cell refit, polled by the maintenance tick
+            # (the reference's index manager never refits anything —
+            # src/vector_index_manager.erl:58-66)
+            self.persistence.maintenance_cb = self._refit_stale_stores
         self.oauth = OAuthServer(
             enabled=self.config.oauth_enabled,
             access_lifetime=self.config.access_token_lifetime,
@@ -335,6 +342,26 @@ class Database:
             if sharded is not None:
                 return sharded
         raise StoreNotFound(f"store {name!r} not found")
+
+    def _refit_stale_stores(self) -> int:
+        """Maintenance tick: refit int4r stores whose cell-layout churn
+        crossed ``refit_threshold`` (VectorStore.is_stale).  Runs on the
+        persistence thread; one store per tick bounds the pause."""
+        threshold = getattr(self.config, "refit_threshold", 0.0)
+        if not threshold:
+            return 0
+        from erlvectordb_tpu.utils.metrics import metrics
+
+        for name in self.registry.list():
+            store = self.registry.get_or_none(name)
+            if isinstance(store, VectorStore) and store.is_stale(threshold):
+                drift = store.drift()
+                store.rebuild_cells()
+                metrics.inc("store.cell_refit_total")
+                LOG.info("refit stale int4r store %r (churn %.0f%%)",
+                         store.name, 100 * drift["fraction"])
+                return 1
+        return 0
 
     # --------------------------------------------------------------- indexes
 

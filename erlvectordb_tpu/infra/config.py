@@ -103,6 +103,10 @@ class Config:
     sync_interval: float = 30.0
     compression_enabled: bool = False
     compression_algorithm: str = "zlib"
+    # staleness-driven cell refit: int4r stores whose churn fraction
+    # (inserts+deletes since build / built rows) exceeds this are refit by
+    # the maintenance loop; 0 disables
+    refit_threshold: float = 0.5
     # oauth
     oauth_enabled: bool = True
     access_token_lifetime: float = 3600.0
@@ -232,7 +236,8 @@ def load_config(
                 if key in svc:
                     svc_cfg[name][key] = svc[key]
         for key in ("persistence_enabled", "persistence_dir", "backup_dir",
-                    "sync_interval", "compression_enabled", "compression_algorithm",
+                    "sync_interval", "refit_threshold",
+                    "compression_enabled", "compression_algorithm",
                     "oauth_enabled", "access_token_lifetime", "refresh_token_lifetime",
                     "default_client_id", "default_client_secret",
                     "cluster_enabled", "replication_factor", "rest_api_enabled",

@@ -286,8 +286,17 @@ class PersistenceManager:
             self._thread = None
         self.sync_all()
 
+    # optional maintenance hook, run each tick before the sync (Database
+    # wires staleness-driven cell refits here)
+    maintenance_cb = None
+
     def _loop(self) -> None:
         while not self._stop.wait(self.sync_interval):
+            if self.maintenance_cb is not None:
+                try:
+                    self.maintenance_cb()
+                except Exception:  # pragma: no cover - keep the loop alive
+                    pass
             try:
                 self.sync_all()
             except Exception:  # pragma: no cover - keep the loop alive
