@@ -340,59 +340,82 @@ def _pack_int4(q):
     return (u[:, 0::2] << 4) | u[:, 1::2]
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
-                   static_argnames=("bits", "sub", "k", "aniso_eta"))
-def _encode_scatter(out_codes, out_scales, out_norms, out_valid, out_perm,
-                    codes8, scales_in, owner, pos, cents, *, bits, sub, k,
-                    aniso_eta=1.0):
-    """Residual-quantize the staged corpus against each row's owning
-    centroid and scatter into the cell-major layout, chunk by chunk.
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("k",))
+def _slot_scatter(slot8, slot_sc, slot_pm, codes8, scales_in, owner, pos,
+                  *, k):
+    """Scatter staged rows into the slot (cell-major) layout.
 
-    The centroid rows are fetched by a one-hot matmul (sub x K x W on the
-    MXU) rather than a row gather: TPU row gathers are descriptor-bound
-    and at N x 3 KB would dominate the whole build.  The matmul runs bf16,
-    so the encode's centroid copy carries ~0.4%-per-element rounding —
-    1-2% of the residual magnitude, well under the int4 quantization noise
-    and the search kernel's own bf16-class matmul precision
-    (ops/cell_probe.py module docstring); the exact f32 centroids are what
-    search scores against."""
-    w = codes8.shape[1]
-    n_sub = codes8.shape[0] // sub
+    ONE whole-corpus row scatter: measured ~250 ns/row on v5e (XLA lowers
+    scatter-set far better than the equivalent gather, which is
+    descriptor-bound at ~1.8 us/row — probed 7x apart at 8M x 768).
+    Dropped rows (pos >= S, from owner == k) fall out via mode='drop'."""
+    n = codes8.shape[0]
+    slot8 = slot8.at[pos].set(codes8, mode="drop")
+    slot_sc = slot_sc.at[pos].set(scales_in, mode="drop")
+    orig = jnp.arange(n, dtype=jnp.int32)
+    slot_pm = slot_pm.at[pos].set(jnp.where(owner < k, orig, -1),
+                                  mode="drop")
+    return slot8, slot_sc, slot_pm
 
-    def body(c, carry):
-        oc, os, on, ov, op = carry
-        rows8 = lax.dynamic_slice(codes8, (c * sub, 0), (sub, w))
-        s_in = lax.dynamic_slice(scales_in, (c * sub,), (sub,))
-        o = lax.dynamic_slice(owner, (c * sub,), (sub,))
-        p = lax.dynamic_slice(pos, (c * sub,), (sub,))
+
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("bits", "cap", "blk", "aniso_eta"))
+def _encode_slots(slot8, slot_sc, slot_pm, cents_pad, *, bits, cap, blk,
+                  aniso_eta=1.0):
+    """Residual-quantize the slot-ordered staged rows block by block.
+
+    In slot order each block of ``blk`` cells sees its centroids as a
+    CONTIGUOUS dynamic_slice broadcast across cap slots — zero gathers,
+    zero one-hot matmuls (both are descriptor-bound on TPU and measured
+    15-18 s for the whole corpus; this phase is pure streaming HBM).
+    For bits == 8 the codes are rewritten in place (slot8 donated)."""
+    s_total, w = slot8.shape
+    rows_blk = blk * cap
+    n_blk = s_total // rows_blk
+    live = slot_pm >= 0
+
+    if bits == 4:
+        out_codes = jnp.zeros((s_total, w // 2), jnp.uint8)
+    else:
+        out_codes = slot8
+    out_norms = jnp.zeros((s_total,), jnp.float32)
+
+    def body(b, carry):
+        oc, osc, onm = carry
+        # read region b from the CARRY (not the captured original): each
+        # region is read before it is overwritten, so for bits == 8 XLA
+        # can alias the donated buffer instead of holding two [S, W]
+        # copies (15 GB at 8M x 768) alive
+        src = oc if bits == 8 else slot8
+        rows8 = lax.dynamic_slice(src, (b * rows_blk, 0), (rows_blk, w))
+        s_in = lax.dynamic_slice(osc, (b * rows_blk,), (rows_blk,))
+        lv = lax.dynamic_slice(live, (b * rows_blk,), (rows_blk,))
+        cs = lax.dynamic_slice(cents_pad, (b * blk, 0), (blk, w))
+        cent = jnp.broadcast_to(cs[:, None, :], (blk, cap, w)).reshape(
+            rows_blk, w)
         x = rows8.astype(jnp.float32) * s_in[:, None]
-        oh = jax.nn.one_hot(o, k, dtype=jnp.bfloat16)       # [sub, K]
-        cent = jnp.dot(oh, cents.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)  # [sub, W]
-        res = x - cent
+        res = jnp.where(lv[:, None], x - cent, 0.0)
         if bits == 4:
             q, s = _quantize_residual_int4(res, x, aniso_eta)
-            enc = _pack_int4(q)
+            enc = _pack_int4(jnp.where(lv[:, None], q, 0))
         else:
             am = jnp.max(jnp.abs(res), axis=-1)
             s = jnp.where(am > 0, am / 127.0, 1.0)
             q = jnp.clip(jnp.round(res / s[:, None]),
                          -127, 127).astype(jnp.int8)
-            enc = q
+            enc = jnp.where(lv[:, None], q, 0)
         recon = cent + q.astype(jnp.float32) * s[:, None]
-        rnorm = jnp.sqrt(jnp.sum(recon * recon, axis=-1))
-        live = o < k
-        oc = oc.at[p].set(enc, mode="drop")
-        os = os.at[p].set(s, mode="drop")
-        on = on.at[p].set(rnorm, mode="drop")
-        ov = ov.at[p].set(live, mode="drop")
-        orig = c * sub + jnp.arange(sub, dtype=jnp.int32)
-        op = op.at[p].set(jnp.where(live, orig, -1), mode="drop")
-        return oc, os, on, ov, op
+        rnorm = jnp.where(lv, jnp.sqrt(jnp.sum(recon * recon, axis=-1)),
+                          0.0)
+        oc = lax.dynamic_update_slice(oc, enc, (b * rows_blk, 0))
+        osc = lax.dynamic_update_slice(osc, jnp.where(lv, s, 1.0),
+                                       (b * rows_blk,))
+        onm = lax.dynamic_update_slice(onm, rnorm, (b * rows_blk,))
+        return oc, osc, onm
 
-    return lax.fori_loop(
-        0, n_sub, body,
-        (out_codes, out_scales, out_norms, out_valid, out_perm))
+    out_codes, out_scales, out_norms = lax.fori_loop(
+        0, n_blk, body, (out_codes, slot_sc, out_norms))
+    return out_codes, out_scales, out_norms, live
 
 
 # -------------------------------------------------------------------- driver
@@ -514,23 +537,17 @@ def build_cells_streaming(
                                  k=k_real, sub=sub)
     t_assign = time.perf_counter()
 
-    # ---- place + encode -------------------------------------------------
+    # ---- place: slot-scatter the staged rows ----------------------------
+    # (row SCATTER is ~7x cheaper than the equivalent gather on TPU; in
+    # slot order the encode below sees centroids as contiguous windows —
+    # no per-row centroid fetch anywhere)
     pos = _positions(owner, k=k_real, cap=cell_cap)
     s_total = k_total * cell_cap
-    if residual_bits == 4:
-        out_codes = put(jnp.zeros((s_total, w // 2), jnp.uint8))
-    else:
-        out_codes = put(jnp.zeros((s_total, w), jnp.int8))
-    out_scales = put(jnp.ones((s_total,), jnp.float32))
-    out_norms = put(jnp.zeros((s_total,), jnp.float32))
-    out_valid = put(jnp.zeros((s_total,), bool))
-    out_perm = put(jnp.full((s_total,), -1, jnp.int32))
-    cents_pad = (cents if k_total == k_real
-                 else jnp.pad(cents, ((0, k_total - k_real), (0, 0))))
-    out_codes, out_scales, out_norms, out_valid, out_perm = _encode_scatter(
-        out_codes, out_scales, out_norms, out_valid, out_perm,
-        codes8, scales, owner, pos, cents,
-        bits=residual_bits, sub=sub, k=k_real, aniso_eta=aniso_eta)
+    slot8 = put(jnp.zeros((s_total, w), jnp.int8))
+    slot_sc = put(jnp.ones((s_total,), jnp.float32))
+    slot_pm = put(jnp.full((s_total,), -1, jnp.int32))
+    slot8, slot_sc, slot_pm = _slot_scatter(
+        slot8, slot_sc, slot_pm, codes8, scales, owner, pos, k=k_real)
 
     n_spilled = 0
     counts_dev = jax.ops.segment_sum(
@@ -544,16 +561,30 @@ def build_cells_streaming(
             j=1, n_buckets=nb, fill0=counts_dev, dump=False)
         sp_pos = _positions(sp_owner, k=k_real, cap=cell_cap,
                             base=counts_dev)
-        (out_codes, out_scales, out_norms, out_valid,
-         out_perm) = _encode_scatter(
-            out_codes, out_scales, out_norms, out_valid, out_perm,
-            codes8, scales, sp_owner, sp_pos, cents,
-            bits=residual_bits, sub=sub, k=k_real, aniso_eta=aniso_eta)
+        # spilled copies ride the same scatter + uniform encode: the slot's
+        # cell determines the residual target, so a second copy quantizes
+        # against ITS cell automatically
+        slot8, slot_sc, slot_pm = _slot_scatter(
+            slot8, slot_sc, slot_pm, codes8, scales, sp_owner, sp_pos,
+            k=k_real)
         sp_counts = jax.ops.segment_sum(
             jnp.where(sp_owner < k_real, 1, 0), sp_owner,
             num_segments=k_real + 1)[:k_real]
         counts_dev = counts_dev + sp_counts
         n_spilled = int(jnp.sum(sp_counts))
+    del codes8, scales, norms, ch_d, ch_i   # free the staged corpus (HBM)
+
+    # ---- encode in slot order -------------------------------------------
+    cents_pad = (cents if k_total == k_real
+                 else jnp.pad(cents, ((0, k_total - k_real), (0, 0))))
+    blk = max(1, 16384 // cell_cap)
+    while k_total % blk:
+        blk //= 2
+    out_codes, out_scales, out_norms, out_valid = _encode_slots(
+        slot8, slot_sc, slot_pm, cents_pad,
+        bits=residual_bits, cap=cell_cap, blk=blk, aniso_eta=aniso_eta)
+    out_perm = slot_pm
+    del slot8, slot_sc
     jax.block_until_ready(out_valid)
     t_encode = time.perf_counter()
 
