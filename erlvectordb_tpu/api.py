@@ -122,6 +122,29 @@ class Database:
             self.persistence.track(store)
         return store.get_stats()
 
+    def create_store_streaming(self, name: str, chunks, *, n: int,
+                               dim: int, metric: str = "cosine",
+                               **build_kw) -> dict:
+        """Flagship-scale bulk build: stream [CH, dim] f32 chunks (host or
+        device arrays) through the device-side cell build engine into an
+        int4r store (VectorStore.from_chunks) — the whole corpus never
+        exists as one host array and no O(N) table crosses the host link.
+        Ids are implicit "0".."n-1" by arrival order.  Extra kwargs reach
+        ops/cell_build.py (cell_rows, cell_cap, spill_mult, aniso_eta...).
+        """
+        from erlvectordb_tpu.core.registry import StoreExists
+
+        if self.registry.exists(name) or (
+                self._cluster is not None
+                and self._cluster.get_store(name) is not None):
+            raise StoreExists(f"store {name!r} already exists")
+        store = VectorStore.from_chunks(name, chunks, n=n, dim=dim,
+                                        metric=metric, **build_kw)
+        self.registry.adopt(store)
+        if self.persistence is not None:
+            self.persistence.track(store)
+        return store.get_stats()
+
     def delete_store(self, name: str) -> bool:
         if self.persistence is not None:
             self.persistence.untrack(name)

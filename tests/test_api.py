@@ -266,3 +266,21 @@ class TestNameShadowing:
         db.create_store("shadow2")
         with pytest.raises(StoreExists):
             db.create_distributed_store("shadow2")
+
+
+class TestStreamingFacade:
+    def test_create_store_streaming(self, db, rng):
+        data = rng.standard_normal((300, 32)).astype(np.float32)
+
+        def chunks():
+            for i in range(0, 300, 100):
+                yield data[i:i + 100]
+
+        stats = db.create_store_streaming(
+            "stream-f", chunks(), n=300, dim=32, cell_rows=32, cell_cap=64,
+            train_rows=256)
+        assert stats["count"] == 300
+        hits = db.search("stream-f", data[17], k=1)
+        assert hits[0][0] == "17"
+        with pytest.raises(Exception, match="exists"):
+            db.create_store_streaming("stream-f", chunks(), n=300, dim=32)
