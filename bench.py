@@ -935,21 +935,45 @@ def bench_config9(quick: bool) -> dict:
 
     # single-query end-to-end latency: brute fused scan vs multiprobe.
     # Median over reps of (submit + readback) — the real serving latency.
-    def one_query_latency(nprobe=None, reps=12):
-        times = []
+    def one_query_breakdown(nprobe=None, reps=12):
+        """submit (validate+pad+h2d+dispatch enqueue), readback-to-results
+        (completion incl. the link round-trip + row->id map), total.
+        Completion goes through the REAL serving path (single fused packed
+        readback), not block_until_ready — which returns early through
+        this rig's tunnel and under-reports."""
         q = qs_np[:1]
+        t_sub, t_read, t_tot = [], [], []
         for i in range(reps):
             t0 = time.perf_counter()
             tk = store.search_batch_submit(q, k=k, nprobe=nprobe)
-            jax.block_until_ready(tk.dists)
-            times.append(time.perf_counter() - t0)
-        return float(np.median(times[2:]))  # drop warmup reps
+            t1 = time.perf_counter()
+            store.search_batch_complete_raw(tk)
+            t2 = time.perf_counter()
+            t_sub.append(t1 - t0)
+            t_read.append(t2 - t1)
+            t_tot.append(t2 - t0)
+        med = lambda xs: float(np.median(xs[2:]))
+        return med(t_sub), med(t_read), med(t_tot)
 
-    lat_brute = one_query_latency(None)
-    lat_probe = one_query_latency(64)
-    log(f"[config9] single-query e2e latency (incl. this rig's ~30 ms "
-        f"tunnel RTT): brute={lat_brute*1e3:.2f} ms  "
-        f"multiprobe(64)={lat_probe*1e3:.2f} ms")
+    # link round-trip floor: dispatch a trivial add + read its [8, 40]
+    # result back — what ANY single search pays on this rig regardless of
+    # the framework (excluded from the host-overhead attribution)
+    def rtt_floor(reps=12):
+        base = jnp.zeros((8, 40), jnp.float32)
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(base + np.float32(i))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts[2:]))
+
+    rtt_ms = rtt_floor() * 1e3
+    sub_b, read_b, lat_brute = one_query_breakdown(None)
+    sub_p, read_p, lat_probe = one_query_breakdown(64)
+    log(f"[config9] single-query e2e: brute={lat_brute*1e3:.2f} ms "
+        f"(submit {sub_b*1e3:.2f} + complete {read_b*1e3:.2f})  "
+        f"multiprobe(64)={lat_probe*1e3:.2f} ms (submit {sub_p*1e3:.2f} + "
+        f"complete {read_p*1e3:.2f}); link RTT floor {rtt_ms:.2f} ms")
 
     # small-batch (16) QPS through the same end-to-end path
     def batch_qps(nprobe, b=16, reps=8):
@@ -957,8 +981,8 @@ def bench_config9(quick: bool) -> dict:
         for i in range(reps):
             t0 = time.perf_counter()
             tk = store.search_batch_submit(qs_np[:b], k=k, nprobe=nprobe)
-            jax.block_until_ready(tk.dists)
-            times.append(time.perf_counter() - t0)
+            store.search_batch_complete_raw(tk)  # real readback (tunnel-
+            times.append(time.perf_counter() - t0)  # safe, fused pack)
         return b / float(np.median(times[2:]))
     qps16_brute = batch_qps(None)
     qps16_probe = batch_qps(64)
@@ -1116,6 +1140,15 @@ def bench_config9(quick: bool) -> dict:
         "int4r_speedup": round(dev_brute / dev_probe, 2),
         "e2e_latency_brute_ms": round(lat_brute * 1e3, 2),
         "e2e_latency_multiprobe_ms": round(lat_probe * 1e3, 2),
+        "e2e_submit_ms_brute": round(sub_b * 1e3, 3),
+        "e2e_submit_ms_multiprobe": round(sub_p * 1e3, 3),
+        "rtt_floor_ms": round(rtt_ms, 2),
+        # builder-controlled overhead: everything the framework adds on
+        # top of the device kernel and the rig's unavoidable link RTT
+        "host_overhead_ms_brute": round(
+            lat_brute * 1e3 - rtt_ms - dev_brute * 1e3, 2),
+        "host_overhead_ms_multiprobe": round(
+            lat_probe * 1e3 - rtt_ms - dev_probe * 1e3, 2),
         "recall_at_nprobe": {str(p): round(r, 4) for p, r in recalls.items()},
         "qps16_brute": round(qps16_brute, 1),
         "qps16_multiprobe": round(qps16_probe, 1),
@@ -1195,7 +1228,7 @@ def bench_config10(quick: bool) -> dict:
             yield c
 
     build_kw = dict(n=n, dim=d, train_rows=262_144, kmeans_iters=6,
-                    kmeans_init="random", refits=0, j=16)
+                    kmeans_init="random", refits=1, j=16)
 
     def recall_rows(rows, gt_rows):
         hit = 0
@@ -1391,7 +1424,7 @@ def bench_config11(quick: bool) -> dict:
         f"engine)...")
     idx = CellProbeIndex.build_streaming(
         chunks(), n=n, dim=d, cell_rows=448, cell_cap=512,
-        train_rows=262_144, kmeans_iters=6, kmeans_init="random", refits=0)
+        train_rows=262_144, kmeans_iters=6, kmeans_init="random", refits=1)
     log(f"[config11] shard build: {idx.build_stats}")
 
     shard_ms = {}

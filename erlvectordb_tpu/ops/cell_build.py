@@ -108,22 +108,37 @@ def _stage_sample(sample, chunk, at, *, stride, take, w):
 # --------------------------------------------------------------------- route
 
 
+@jax.jit
+def _quant_cents_int8(cents):
+    """Per-row int8 quantization of the centroid table (routing copy)."""
+    am = jnp.max(jnp.abs(cents), axis=-1)
+    s = jnp.where(am > 0, am / 127.0, 1.0)
+    q = jnp.clip(jnp.round(cents / s[:, None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 @functools.partial(jax.jit, static_argnames=("j", "sub"))
-def _choices_all(codes8, scales, cents_bf, cn2, *, j, sub):
+def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub):
     """[N, j] nearest-cell preference lists over the staged int8 corpus.
 
-    bf16 dequant + routing matmul (ranking-grade; exact distances are never
-    needed for placement), approx_max_k for the preference lists — a 95%
+    The routing matmul runs int8 x int8 on the MXU (2x bf16 rate on v5e;
+    measured 68 vs 87 ms per 262k x 21k x 768 chunk): both operands are
+    already absmax-127 quantized, the i32 products are exact, and the
+    per-row/per-cell scales recover a ranking-grade distance proxy
+    |c|^2 - 2 x.c.  approx_max_k extracts the preference lists — a 95%
     recall miss still yields a near-nearest cell.  lax.map over row
     sub-chunks bounds the [sub, K] f32 intermediate."""
     w = codes8.shape[1]
 
     def one(args):
         rows8, s = args
-        x = rows8.astype(jnp.bfloat16) * s[:, None].astype(jnp.bfloat16)
-        dots = jnp.dot(x, cents_bf.T, preferred_element_type=jnp.float32)
+        di = jnp.dot(rows8, cents8.T, preferred_element_type=jnp.int32)
+        dots = di.astype(jnp.float32) * (s[:, None] * cscale[None, :])
         negd, ids = lax.approx_max_k(-(cn2[None, :] - 2.0 * dots), j)
-        return (-negd).astype(jnp.float16), ids.astype(jnp.int32)
+        # f32 lists ([N, j] is only 0.5 GB at 8M): an f16 cast would need
+        # overflow guards for unnormalized corpora and break the spill
+        # margin test's absolute-distance reconstruction
+        return -negd, ids.astype(jnp.int32)
 
     d, i = lax.map(one, (codes8.reshape(-1, sub, w),
                          scales.reshape(-1, sub)))
@@ -137,16 +152,18 @@ def _choices_all(codes8, scales, cents_bf, cn2, *, j, sub):
                    static_argnames=("k", "cap", "j", "n_buckets", "dump"))
 def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
                      fill0=None, dump=True):
-    """Capacity-constrained greedy assignment, sort-free.
+    """Capacity-constrained greedy assignment, EXACT closest-first.
 
-    Round r: every unassigned row proposes its ptr-th choice cell.  A cell
-    accepts the proposals that fit its remaining capacity, CLOSEST FIRST —
-    enforced by bucketing proposal distances into a [K, n_buckets]
-    histogram and accepting a row iff the cumulative count of same-cell
-    proposals at <= its bucket fits.  Rows in the cutoff bucket (and
-    beyond) advance to their next choice.  This reproduces the host
-    greedy's acceptance rule (core/ivf.py::_balanced_assign) with
-    segment-sums instead of per-round global sorts.
+    Round r: every unassigned row proposes its ptr-th choice cell.  All
+    active proposals are sorted by (cell, distance) — one 2-key lax.sort,
+    measured ~54 ms at 8M rows on v5e — and each cell accepts its closest
+    proposals up to remaining capacity (rank-within-cell < remaining).  A
+    rejected row genuinely lost to closer rows, so its target cell is now
+    full and it advances down its preference list; with capacity slack the
+    bulk of rows land in rounds 1-2 and the while_loop exits early.  (An
+    earlier histogram-bucketed variant advanced every row in a cell's
+    cutoff BUCKET even when slots remained — under clustered contention
+    that burned whole preference lists and dumped ~half the corpus.)
 
     Rows exhausting all j choices are dumped into cells with space via a
     prefix-sum over remaining capacities (arbitrary placement; with >= 25%
@@ -155,18 +172,16 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     rounds: an unplaced secondary copy is simply not spilled); ``fill0``
     seeds per-cell occupancy (spill rounds start from the primary fill).
 
+    ``n_buckets`` is kept for call-site compatibility (unused).
+
     Returns (owner [N] int32 in [0, k), or k for invalid/unplaced rows;
     n_unplaced scalar)."""
+    del n_buckets
     n = ch_d.shape[0]
     chd = ch_d.astype(jnp.float32)
-    dmin = jnp.min(jnp.where(row_valid[:, None], chd, _INF))
-    dmax = jnp.max(jnp.where(row_valid[:, None], chd, -_INF))
-    bscale = n_buckets / jnp.maximum(dmax - dmin, 1e-9)
     rows_idx = jnp.arange(n, dtype=jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
 
-    # while_loop, not a fixed-length scan: with capacity slack the bulk of
-    # rows land in the first 1-3 rounds, and each round is a full O(N)
-    # pass — early exit cuts the phase ~3-5x at flagship scale
     def cond_(state):
         _, _, _, rnd, n_act = state
         return (n_act > 0) & (rnd < j)
@@ -177,15 +192,13 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
         pc = jnp.clip(ptr, 0, j - 1)
         cell = jnp.where(act, ch_i[rows_idx, pc], k)
         dist = jnp.where(act, chd[rows_idx, pc], _INF)
-        b = jnp.clip(((dist - dmin) * bscale).astype(jnp.int32),
-                     0, n_buckets - 1)
-        idx = cell * n_buckets + b
-        hist = jax.ops.segment_sum(
-            act.astype(jnp.int32), idx, num_segments=(k + 1) * n_buckets
-        ).reshape(k + 1, n_buckets)
-        cum = jnp.cumsum(hist, axis=1)
-        rem = jnp.append(cap - fill, 0)                    # dummy cell: 0
-        accept = act & (cum[cell, b] <= rem[cell])
+        sc, _, sr = lax.sort((cell, dist, rows_idx), num_keys=2)
+        starts = jnp.searchsorted(sc, jnp.arange(k + 1, dtype=jnp.int32))
+        rank = iota - starts[jnp.clip(sc, 0, k)]
+        rem = jnp.append(jnp.maximum(cap - fill, 0), 0)    # dummy cell: 0
+        acc_sorted = (sc < k) & (rank < rem[jnp.clip(sc, 0, k)])
+        accept = jnp.zeros((n,), bool).at[sr].set(acc_sorted)
+        accept = accept & act
         owner = jnp.where(accept, cell, owner)
         acc_cell = jnp.where(accept, cell, k)
         fill = fill + jax.ops.segment_sum(
@@ -431,7 +444,10 @@ def build_cells_streaming(
     residual_bits: int = 4,     # 4 (packed, int4r store) | 8 (CellProbe)
     j: int = 16,                # preference-list depth
     refits: int = 1,            # capacity-constrained Lloyd rounds (each
-    #                             pays a full re-route + re-assign pass)
+    #                             pays a re-route + re-assign pass)
+    refit_sample: float = 0.5,  # pre-refit rounds run on this fraction of
+    #                             the corpus (strided sub-chunks) — means
+    #                             converge on a sample; 1.0 = full passes
     final_refit: bool = True,   # refit centroid means to their ACTUAL
     #                             members after the last assignment and
     #                             encode residuals against those — captures
@@ -520,10 +536,28 @@ def build_cells_streaming(
         sub //= 2
     n_dumped = jnp.int32(0)
     nb = max(64, min(2048, (1 << 26) // max(k_real, 1)))
+    # pre-refit rounds run on HALF the corpus (every other sub-chunk):
+    # they only feed centroid means, which converge with a 50% sample,
+    # and the full route+assign pass is the build's dominant cost
+    half_ok = refit_sample < 1.0 and npad >= 4 * sub
+    if half_ok:
+        codes8_h = codes8.reshape(-1, sub, w)[::2].reshape(-1, w)
+        scales_h = scales.reshape(-1, sub)[::2].reshape(-1)
+        # rows in odd sub-chunks past n are invalid in the half view too
+        rv_h = row_valid.reshape(-1, sub)[::2].reshape(-1)
+        cap_h = max(1, int(cell_cap * refit_sample))
     for r in range(refits + 1):
-        cents_bf = cents.astype(jnp.bfloat16)
+        cents8, cscale = _quant_cents_int8(cents)
         cn2 = jnp.sum(cents * cents, axis=-1)
-        ch_d, ch_i = _choices_all(codes8, scales, cents_bf, cn2,
+        if r < refits and half_ok:
+            ch_d, ch_i = _choices_all(codes8_h, scales_h, cents8, cscale,
+                                      cn2, j=jj, sub=sub)
+            owner_h, _ = _assign_capacity(
+                ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb)
+            cents = _refit_centroids(codes8_h, scales_h, owner_h, cents,
+                                     k=k_real, sub=sub)
+            continue
+        ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale, cn2,
                                   j=jj, sub=sub)
         owner, n_dumped = _assign_capacity(
             ch_d, ch_i, row_valid, k=k_real, cap=cell_cap, j=jj,
@@ -531,6 +565,8 @@ def build_cells_streaming(
         if r < refits:
             cents = _refit_centroids(codes8, scales, owner, cents,
                                      k=k_real, sub=sub)
+    if half_ok:
+        del codes8_h, scales_h
     if final_refit:
         # residuals shrink against the members' ACTUAL mean; no re-route
         cents = _refit_centroids(codes8, scales, owner, cents,
