@@ -1548,6 +1548,14 @@ class VectorStore:
 
         x = np.asarray(matrix, np.float32)
         n, d = x.shape
+        if n >= 200_000:
+            # flagship sizes go through the device-side streaming engine
+            # (ops/cell_build.py): the host greedy below reads [N, j]
+            # choice lists back through the link (~5.6k vec/s on tunneled
+            # rigs); the engine keeps everything on device (>100x)
+            self._build_int4r_device(x, ids)
+            _tick("device engine build")
+            return
         width = _pad128(d)
         xp = x if width == d else np.pad(x, ((0, 0), (0, width - d)))
         cap_c = 128  # Mosaic lane width: the kernel's bias expand needs cap % 128 == 0
@@ -1631,6 +1639,66 @@ class VectorStore:
         self._row_to_id = dict(zip(pos_l, sids))
         self._ids_np = np.full((n_rows,), None, object)
         self._ids_np[pos] = sids
+        self._built_rows = n
+        self._churn_inserts = self._churn_deletes = 0
+        self._cells_at_build = k_real
+
+    def _build_int4r_device(self, x: np.ndarray,
+                            ids: Optional[Sequence[str]]) -> None:
+        """Bulk int4r build through the device streaming engine, with the
+        from_matrix contract (explicit ids, materialized host tables).
+
+        The engine stages rows as int8 before residual-encoding them; that
+        staging noise (~0.4% of the row) is ~16x below the int4 residual
+        step and does not move recall measurably.  The one O(N) readback
+        is the [N] slot permutation (4 bytes/row — the corpus itself came
+        from the host at 3 KB/row)."""
+        from erlvectordb_tpu.ops.cell_build import build_cells_streaming
+
+        n, d = x.shape
+        ch = min(n, 262_144)
+
+        def chunks():
+            for i in range(0, n, ch):
+                yield x[i:i + ch]
+
+        res = build_cells_streaming(
+            chunks(), n=n, dim=d, cell_rows=96, cell_cap=128,
+            residual_bits=4, k_block=self.CELL_BLOCK,
+            kmeans_init="random", kmeans_iters=6, refits=1,
+            aniso_eta=4.0 if self.metric in ("cosine", "dot") else 1.0,
+            device=self._device)
+        self._vectors = res.codes
+        self._scales = res.scales
+        self._norms = res.norms
+        self._valid = res.valid
+        self._centroids = res.centroids
+        self._cell_cap = res.cell_cap
+        self._capacity = res.n_cells * res.cell_cap
+        self._next_row = self._capacity
+        k_real = res.stats["n_cells_real"]
+        cell_next = res.counts.copy()
+        cell_next[k_real:] = res.cell_cap
+        self._cell_next = cell_next
+        self._cell_avail = np.where(np.arange(res.n_cells) < k_real,
+                                    res.cell_cap - cell_next, 0)
+        self._cell_free = {}
+        self.build_stats = res.stats
+        # from_matrix contract: explicit ids, host tables materialized now
+        perm = np.asarray(res.perm)
+        slots = np.where(perm >= 0)[0]
+        origs = perm[slots]
+        sids = ([str(v) for v in ids] if ids is not None
+                else [str(i) for i in range(n)])
+        if ids is not None and len(sids) != n:
+            raise ValueError("ids and matrix length mismatch")
+        if len(set(sids)) != n:
+            raise ValueError("duplicate ids in bulk build")
+        sarr = np.asarray(sids, object)[origs]
+        self._id_to_row = dict(zip(sarr.tolist(), slots.tolist()))
+        self._row_to_id = dict(zip(slots.tolist(), sarr.tolist()))
+        self._ids_np = np.full((self._capacity,), None, object)
+        self._ids_np[slots] = sarr
         self._built_rows = n
         self._churn_inserts = self._churn_deletes = 0
         self._cells_at_build = k_real
