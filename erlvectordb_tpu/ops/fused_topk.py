@@ -60,6 +60,40 @@ def _pick_bt(b: int) -> int:
     return bt
 
 
+_UNPACK_CHUNK = 128  # byte columns per int4 unpack step: int32 scratch stays
+#                      <= TILE_N*128*4 = 2 MB.  Unpacking the whole row span
+#                      at once materializes [TILE_N, W/2] int32 — 6 MB at
+#                      W=768 — which blew the 16 MB scoped-VMEM limit.
+
+
+def _packed_int4_dots(q, codes_ref, sl):
+    """dot(q_even, hi) + dot(q_odd, lo) over packed nibble codes.
+
+    ``q`` is the [evens | odds]-reordered query tile; codes byte j of a row
+    packs element 2j+1 in the high nibble and 2j in the low.  Unpacks in
+    <=_UNPACK_CHUNK-byte column chunks so the int32 nibble scratch is
+    VMEM-bounded regardless of row width; the MXU contraction chunks along
+    K (128 = one MXU pass) and accumulates in int32.  Mosaic note: uint8
+    shifts and sub-32-bit compares don't legalize — unpack and sign-extend
+    entirely in int32."""
+    hw = codes_ref.shape[1]
+    acc = None
+    for c0 in range(0, hw, _UNPACK_CHUNK):
+        c1 = min(c0 + _UNPACK_CHUNK, hw)
+        praw = codes_ref[sl, c0:c1].astype(jnp.int32)
+        hi32 = praw >> 4
+        lo32 = praw & 0xF
+        hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.int8)
+        lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.int8)
+        d = (lax.dot_general(q[:, c0:c1], hi, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+             + lax.dot_general(q[:, hw + c0:hw + c1], lo,
+                               (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32))
+        acc = d if acc is None else acc + d
+    return acc.astype(jnp.float32)
+
+
 def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False,
                       cell_cap: int = 0):
     """``sub`` sub-tiles of TILE_N rows are processed per grid step: the
@@ -88,22 +122,7 @@ def _make_scan_kernel(t_per_tile: int, sub: int, packed_int4: bool = False,
         for t in range(sub):
             sl = slice(t * TILE_N, (t + 1) * TILE_N)
             if packed_int4:
-                praw = codes_ref[sl, :].astype(jnp.int32)  # [TILE_N, W/2]
-                # Mosaic: uint8 shifts and sub-32-bit compares don't
-                # legalize — unpack and sign-extend entirely in int32
-                hw = praw.shape[1]
-                hi32 = praw >> 4
-                lo32 = praw & 0xF
-                hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.int8)
-                lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.int8)
-                q_even = q[:, :hw]
-                q_odd = q[:, hw:]
-                dots = (
-                    lax.dot_general(q_even, hi, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-                    + lax.dot_general(q_odd, lo, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
-                ).astype(jnp.float32)
+                dots = _packed_int4_dots(q, codes_ref, sl)
             else:
                 c = codes_ref[sl, :]                       # [TILE_N, W]
                 if q.dtype == jnp.int8:
@@ -226,18 +245,7 @@ def _make_pos_kernel(sub: int, packed_int4: bool, use_qm: bool):
         for t in range(sub):
             sl = slice(t * TILE_N, (t + 1) * TILE_N)
             if packed_int4:
-                praw = codes_ref[sl, :].astype(jnp.int32)
-                hw = praw.shape[1]
-                hi32 = praw >> 4
-                lo32 = praw & 0xF
-                hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.int8)
-                lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.int8)
-                dots = (
-                    lax.dot_general(q[:, :hw], hi, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-                    + lax.dot_general(q[:, hw:], lo, (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.int32)
-                ).astype(jnp.float32)
+                dots = _packed_int4_dots(q, codes_ref, sl)
             else:
                 c = codes_ref[sl, :]
                 if q.dtype == jnp.int8:
@@ -430,18 +438,7 @@ def _make_pos_residual_kernel(sub: int, cell_cap: int):
         ecell = None
         for t in range(sub):
             sl = slice(t * TILE_N, (t + 1) * TILE_N)
-            praw = codes_ref[sl, :].astype(jnp.int32)
-            hw = praw.shape[1]
-            hi32 = praw >> 4
-            lo32 = praw & 0xF
-            hi = jnp.where(hi32 > 7, hi32 - 16, hi32).astype(jnp.int8)
-            lo = jnp.where(lo32 > 7, lo32 - 16, lo32).astype(jnp.int8)
-            dots = (
-                lax.dot_general(q[:, :hw], hi, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-                + lax.dot_general(q[:, hw:], lo, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-            ).astype(jnp.float32)
+            dots = _packed_int4_dots(q, codes_ref, sl)
             if ecell is None:
                 cell_of_lane = (
                     lax.broadcasted_iota(jnp.int32, (cpt, TILE_N), 1)
