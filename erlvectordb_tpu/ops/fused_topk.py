@@ -52,10 +52,17 @@ LANES = 128
 _NEG = -1e30  # python float: jnp scalars would be captured consts in the kernel
 
 
-def _pick_bt(b: int) -> int:
-    """Query-tile height: >=32 (int8 sublane tile), <=256."""
+def _pick_bt(b: int, row_bytes: int = 0) -> int:
+    """Query-tile height: >=32 (int8 sublane tile), <=256.
+
+    ``row_bytes`` (codes bytes per row) caps bt at 128 for WIDE rows on the
+    residual/packed paths: their kernels keep several [bt, TILE_N] f32
+    intermediates (scores, bias expand, packed keys) live at once, and at
+    row_bytes >= 256 the added unpack/bias scratch pushes the bt=256 variant
+    just past the 16 MB scoped-VMEM stack (compile failure at W=768)."""
+    cap = 128 if row_bytes >= 256 else 256
     bt = 32
-    while bt < min(b, 256):
+    while bt < min(b, cap):
         bt *= 2
     return bt
 
@@ -285,7 +292,7 @@ def _pos_scan(codes, q, qm, m, b, *, n_tiles, use_qm):
     if packed:
         q = jnp.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
     cw = codes.shape[1]
-    bt = _pick_bt(bq)
+    bt = _pick_bt(bq, cw * codes.dtype.itemsize if packed else 0)
     nb = bq // bt
     sub = _pick_sub(codes.shape[0], n_tiles, cw * codes.dtype.itemsize)
     n_big = -(-n_tiles // sub)
@@ -480,7 +487,7 @@ def _pos_residual_scan(codes, q, qa, ma, mb, b, table, *, n_tiles, cell_cap):
     bq, w = q.shape
     q = jnp.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
     cw = codes.shape[1]
-    bt = _pick_bt(bq)
+    bt = _pick_bt(bq, cw)
     nb = bq // bt
     sub = _pick_sub(codes.shape[0], n_tiles, cw, max_sub=2)
     n_big = -(-n_tiles // sub)
@@ -541,7 +548,7 @@ def _fused_scan(codes, q, qmult, rowmult, rowbias, qmult2=None, rowmult2=None,
         # line up with the hi/lo nibble planes (see _make_scan_kernel)
         q = jnp.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
     cw = codes.shape[1]
-    bt = _pick_bt(b)
+    bt = _pick_bt(b, cw * codes.dtype.itemsize if (packed or cell_cap) else 0)
     nb = b // bt
     t = t_per_tile
     # two TILE_N sub-tiles per grid step when capacity allows (fewer grid
