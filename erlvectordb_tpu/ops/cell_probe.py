@@ -290,13 +290,27 @@ def multiprobe_topk(
     # double-buffered code blocks) must fit — else the XLA gather path.
     use_kernel = (
         jax.default_backend() == "tpu"
-        and b * w * 4 <= 4 * 1024 * 1024
         and nprobe * cell_cap * 4 <= 4 * 1024 * 1024
         and 2 * cell_cap * codes.shape[1] <= 4 * 1024 * 1024
     )
     if use_kernel:
-        dots_raw = _dma_gather_dots(codes3, probe, queries,
-                                    cell_cap=cell_cap)     # [B, np, cap]
+        # Chunk the query batch so each kernel call's residents fit their
+        # budgets: the probe table is a scalar-prefetch operand in 1 MB SMEM
+        # (b=1024 x nprobe=256 int32 is exactly 1 MB and spills), and the
+        # full query chunk sits in VMEM.
+        bc = b
+        while bc > 8 and (bc * nprobe * 4 > 512 * 1024
+                          or bc * w * 4 > 4 * 1024 * 1024):
+            bc -= bc // 2  # halve, rounding up for odd sizes
+        if bc >= b:
+            dots_raw = _dma_gather_dots(codes3, probe, queries,
+                                        cell_cap=cell_cap)  # [B, np, cap]
+        else:
+            dots_raw = jnp.concatenate([
+                _dma_gather_dots(codes3, probe[i:i + bc], queries[i:i + bc],
+                                 cell_cap=cell_cap)
+                for i in range(0, b, bc)
+            ], axis=0)
     else:
         cand = codes3[probe]                               # [B, np, cap, Wc]
         if codes.dtype == jnp.uint8:                       # packed int4
