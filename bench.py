@@ -1302,6 +1302,16 @@ def bench_config10(quick: bool) -> dict:
     del store
     gc.collect()
 
+    # warm rebuild: same shapes, programs already compiled — the build
+    # rate a production host (persistent compile cache) sustains
+    store = VectorStore.from_chunks(
+        "flag10w", chunks(), cell_rows=448, cell_cap=512,
+        aniso_eta=4.0, **build_kw)
+    a_warm = store.build_stats
+    log(f"[config10] int4r WARM build: {a_warm}")
+    del store
+    gc.collect()
+
     # ---- phase B: CellProbeIndex (int8 + spill) ------------------------
     log(f"[config10] building CellProbeIndex (int8 residual + spill)...")
     idx = CellProbeIndex.build_streaming(
@@ -1356,14 +1366,24 @@ def bench_config10(quick: bool) -> dict:
     probe_ms = cp_lat[str(min_nprobe_95 or 128)]
     log(f"[config10] brute per-dispatch {brute_ms} ms -> speedup at "
         f">=0.95 recall: {brute_ms / max(probe_ms, 1e-9):.1f}x")
+    del flat, idx
+    gc.collect()
+
+    # warm cellprobe rebuild (same shapes, compiled programs)
+    idx = CellProbeIndex.build_streaming(
+        chunks(), cell_rows=416, cell_cap=512, spill_mult=1.3, **build_kw)
+    b_warm = idx.build_stats
+    log(f"[config10] cellprobe WARM build: {b_warm}")
 
     return {
         "metric": f"real streaming cellprobe build rate ({n/1e6:.1f}M x "
-                  f"{d}, device engine)",
-        "value": round(b_stats["vec_per_sec"] / 1e6, 3),
+                  f"{d}, device engine, warm programs)",
+        "value": round(b_warm["vec_per_sec"] / 1e6, 3),
         "unit": "Mvec/s",
-        "vs_baseline": round(b_stats["vec_per_sec"] / 1e6, 3),
+        "vs_baseline": round(b_warm["vec_per_sec"] / 1e6, 3),
         "n": n,
+        "int4r_build_warm": a_warm,
+        "cellprobe_build_warm": b_warm,
         "int4r_build": a_stats,
         "int4r_recall_at_nprobe": int4r_curve,
         "int4r_exact_ceiling": int4r_ceiling,

@@ -117,8 +117,8 @@ def _quant_cents_int8(cents):
     return q, s
 
 
-@functools.partial(jax.jit, static_argnames=("j", "sub"))
-def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub):
+@functools.partial(jax.jit, static_argnames=("j", "sub", "step"))
+def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub, step=1):
     """[N, j] nearest-cell preference lists over the staged int8 corpus.
 
     The routing matmul runs int8 x int8 on the MXU (2x bf16 rate on v5e;
@@ -127,11 +127,18 @@ def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub):
     per-row/per-cell scales recover a ranking-grade distance proxy
     |c|^2 - 2 x.c.  approx_max_k extracts the preference lists — a 95%
     recall miss still yields a near-nearest cell.  lax.map over row
-    sub-chunks bounds the [sub, K] f32 intermediate."""
-    w = codes8.shape[1]
+    sub-chunks bounds the [sub, K] f32 intermediate.
 
-    def one(args):
-        rows8, s = args
+    ``step`` routes only every step-th sub-chunk (the half-sample refit
+    rounds) by slicing the FULL staged corpus in place — materializing a
+    strided half-copy costs 3.2 GB at 8M x 768, which pushed the build
+    over HBM alongside the staged corpus + slot arrays."""
+    w = codes8.shape[1]
+    n_sub = codes8.shape[0] // (sub * step)
+
+    def one(c):
+        rows8 = lax.dynamic_slice(codes8, (c * (sub * step), 0), (sub, w))
+        s = lax.dynamic_slice(scales, (c * (sub * step),), (sub,))
         di = jnp.dot(rows8, cents8.T, preferred_element_type=jnp.int32)
         dots = di.astype(jnp.float32) * (s[:, None] * cscale[None, :])
         negd, ids = lax.approx_max_k(-(cn2[None, :] - 2.0 * dots), j)
@@ -140,8 +147,7 @@ def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub):
         # margin test's absolute-distance reconstruction
         return -negd, ids.astype(jnp.int32)
 
-    d, i = lax.map(one, (codes8.reshape(-1, sub, w),
-                         scales.reshape(-1, sub)))
+    d, i = lax.map(one, jnp.arange(n_sub, dtype=jnp.int32))
     return d.reshape(-1, j), i.reshape(-1, j)
 
 
@@ -232,17 +238,21 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     return owner, jnp.sum(left.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "sub"))
-def _refit_centroids(codes8, scales, owner, cents_old, *, k, sub):
+@functools.partial(jax.jit, static_argnames=("k", "sub", "step"))
+def _refit_centroids(codes8, scales, owner, cents_old, *, k, sub, step=1):
     """Mean of each cell's ACTUAL members (chunked segment-sums over the
-    staged int8 corpus); empty cells keep their old centroid."""
+    staged int8 corpus); empty cells keep their old centroid.
+
+    ``step``: corpus rows come from every step-th sub-chunk of codes8
+    while ``owner`` is indexed densely (half-sample refit rounds pass the
+    half-length owner vector)."""
     w = codes8.shape[1]
-    n_sub = codes8.shape[0] // sub
+    n_sub = owner.shape[0] // sub
 
     def body(c, carry):
         sums, cnt = carry
-        rows8 = lax.dynamic_slice(codes8, (c * sub, 0), (sub, w))
-        s = lax.dynamic_slice(scales, (c * sub,), (sub,))
+        rows8 = lax.dynamic_slice(codes8, (c * (sub * step), 0), (sub, w))
+        s = lax.dynamic_slice(scales, (c * (sub * step),), (sub,))
         o = lax.dynamic_slice(owner, (c * sub,), (sub,))
         x = rows8.astype(jnp.float32) * s[:, None]
         sums = sums + jax.ops.segment_sum(x, o, num_segments=k + 1)
@@ -527,6 +537,8 @@ def build_cells_streaming(
     train = sample[:train_rows]
     cents, _ = kmeans_fit(train, jnp.uint32(seed), k=k_real,
                           iters=kmeans_iters, init=kmeans_init)
+    jax.block_until_ready(cents)
+    del train, sample          # ~0.8 GB HBM back before the routing passes
     t_seed = time.perf_counter()
 
     # ---- route + assign (+ capacity-constrained Lloyd refits) -----------
@@ -541,8 +553,6 @@ def build_cells_streaming(
     # and the full route+assign pass is the build's dominant cost
     half_ok = refit_sample < 1.0 and npad >= 4 * sub
     if half_ok:
-        codes8_h = codes8.reshape(-1, sub, w)[::2].reshape(-1, w)
-        scales_h = scales.reshape(-1, sub)[::2].reshape(-1)
         # rows in odd sub-chunks past n are invalid in the half view too
         rv_h = row_valid.reshape(-1, sub)[::2].reshape(-1)
         cap_h = max(1, int(cell_cap * refit_sample))
@@ -550,12 +560,14 @@ def build_cells_streaming(
         cents8, cscale = _quant_cents_int8(cents)
         cn2 = jnp.sum(cents * cents, axis=-1)
         if r < refits and half_ok:
-            ch_d, ch_i = _choices_all(codes8_h, scales_h, cents8, cscale,
-                                      cn2, j=jj, sub=sub)
+            # step=2 slices every other sub-chunk of the FULL staged
+            # corpus in place — no strided half-copy (3.2 GB at 8M x 768)
+            ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale,
+                                      cn2, j=jj, sub=sub, step=2)
             owner_h, _ = _assign_capacity(
                 ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb)
-            cents = _refit_centroids(codes8_h, scales_h, owner_h, cents,
-                                     k=k_real, sub=sub)
+            cents = _refit_centroids(codes8, scales, owner_h, cents,
+                                     k=k_real, sub=sub, step=2)
             continue
         ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale, cn2,
                                   j=jj, sub=sub)
@@ -565,8 +577,6 @@ def build_cells_streaming(
         if r < refits:
             cents = _refit_centroids(codes8, scales, owner, cents,
                                      k=k_real, sub=sub)
-    if half_ok:
-        del codes8_h, scales_h
     if final_refit:
         # residuals shrink against the members' ACTUAL mean; no re-route
         cents = _refit_centroids(codes8, scales, owner, cents,
@@ -577,17 +587,15 @@ def build_cells_streaming(
     # (row SCATTER is ~7x cheaper than the equivalent gather on TPU; in
     # slot order the encode below sees centroids as contiguous windows —
     # no per-row centroid fetch anywhere)
+    # spill routing runs BEFORE the slot arrays exist: it only needs the
+    # choice tables, which are then freed — at 8M x 768 the staged corpus
+    # (6.5 GB) + slot arrays (~8 GB) + choices (1.1 GB) cannot all be
+    # simultaneously resident on a 16 GB chip
     pos = _positions(owner, k=k_real, cap=cell_cap)
-    s_total = k_total * cell_cap
-    slot8 = put(jnp.zeros((s_total, w), jnp.int8))
-    slot_sc = put(jnp.ones((s_total,), jnp.float32))
-    slot_pm = put(jnp.full((s_total,), -1, jnp.int32))
-    slot8, slot_sc, slot_pm = _slot_scatter(
-        slot8, slot_sc, slot_pm, codes8, scales, owner, pos, k=k_real)
-
     n_spilled = 0
     counts_dev = jax.ops.segment_sum(
         jnp.where(row_valid, 1, 0), owner, num_segments=k_real + 1)[:k_real]
+    sp_owner = sp_pos = None
     if spill_mult:
         sc_cell, sc_d, sc_ok = _spill_proposals(
             ch_d, ch_i, owner, k=k_real,
@@ -597,6 +605,16 @@ def build_cells_streaming(
             j=1, n_buckets=nb, fill0=counts_dev, dump=False)
         sp_pos = _positions(sp_owner, k=k_real, cap=cell_cap,
                             base=counts_dev)
+        del sc_cell, sc_d, sc_ok
+    del ch_d, ch_i                          # ~1.1 GB back pre-scatter
+
+    s_total = k_total * cell_cap
+    slot8 = put(jnp.zeros((s_total, w), jnp.int8))
+    slot_sc = put(jnp.ones((s_total,), jnp.float32))
+    slot_pm = put(jnp.full((s_total,), -1, jnp.int32))
+    slot8, slot_sc, slot_pm = _slot_scatter(
+        slot8, slot_sc, slot_pm, codes8, scales, owner, pos, k=k_real)
+    if sp_owner is not None:
         # spilled copies ride the same scatter + uniform encode: the slot's
         # cell determines the residual target, so a second copy quantizes
         # against ITS cell automatically
@@ -608,7 +626,7 @@ def build_cells_streaming(
             num_segments=k_real + 1)[:k_real]
         counts_dev = counts_dev + sp_counts
         n_spilled = int(jnp.sum(sp_counts))
-    del codes8, scales, norms, ch_d, ch_i   # free the staged corpus (HBM)
+    del codes8, scales, norms               # free the staged corpus (HBM)
 
     # ---- encode in slot order -------------------------------------------
     cents_pad = (cents if k_total == k_real
