@@ -1347,6 +1347,8 @@ def bench_config10(quick: bool) -> dict:
         cp_lat[str(nprobe)] = round(
             per_dispatch(lambda q: call(q), probe_q) * 1e3, 3)
     log(f"[config10] cellprobe per-dispatch ms {cp_lat}")
+    del idx                 # the index (~8 GB at 8M x 768) must NOT stay
+    gc.collect()            # resident while the brute store (~6.4 GB) builds
 
     # ---- brute comparator: int8 flat store over the same corpus --------
     from erlvectordb_tpu.ops import fused_topk as ft
@@ -1366,7 +1368,7 @@ def bench_config10(quick: bool) -> dict:
     probe_ms = cp_lat[str(min_nprobe_95 or 128)]
     log(f"[config10] brute per-dispatch {brute_ms} ms -> speedup at "
         f">=0.95 recall: {brute_ms / max(probe_ms, 1e-9):.1f}x")
-    del flat, idx
+    del flat
     gc.collect()
 
     # warm cellprobe rebuild (same shapes, compiled programs)

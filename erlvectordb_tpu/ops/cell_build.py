@@ -51,6 +51,25 @@ import numpy as np
 from jax import lax
 
 from erlvectordb_tpu.ops.kmeans import kmeans_fit
+from erlvectordb_tpu.utils.hbm import prime_hbm
+
+
+def _blog(msg: str, probe=None) -> None:
+    """EVDB_BUILD_LOG=1: phase-completion trace for HBM/OOM forensics.
+    ``probe`` (a small device array) additionally attempts a tiny D2H
+    transfer so the first phase whose readback wedges is identified."""
+    import os
+    import sys
+    if os.environ.get("EVDB_BUILD_LOG"):
+        tag = ""
+        if probe is not None and os.environ.get("EVDB_BUILD_PROBE"):
+            try:
+                np.asarray(probe[:4])
+                tag = " [probe ok]"
+            except Exception as e:  # noqa: BLE001
+                tag = f" [probe FAILED {type(e).__name__}]"
+        print(f"[cell_build +{time.perf_counter():.1f}s] {msg}{tag}",
+              file=sys.stderr, flush=True)
 
 _NEG = -1e30
 _INF = jnp.inf
@@ -475,7 +494,11 @@ def build_cells_streaming(
     kmeans_iters: int = 8,
     kmeans_init: str = "kpp",
     k_block: int = 64,          # pad cell count to a multiple (store tiling)
-    route_sub: int = 16384,     # rows per routing sub-chunk
+    route_sub: int = 8192,      # rows per routing sub-chunk: bounds the
+    #                             [sub, K] routing temps — at 18k+ cells the
+    #                             choices program's temp arena is ~3 GiB at
+    #                             8192 vs ~6 GiB at 16384, which pushed the
+    #                             8M x 768 build past the 15 GiB ceiling
     device: Optional[jax.Device] = None,
 ) -> CellBuildResult:
     """Streaming device build of a balanced cell-residual layout.
@@ -498,6 +521,12 @@ def build_cells_streaming(
     if k_real * cell_cap < n:
         raise ValueError(
             f"{k_real} cells x {cell_cap} slots < {n} rows; raise cell_cap")
+
+    # grow the TPU allocation pool BEFORE the first big buffer: the pool
+    # extends by a bounded increment per request, so a cold 6.9 GB slot
+    # array fails (and WEDGES the session) even with 9 GB free — see
+    # utils/hbm.py for the measured behavior
+    prime_hbm(max(k_total * cell_cap, n) * w)
 
     # ---- stage ----------------------------------------------------------
     chunks = iter(chunks)
@@ -531,6 +560,14 @@ def build_cells_streaming(
         sample = _stage_sample(sample, chunk, jnp.int32(i * spc),
                                stride=stride, take=spc, w=w)
     row_valid = jnp.arange(npad) < n
+    # Phase barrier (as below): async TPU dispatch allocates each program's
+    # OUTPUT buffers at enqueue time, while the buffers a pending program
+    # still reads stay live — without barriers the staged corpus, the slot
+    # arrays, and the routing tables can all be allocated simultaneously
+    # and the build OOMs at 8M x 768 even though no single phase exceeds
+    # HBM.  A barrier costs one tunnel round-trip (~ms) per phase.
+    jax.block_until_ready(codes8)
+    _blog("staged", scales)
     t_stage = time.perf_counter()
 
     # ---- seed k-means ---------------------------------------------------
@@ -538,6 +575,7 @@ def build_cells_streaming(
     cents, _ = kmeans_fit(train, jnp.uint32(seed), k=k_real,
                           iters=kmeans_iters, init=kmeans_init)
     jax.block_until_ready(cents)
+    _blog("kmeans", cents[0])
     del train, sample          # ~0.8 GB HBM back before the routing passes
     t_seed = time.perf_counter()
 
@@ -568,9 +606,33 @@ def build_cells_streaming(
                 ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb)
             cents = _refit_centroids(codes8, scales, owner_h, cents,
                                      k=k_real, sub=sub, step=2)
+            # per-round barrier: XLA temp arenas allocate at ENQUEUE, so
+            # without one the next round's routing temps (~GBs at 18k+
+            # cells) stack on top of this round's still-running programs
+            jax.block_until_ready(cents)
             continue
+        if r > 0:
+            del ch_d, ch_i          # prior round's tables (0.5-1 GB at 8M)
+        import os as _os2
+        if _os2.environ.get("EVDB_BUILD_MEMPROBE"):
+            _live = jax.live_arrays()
+            _blog(f"pre-choices live: {len(_live)} arrays, "
+                  f"{sum(a.size * a.dtype.itemsize for a in _live)/2**30:.2f}"
+                  " GiB")
+            # ascending: an alloc failure WEDGES the session, so the first
+            # failure is the last useful datapoint anyway
+            for _gib in (1, 2, 3, 4, 6, 8):
+                try:
+                    _t = jnp.zeros((_gib << 30,), jnp.int8)
+                    jax.block_until_ready(_t)
+                    del _t
+                    _blog(f"pre-choices probe alloc {_gib} GiB: ok")
+                except Exception:  # noqa: BLE001
+                    _blog(f"pre-choices probe alloc {_gib} GiB: FAILED")
+                    break
         ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale, cn2,
                                   j=jj, sub=sub)
+        jax.block_until_ready(ch_d)    # temp-arena barrier (see above)
         owner, n_dumped = _assign_capacity(
             ch_d, ch_i, row_valid, k=k_real, cap=cell_cap, j=jj,
             n_buckets=nb)
@@ -581,6 +643,8 @@ def build_cells_streaming(
         # residuals shrink against the members' ACTUAL mean; no re-route
         cents = _refit_centroids(codes8, scales, owner, cents,
                                  k=k_real, sub=sub)
+    jax.block_until_ready(owner)               # phase barrier (see stage)
+    _blog("assigned", cents[0])
     t_assign = time.perf_counter()
 
     # ---- place: slot-scatter the staged rows ----------------------------
@@ -606,7 +670,14 @@ def build_cells_streaming(
         sp_pos = _positions(sp_owner, k=k_real, cap=cell_cap,
                             base=counts_dev)
         del sc_cell, sc_d, sc_ok
+        jax.block_until_ready(sp_pos)       # barrier: choices' last user
     del ch_d, ch_i                          # ~1.1 GB back pre-scatter
+    # barrier before the biggest single allocation of the build (~7 GB at
+    # 8M x 768): pending position-sort scratch must drain first, and the
+    # ch_d/ch_i frees above only take effect once their consumers finish.
+    # counts_dev rides along — EVERY dispatched program must be covered by
+    # some barrier, or a failure in it surfaces only at the final readback
+    jax.block_until_ready((pos, counts_dev))
 
     s_total = k_total * cell_cap
     slot8 = put(jnp.zeros((s_total, w), jnp.int8))
@@ -621,12 +692,23 @@ def build_cells_streaming(
         slot8, slot_sc, slot_pm = _slot_scatter(
             slot8, slot_sc, slot_pm, codes8, scales, sp_owner, sp_pos,
             k=k_real)
+    # barrier BEFORE freeing the staged corpus: the pending scatter still
+    # reads codes8, so an immediate del frees nothing and the encode's
+    # output allocation would stack on top of both copies
+    jax.block_until_ready(slot_pm)
+    _blog("scattered", slot_sc)
+    del codes8, scales, norms               # free the staged corpus (HBM)
+    if sp_owner is not None:
+        # counted AFTER the barrier + corpus free: at 8M x 768 the scatter
+        # window sits at ~14/16 GB HBM — even these KB-sized output
+        # allocations can fail at ENQUEUE time there, and the error would
+        # surface only at the final counts readback
         sp_counts = jax.ops.segment_sum(
             jnp.where(sp_owner < k_real, 1, 0), sp_owner,
             num_segments=k_real + 1)[:k_real]
         counts_dev = counts_dev + sp_counts
         n_spilled = int(jnp.sum(sp_counts))
-    del codes8, scales, norms               # free the staged corpus (HBM)
+        del sp_owner, sp_pos, sp_counts
 
     # ---- encode in slot order -------------------------------------------
     cents_pad = (cents if k_total == k_real
@@ -640,11 +722,48 @@ def build_cells_streaming(
     out_perm = slot_pm
     del slot8, slot_sc
     jax.block_until_ready(out_valid)
+    _blog("encoded", out_norms)
     t_encode = time.perf_counter()
 
+    import os as _os
+    if _os.environ.get("EVDB_BUILD_DIAG"):
+        _live = jax.live_arrays()
+        _blog(f"live arrays: {len(_live)}, "
+              f"{sum(a.size * a.dtype.itemsize for a in _live) / 2**30:.2f}"
+              " GiB (client view)")
+        try:
+            np.asarray(counts_dev)
+            _blog("pre-clear counts read ok")
+        except Exception as e:  # noqa: BLE001
+            _blog(f"pre-clear counts read FAILED {type(e).__name__}")
+            jax.clear_caches()
+            import gc as _gc
+            _gc.collect()
+            try:
+                np.asarray(counts_dev)
+                _blog("POST-clear counts read ok — executable retention")
+            except Exception as e2:  # noqa: BLE001
+                _blog(f"post-clear read still FAILED {type(e2).__name__}")
+        try:
+            ms = jax.devices()[0].memory_stats() or {}
+            _blog("memstats " + str({kk: vv for kk, vv in ms.items()
+                                     if "bytes" in kk}))
+        except Exception as e:  # noqa: BLE001
+            _blog(f"memstats unavailable: {e!r}")
+        for _nm, _arr in [("out_valid", out_valid), ("out_norms", out_norms),
+                          ("cents", cents), ("n_dumped", n_dumped),
+                          ("counts_dev", counts_dev)]:
+            try:
+                np.asarray(_arr)
+                _blog(f"read {_nm} ok")
+            except Exception as e:  # noqa: BLE001
+                _blog(f"read {_nm} FAILED {type(e).__name__}: {e}")
     counts = np.zeros((k_total,), np.int64)            # [K] readback, ~100 KB
-    counts[:k_real] = np.asarray(counts_dev)
-    dumped = int(n_dumped)
+    if _os.environ.get("EVDB_SKIP_COUNTS"):            # diagnostic only
+        dumped = -1
+    else:
+        counts[:k_real] = np.asarray(counts_dev)
+        dumped = int(n_dumped)
     stats = {
         "n": n,
         "n_cells": k_total,

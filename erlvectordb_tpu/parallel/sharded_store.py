@@ -43,6 +43,7 @@ from erlvectordb_tpu.core.search import (
     pairwise_distances,
 )
 from erlvectordb_tpu.core.store import _next_pow2, _pad128
+from erlvectordb_tpu.utils.hbm import prime_hbm
 from erlvectordb_tpu.utils.locks import RWLock
 from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
 
@@ -979,6 +980,11 @@ class ShardedVectorStore:
         flat2 = NamedSharding(mesh, P(DATA_AXIS, None))
         flat1 = NamedSharding(mesh, P(DATA_AXIS))
         vdt = jnp.int8 if dtype == "int8" else jnp.float32
+
+        # grow the device allocation pool before the first multi-GB buffer
+        # (a cold pool rejects big single allocations — utils/hbm.py)
+        prime_hbm(total * width * (1 if dtype == "int8" else 4)
+                  // max(1, s_count))
 
         # allocate ON DEVICE (device_put of host zeros would ship GBs)
         codes = jax.jit(lambda: jnp.zeros((total, width), vdt),
