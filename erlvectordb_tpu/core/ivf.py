@@ -64,14 +64,33 @@ def _top_choices(chunk, centroids, *, j):
     return -neg, ids
 
 
-@functools.partial(jax.jit, static_argnames=("j", "chunk"))
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("j", "chunk"))
+def _top_choices_chunk(d_acc, i_acc, dp, centroids, cn, dscale, c,
+                       *, j, chunk):
+    """One row chunk's nearest-j centroids into donated accumulators."""
+    rows = lax.dynamic_slice(dp, (c * chunk, 0), (chunk, dp.shape[1]))
+    dots = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
+    negd, ids = lax.approx_max_k(-(cn[None, :] - 2.0 * dots), j)
+    d_acc = lax.dynamic_update_slice(
+        d_acc, (-negd * dscale).astype(jnp.float16), (c * chunk, 0))
+    i_acc = lax.dynamic_update_slice(
+        i_acc, ids.astype(i_acc.dtype), (c * chunk, 0))
+    return d_acc, i_acc
+
+
 def _top_choices_all(data, centroids, *, j, chunk):
-    """All rows' nearest-j centroids in ONE program (lax.map over row
-    chunks bounds the [chunk, C] intermediate) with ONE readback — the
-    per-chunk dispatch+readback loop cost ~130 s per balanced assignment
-    at 1.2M x 12.5k on the tunneled rig.  approx_max_k is fine here: these
-    are preference lists, a 95%-recall miss still yields a near-nearest
-    cell.
+    """All rows' nearest-j centroids with ONE readback — the per-chunk
+    dispatch+READBACK loop cost ~130 s per balanced assignment at 1.2M x
+    12.5k on the tunneled rig; the dispatches here are async (no
+    per-chunk readback), so host-chunking is free.  approx_max_k is fine:
+    these are preference lists, a 95%-recall miss still yields a
+    near-nearest cell.
+
+    Host-chunked rather than one lax.map program: a two-output
+    approx_max_k inside a scan stacks the [chunk, 128] partial-reduce
+    val+idx tables across ALL iterations as one scan-wide temp (measured
+    8 GiB at 8M rows) — see ops/cell_build.py::_choices_all.
 
     The readback is the build's wall-clock wall on tunneled rigs (~2 MB/s
     measured), so the outputs are SHRUNK on device: dists as f16 (they
@@ -91,13 +110,14 @@ def _top_choices_all(data, centroids, *, j, chunk):
     xn2_max = jnp.max(jnp.sum(dp * dp, axis=-1))
     dscale = 1.0 / (cn_max + 2.0 * jnp.sqrt(xn2_max * cn_max) + 1.0)
 
-    def one(rows):
-        dots = jnp.dot(rows, centroids.T, preferred_element_type=jnp.float32)
-        negd, ids = lax.approx_max_k(-(cn[None, :] - 2.0 * dots), j)
-        return (-negd * dscale).astype(jnp.float16), ids.astype(id_t)
-
-    dists, ids = lax.map(one, dp.reshape(-1, chunk, d))
-    return dists.reshape(-1, j)[:n], ids.reshape(-1, j)[:n]
+    npad_rows = dp.shape[0]
+    dists = jnp.zeros((npad_rows, j), jnp.float16)
+    ids = jnp.zeros((npad_rows, j), id_t)
+    for ci in range(npad_rows // chunk):
+        dists, ids = _top_choices_chunk(
+            dists, ids, dp, centroids, cn, dscale, jnp.int32(ci),
+            j=j, chunk=chunk)
+    return dists[:n], ids[:n]
 
 
 def _balanced_assign(data: np.ndarray, centroids: np.ndarray, cap: int,

@@ -136,7 +136,24 @@ def _quant_cents_int8(cents):
     return q, s
 
 
-@functools.partial(jax.jit, static_argnames=("j", "sub", "step"))
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("j", "sub", "step"))
+def _choices_chunk(d_acc, i_acc, codes8, scales, cents8, cscale, cn2, c,
+                   *, j, sub, step):
+    """Route ONE row sub-chunk and write its [sub, j] preference lists
+    into the donated accumulators at output position c*sub."""
+    w = codes8.shape[1]
+    rows8 = lax.dynamic_slice(codes8, (c * (sub * step), 0), (sub, w))
+    s = lax.dynamic_slice(scales, (c * (sub * step),), (sub,))
+    di = jnp.dot(rows8, cents8.T, preferred_element_type=jnp.int32)
+    dots = di.astype(jnp.float32) * (s[:, None] * cscale[None, :])
+    negd, ids = lax.approx_max_k(-(cn2[None, :] - 2.0 * dots), j)
+    d_acc = lax.dynamic_update_slice(d_acc, -negd, (c * sub, 0))
+    i_acc = lax.dynamic_update_slice(i_acc, ids.astype(jnp.int32),
+                                     (c * sub, 0))
+    return d_acc, i_acc
+
+
 def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub, step=1):
     """[N, j] nearest-cell preference lists over the staged int8 corpus.
 
@@ -145,29 +162,30 @@ def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub, step=1):
     already absmax-127 quantized, the i32 products are exact, and the
     per-row/per-cell scales recover a ranking-grade distance proxy
     |c|^2 - 2 x.c.  approx_max_k extracts the preference lists — a 95%
-    recall miss still yields a near-nearest cell.  lax.map over row
-    sub-chunks bounds the [sub, K] f32 intermediate.
+    recall miss still yields a near-nearest cell.
+
+    HOST-chunked (async per-sub-chunk dispatches into donated [N, j]
+    accumulators), NOT a lax.map: a two-output approx_max_k inside a scan
+    makes XLA stack the [sub, 128] partial-reduce val+idx tables across
+    ALL iterations as one scan-wide temp — measured 8.0-8.6 GiB at 8M
+    rows via memory_analysis() regardless of sub (single-output bodies
+    cost ~0).  Per-chunk dispatch bounds the live temp to one chunk's
+    [sub, K] tables; enqueues overlap, so throughput is unchanged.
 
     ``step`` routes only every step-th sub-chunk (the half-sample refit
     rounds) by slicing the FULL staged corpus in place — materializing a
     strided half-copy costs 3.2 GB at 8M x 768, which pushed the build
     over HBM alongside the staged corpus + slot arrays."""
-    w = codes8.shape[1]
     n_sub = codes8.shape[0] // (sub * step)
-
-    def one(c):
-        rows8 = lax.dynamic_slice(codes8, (c * (sub * step), 0), (sub, w))
-        s = lax.dynamic_slice(scales, (c * (sub * step),), (sub,))
-        di = jnp.dot(rows8, cents8.T, preferred_element_type=jnp.int32)
-        dots = di.astype(jnp.float32) * (s[:, None] * cscale[None, :])
-        negd, ids = lax.approx_max_k(-(cn2[None, :] - 2.0 * dots), j)
-        # f32 lists ([N, j] is only 0.5 GB at 8M): an f16 cast would need
-        # overflow guards for unnormalized corpora and break the spill
-        # margin test's absolute-distance reconstruction
-        return -negd, ids.astype(jnp.int32)
-
-    d, i = lax.map(one, jnp.arange(n_sub, dtype=jnp.int32))
-    return d.reshape(-1, j), i.reshape(-1, j)
+    # f32 lists ([N, j] is only 0.5 GB at 8M): an f16 cast would need
+    # overflow guards for unnormalized corpora and break the spill
+    # margin test's absolute-distance reconstruction
+    d = jnp.zeros((n_sub * sub, j), jnp.float32)
+    i = jnp.zeros((n_sub * sub, j), jnp.int32)
+    for c in range(n_sub):
+        d, i = _choices_chunk(d, i, codes8, scales, cents8, cscale, cn2,
+                              jnp.int32(c), j=j, sub=sub, step=step)
+    return d, i
 
 
 # -------------------------------------------------------------------- assign
