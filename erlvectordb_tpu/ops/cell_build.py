@@ -631,23 +631,6 @@ def build_cells_streaming(
             continue
         if r > 0:
             del ch_d, ch_i          # prior round's tables (0.5-1 GB at 8M)
-        import os as _os2
-        if _os2.environ.get("EVDB_BUILD_MEMPROBE"):
-            _live = jax.live_arrays()
-            _blog(f"pre-choices live: {len(_live)} arrays, "
-                  f"{sum(a.size * a.dtype.itemsize for a in _live)/2**30:.2f}"
-                  " GiB")
-            # ascending: an alloc failure WEDGES the session, so the first
-            # failure is the last useful datapoint anyway
-            for _gib in (1, 2, 3, 4, 6, 8):
-                try:
-                    _t = jnp.zeros((_gib << 30,), jnp.int8)
-                    jax.block_until_ready(_t)
-                    del _t
-                    _blog(f"pre-choices probe alloc {_gib} GiB: ok")
-                except Exception:  # noqa: BLE001
-                    _blog(f"pre-choices probe alloc {_gib} GiB: FAILED")
-                    break
         ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale, cn2,
                                   j=jj, sub=sub)
         jax.block_until_ready(ch_d)    # temp-arena barrier (see above)
@@ -743,45 +726,9 @@ def build_cells_streaming(
     _blog("encoded", out_norms)
     t_encode = time.perf_counter()
 
-    import os as _os
-    if _os.environ.get("EVDB_BUILD_DIAG"):
-        _live = jax.live_arrays()
-        _blog(f"live arrays: {len(_live)}, "
-              f"{sum(a.size * a.dtype.itemsize for a in _live) / 2**30:.2f}"
-              " GiB (client view)")
-        try:
-            np.asarray(counts_dev)
-            _blog("pre-clear counts read ok")
-        except Exception as e:  # noqa: BLE001
-            _blog(f"pre-clear counts read FAILED {type(e).__name__}")
-            jax.clear_caches()
-            import gc as _gc
-            _gc.collect()
-            try:
-                np.asarray(counts_dev)
-                _blog("POST-clear counts read ok — executable retention")
-            except Exception as e2:  # noqa: BLE001
-                _blog(f"post-clear read still FAILED {type(e2).__name__}")
-        try:
-            ms = jax.devices()[0].memory_stats() or {}
-            _blog("memstats " + str({kk: vv for kk, vv in ms.items()
-                                     if "bytes" in kk}))
-        except Exception as e:  # noqa: BLE001
-            _blog(f"memstats unavailable: {e!r}")
-        for _nm, _arr in [("out_valid", out_valid), ("out_norms", out_norms),
-                          ("cents", cents), ("n_dumped", n_dumped),
-                          ("counts_dev", counts_dev)]:
-            try:
-                np.asarray(_arr)
-                _blog(f"read {_nm} ok")
-            except Exception as e:  # noqa: BLE001
-                _blog(f"read {_nm} FAILED {type(e).__name__}: {e}")
     counts = np.zeros((k_total,), np.int64)            # [K] readback, ~100 KB
-    if _os.environ.get("EVDB_SKIP_COUNTS"):            # diagnostic only
-        dumped = -1
-    else:
-        counts[:k_real] = np.asarray(counts_dev)
-        dumped = int(n_dumped)
+    counts[:k_real] = np.asarray(counts_dev)
+    dumped = int(n_dumped)
     stats = {
         "n": n,
         "n_cells": k_total,
