@@ -113,9 +113,12 @@ def _top_choices_all(data, centroids, *, j, chunk):
     npad_rows = dp.shape[0]
     dists = jnp.zeros((npad_rows, j), jnp.float16)
     ids = jnp.zeros((npad_rows, j), id_t)
+    # device-resident chunk indices: a host scalar per dispatch costs a
+    # tunnel H2D round-trip each — see cell_build._choices_all
+    cis = jnp.arange(npad_rows // chunk, dtype=jnp.int32)
     for ci in range(npad_rows // chunk):
         dists, ids = _top_choices_chunk(
-            dists, ids, dp, centroids, cn, dscale, jnp.int32(ci),
+            dists, ids, dp, centroids, cn, dscale, cis[ci],
             j=j, chunk=chunk)
     return dists[:n], ids[:n]
 

@@ -182,9 +182,12 @@ def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub, step=1):
     # margin test's absolute-distance reconstruction
     d = jnp.zeros((n_sub * sub, j), jnp.float32)
     i = jnp.zeros((n_sub * sub, j), jnp.int32)
+    # chunk indices live on DEVICE: a host jnp.int32(c) per dispatch is a
+    # tunnel H2D round-trip each (~ms), which dominated the warm assign
+    cs = jnp.arange(n_sub, dtype=jnp.int32)
     for c in range(n_sub):
         d, i = _choices_chunk(d, i, codes8, scales, cents8, cscale, cn2,
-                              jnp.int32(c), j=j, sub=sub, step=step)
+                              cs[c], j=j, sub=sub, step=step)
     return d, i
 
 
@@ -672,6 +675,8 @@ def build_cells_streaming(
                             base=counts_dev)
         del sc_cell, sc_d, sc_ok
         jax.block_until_ready(sp_pos)       # barrier: choices' last user
+        _blog("spill-routed")
+    t_spill = time.perf_counter()
     del ch_d, ch_i                          # ~1.1 GB back pre-scatter
     # barrier before the biggest single allocation of the build (~7 GB at
     # 8M x 768): pending position-sort scratch must drain first, and the
@@ -698,6 +703,7 @@ def build_cells_streaming(
     # output allocation would stack on top of both copies
     jax.block_until_ready(slot_pm)
     _blog("scattered", slot_sc)
+    t_scatter = time.perf_counter()
     del codes8, scales, norms               # free the staged corpus (HBM)
     if sp_owner is not None:
         # counted AFTER the barrier + corpus free: at 8M x 768 the scatter
@@ -740,7 +746,9 @@ def build_cells_streaming(
         "stage_s": round(t_stage - t_start, 3),
         "kmeans_s": round(t_seed - t_stage, 3),
         "assign_s": round(t_assign - t_seed, 3),
-        "encode_s": round(t_encode - t_assign, 3),
+        "spill_s": round(t_spill - t_assign, 3),
+        "scatter_s": round(t_scatter - t_spill, 3),
+        "encode_s": round(t_encode - t_scatter, 3),
         "total_s": round(t_encode - t_start, 3),
         "vec_per_sec": round(n / max(t_encode - t_start, 1e-9), 1),
     }
