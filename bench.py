@@ -1289,20 +1289,23 @@ def bench_config10(quick: bool) -> dict:
 
     int4r_curve = {}
     n_cells_a = int(store._centroids.shape[0])
-    # the "ceiling" probes EVERY cell: the quantization limit of the int4
-    # residual codes themselves, with full-precision f32 scoring of the
-    # decoded values.  (The packed full-scan path ranks by bit-packed
+    # the "ceiling" is a DEEP probe (512 cells): the quantization limit
+    # of the int4 residual codes themselves, with full-precision f32
+    # scoring of the decoded values — the curve plateaus two octaves
+    # earlier, and nprobe in the tens of thousands crashes the remote
+    # TPU compiler.  (The packed full-scan path ranks by bit-packed
     # score keys whose ~13 usable mantissa bits collapse on near-tie
     # manifold corpora — 0.59 recall at 8M vs 0.94 via multiprobe — so it
     # is recorded separately as packed_scan_recall, not as the ceiling.)
-    for nprobe in (8, 16, 32, 64, 128, n_cells_a):
+    deep = min(n_cells_a, 512)
+    for nprobe in (8, 16, 32, 64, 128, deep):
         if nprobe > n_cells_a:
             break
         t = store.search_batch_submit(queries, k=k, nprobe=nprobe)
         _, rows, _ = store.search_batch_complete_raw(t)
         r = round(recall_rows(rows, gt_rows), 4)
         int4r_curve[str(nprobe)] = r
-    int4r_ceiling = int4r_curve[str(n_cells_a)]
+    int4r_ceiling = int4r_curve[str(deep)]
     t = store.search_batch_submit(queries, k=k)
     _, rows, _ = store.search_batch_complete_raw(t)
     int4r_packed_scan = round(recall_rows(rows, gt_rows), 4)

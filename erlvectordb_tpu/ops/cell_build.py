@@ -137,20 +137,30 @@ def _quant_cents_int8(cents):
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("j", "sub", "step"))
+                   static_argnames=("j", "sub", "step", "g"))
 def _choices_chunk(d_acc, i_acc, codes8, scales, cents8, cscale, cn2, c,
-                   *, j, sub, step):
-    """Route ONE row sub-chunk and write its [sub, j] preference lists
-    into the donated accumulators at output position c*sub."""
+                   *, j, sub, step, g=1):
+    """Route ``g`` row sub-chunks (indices c*g .. c*g+g-1) and write their
+    [sub, j] preference lists into the donated accumulators.
+
+    ``g`` amortizes the per-program launch overhead of the tunneled
+    runtime (~15 ms per dispatch regardless of size — 1536 launches cost
+    24 s of a 27 s warm 8M build at g=1).  The g blocks are UNROLLED, not
+    scanned: a scanned two-output approx_max_k stacks its partial-reduce
+    tables across iterations (see _choices_all); unrolled blocks are
+    sequenced by the accumulator dependency chain, so XLA reuses one
+    block's temp buffers for the next."""
     w = codes8.shape[1]
-    rows8 = lax.dynamic_slice(codes8, (c * (sub * step), 0), (sub, w))
-    s = lax.dynamic_slice(scales, (c * (sub * step),), (sub,))
-    di = jnp.dot(rows8, cents8.T, preferred_element_type=jnp.int32)
-    dots = di.astype(jnp.float32) * (s[:, None] * cscale[None, :])
-    negd, ids = lax.approx_max_k(-(cn2[None, :] - 2.0 * dots), j)
-    d_acc = lax.dynamic_update_slice(d_acc, -negd, (c * sub, 0))
-    i_acc = lax.dynamic_update_slice(i_acc, ids.astype(jnp.int32),
-                                     (c * sub, 0))
+    for gi in range(g):
+        ci = c * g + gi
+        rows8 = lax.dynamic_slice(codes8, (ci * (sub * step), 0), (sub, w))
+        s = lax.dynamic_slice(scales, (ci * (sub * step),), (sub,))
+        di = jnp.dot(rows8, cents8.T, preferred_element_type=jnp.int32)
+        dots = di.astype(jnp.float32) * (s[:, None] * cscale[None, :])
+        negd, ids = lax.approx_max_k(-(cn2[None, :] - 2.0 * dots), j)
+        d_acc = lax.dynamic_update_slice(d_acc, -negd, (ci * sub, 0))
+        i_acc = lax.dynamic_update_slice(i_acc, ids.astype(jnp.int32),
+                                         (ci * sub, 0))
     return d_acc, i_acc
 
 
@@ -182,12 +192,15 @@ def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub, step=1):
     # margin test's absolute-distance reconstruction
     d = jnp.zeros((n_sub * sub, j), jnp.float32)
     i = jnp.zeros((n_sub * sub, j), jnp.int32)
+    # g sub-chunks per program launch (largest of 8/4/2/1 dividing n_sub):
+    # per-launch overhead through the tunnel is ~15 ms regardless of size
+    g = next(gg for gg in (8, 4, 2, 1) if n_sub % gg == 0)
     # chunk indices live on DEVICE: a host jnp.int32(c) per dispatch is a
     # tunnel H2D round-trip each (~ms), which dominated the warm assign
-    cs = jnp.arange(n_sub, dtype=jnp.int32)
-    for c in range(n_sub):
+    cs = jnp.arange(n_sub // g, dtype=jnp.int32)
+    for c in range(n_sub // g):
         d, i = _choices_chunk(d, i, codes8, scales, cents8, cscale, cn2,
-                              cs[c], j=j, sub=sub, step=step)
+                              cs[c], j=j, sub=sub, step=step, g=g)
     return d, i
 
 
