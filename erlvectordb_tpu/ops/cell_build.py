@@ -71,6 +71,15 @@ def _blog(msg: str, probe=None) -> None:
         print(f"[cell_build +{time.perf_counter():.1f}s] {msg}{tag}",
               file=sys.stderr, flush=True)
 
+def _bsync(msg: str, arr) -> None:
+    """EVDB_BUILD_LOG=1: barrier + timestamped trace for phase
+    attribution.  No-op (not even a sync) when logging is off."""
+    import os
+    if os.environ.get("EVDB_BUILD_LOG"):
+        jax.block_until_ready(arr)
+        _blog(msg)
+
+
 _NEG = -1e30
 _INF = jnp.inf
 
@@ -207,51 +216,35 @@ def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub, step=1):
 # -------------------------------------------------------------------- assign
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("k", "cap", "j", "n_buckets", "dump"))
-def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
-                     fill0=None, dump=True):
-    """Capacity-constrained greedy assignment, EXACT closest-first.
+def _make_round_body(chd, ch_i, row_valid, *, k, cap, j):
+    """(cond, body) for one greedy acceptance round at chd's row count.
 
-    Round r: every unassigned row proposes its ptr-th choice cell.  All
-    active proposals are sorted by (cell, distance) — one 2-key lax.sort,
-    measured ~54 ms at 8M rows on v5e — and each cell accepts its closest
-    proposals up to remaining capacity (rank-within-cell < remaining).  A
-    rejected row genuinely lost to closer rows, so its target cell is now
-    full and it advances down its preference list; with capacity slack the
-    bulk of rows land in rounds 1-2 and the while_loop exits early.  (An
-    earlier histogram-bucketed variant advanced every row in a cell's
-    cutoff BUCKET even when slots remained — under clustered contention
-    that burned whole preference lists and dumped ~half the corpus.)
-
-    Rows exhausting all j choices are dumped into cells with space via a
-    prefix-sum over remaining capacities (arbitrary placement; with >= 25%
-    capacity slack and j >= 16 this is ~0 rows — reported in stats so a
-    degenerate geometry is visible).  ``dump=False`` skips that pass (spill
-    rounds: an unplaced secondary copy is simply not spilled); ``fill0``
-    seeds per-cell occupancy (spill rounds start from the primary fill).
-
-    ``n_buckets`` is kept for call-site compatibility (unused).
-
-    Returns (owner [N] int32 in [0, k), or k for invalid/unplaced rows;
-    n_unplaced scalar)."""
-    del n_buckets
-    n = ch_d.shape[0]
-    chd = ch_d.astype(jnp.float32)
+    Shared by the full-size round-1 program and the compacted tail
+    program — identical acceptance semantics at both sizes."""
+    n = chd.shape[0]
     rows_idx = jnp.arange(n, dtype=jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
-
-    def cond_(state):
-        _, _, _, rnd, n_act = state
-        return (n_act > 0) & (rnd < j)
+    packed = k < 32768
+    if packed:
+        dmin = jnp.min(chd)
+        dspan = jnp.maximum(jnp.max(chd) - dmin, 1e-20)
 
     def body_(state):
         owner, ptr, fill, rnd, _ = state
         act = (owner < 0) & (ptr < j) & row_valid
         pc = jnp.clip(ptr, 0, j - 1)
         cell = jnp.where(act, ch_i[rows_idx, pc], k)
-        dist = jnp.where(act, chd[rows_idx, pc], _INF)
-        sc, _, sr = lax.sort((cell, dist, rows_idx), num_keys=2)
+        if packed:
+            dist = chd[rows_idx, pc]
+            dq = jnp.where(act, jnp.clip(
+                (dist - dmin) / dspan * 65534.0, 0, 65534)
+                .astype(jnp.int32), 65535)
+            key = cell * 65536 + dq
+            skey, sr = lax.sort((key, rows_idx), num_keys=1)
+            sc = skey >> 16
+        else:
+            dist = jnp.where(act, chd[rows_idx, pc], _INF)
+            sc, _, sr = lax.sort((cell, dist, rows_idx), num_keys=2)
         starts = jnp.searchsorted(sc, jnp.arange(k + 1, dtype=jnp.int32))
         rank = iota - starts[jnp.clip(sc, 0, k)]
         rem = jnp.append(jnp.maximum(cap - fill, 0), 0)    # dummy cell: 0
@@ -267,17 +260,77 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
                         .astype(jnp.int32))
         return owner, ptr, fill, rnd + 1, n_act
 
-    owner0 = jnp.full((n,), -1, jnp.int32)
-    ptr0 = jnp.zeros((n,), jnp.int32)
-    fill_init = (jnp.zeros((k,), jnp.int32) if fill0 is None
-                 else fill0.astype(jnp.int32))
-    n_act0 = jnp.sum(row_valid.astype(jnp.int32))
-    owner, _, fill, _, _ = lax.while_loop(
-        cond_, body_, (owner0, ptr0, fill_init, jnp.int32(0), n_act0))
+    return body_
 
+
+@functools.partial(jax.jit, donate_argnums=(3, 4),
+                   static_argnames=("k", "cap", "j", "max_rounds", "n_stop"))
+def _assign_rounds(ch_d, ch_i, row_valid, owner0, ptr0, fill_init,
+                   *, k, cap, j, max_rounds, n_stop):
+    """Up to ``max_rounds`` full-size acceptance rounds.
+
+    ``fill_init`` is NOT donated: spill rounds pass the caller's live
+    per-cell occupancy (counts_dev), which they keep using afterwards."""
+    chd = ch_d.astype(jnp.float32)
+    body_ = _make_round_body(chd, ch_i, row_valid, k=k, cap=cap, j=j)
+
+    def cond_(state):
+        _, _, _, rnd, n_act = state
+        return (n_act > n_stop) & (rnd < max_rounds)
+
+    n_act0 = jnp.sum(row_valid.astype(jnp.int32))
+    owner, ptr, fill, _, n_act = lax.while_loop(
+        cond_, body_, (owner0, ptr0, fill_init, jnp.int32(0), n_act0))
+    return owner, ptr, fill, n_act
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
+                   static_argnames=("m", "k", "cap", "j", "max_rounds",
+                                    "n_stop"))
+def _assign_tail(owner, ptr, fill, ch_d, ch_i, row_valid, n_act,
+                 *, m, k, cap, j, max_rounds, n_stop):
+    """Up to ``max_rounds`` rounds on the COMPACTED active tail.
+
+    After the full-size rounds, typically < 15% of rows are still
+    unassigned, but each further full-size round re-sorts all N
+    proposals — the sort dominated the whole build at 8M rows (16 rounds
+    x 0.85 s).  Compacting the active rows into an [m]-row buffer runs
+    the remaining rounds at tail size; owners and ptrs scatter back so
+    the host can re-compact into an even smaller buffer as the tail
+    drains (the active count shrinks ~5-10x every few rounds)."""
+    n = owner.shape[0]
+    rows_idx = jnp.arange(n, dtype=jnp.int32)
+    act = (owner < 0) & (ptr < j) & row_valid
+    pos = jnp.cumsum(act.astype(jnp.int32)) - 1
+    idx = jnp.zeros((m,), jnp.int32).at[
+        jnp.where(act, pos, m)].set(rows_idx, mode="drop")
+    live = jnp.arange(m, dtype=jnp.int32) < n_act
+    chd_c = ch_d[idx].astype(jnp.float32)
+    chi_c = ch_i[idx]
+    ptr_c = jnp.where(live, ptr[idx], j)
+    body_ = _make_round_body(chd_c, chi_c, live, k=k, cap=cap, j=j)
+
+    def cond_(state):
+        _, _, _, rnd, n_act_c = state
+        return (n_act_c > n_stop) & (rnd < max_rounds)
+
+    owner_c, ptr_c, fill, _, n_act = lax.while_loop(
+        cond_, body_, (jnp.full((m,), -1, jnp.int32), ptr_c, fill,
+                       jnp.int32(0), n_act))
+    placed = live & (owner_c >= 0) & (owner_c < k)
+    upd = jnp.where(placed, owner_c, owner[idx])
+    owner = owner.at[idx].set(jnp.where(live, upd, owner[idx]),
+                              mode="drop")
+    ptr = ptr.at[idx].set(jnp.where(live, ptr_c, ptr[idx]), mode="drop")
+    return owner, ptr, fill, n_act
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("k", "cap", "dump"))
+def _assign_finish(owner, fill, row_valid, *, k, cap, dump):
+    """Dump pass: unplaced rows -> cells with space (prefix-sum)."""
     left = (owner < 0) & row_valid
     if dump:
-        # exhausted rows -> cells with space (prefix-sum dump)
         space = jnp.maximum(cap - fill, 0)
         cum_space = jnp.cumsum(space)
         lrank = jnp.cumsum(left.astype(jnp.int32)) - 1
@@ -289,6 +342,80 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     else:
         owner = jnp.where(owner < 0, k, owner)
     return owner, jnp.sum(left.astype(jnp.int32))
+
+
+def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
+                     fill0=None, dump=True, stop_frac=1 / 4096):
+    """Capacity-constrained greedy assignment, closest-first.
+
+    Round r: every unassigned row proposes its ptr-th choice cell.  All
+    active proposals are sorted by (cell, distance) and each cell accepts
+    its closest proposals up to remaining capacity (rank-within-cell <
+    remaining).  A rejected row genuinely lost to closer rows, so its
+    target cell is now full and it advances down its preference list;
+    with capacity slack the bulk of rows land in rounds 1-2 and the
+    while_loop exits early.  (An earlier histogram-bucketed variant
+    advanced every row in a cell's cutoff BUCKET even when slots
+    remained — under clustered contention that burned whole preference
+    lists and dumped ~half the corpus.)
+
+    For k < 32768 the sort key is PACKED into one int32 — cell in the
+    high 15 bits, the distance globally quantized to 16 bits below —
+    which halves the per-round sort cost (the sort dominates the whole
+    assign phase at 8M rows).  Within-cell order is then closest-first up
+    to 1/65534 of the global distance span; ties break arbitrarily, which
+    is already true of the f32 distances the int8 routing produces.
+
+    The loop also stops once fewer than ``stop_frac * n`` rows remain
+    active (a straggler tail of contended rows otherwise drags the loop
+    through all j full-size sort rounds for < 0.1% of the corpus); the
+    stragglers take the dump path below.  Pass ``stop_frac=0`` for the
+    exact exhaustive behavior.
+
+    Rows exhausting all j choices are dumped into cells with space via a
+    prefix-sum over remaining capacities (arbitrary placement; reported
+    in stats so a degenerate geometry is visible).  ``dump=False`` skips
+    that pass (spill rounds: an unplaced secondary copy is simply not
+    spilled); ``fill0`` seeds per-cell occupancy (spill rounds start from
+    the primary fill).
+
+    ``n_buckets`` is kept for call-site compatibility (unused).
+
+    Large inputs (> 1M rows, j > 1) run ONE full-size round, read back
+    the active count (one scalar), then finish on the compacted tail
+    (_assign_tail) — identical acceptance semantics, ~4x faster at 8M.
+
+    Returns (owner [N] int32 in [0, k), or k for invalid/unplaced rows;
+    n_unplaced scalar)."""
+    del n_buckets
+    n = ch_d.shape[0]
+    n_stop = int(n * stop_frac)
+    owner0 = jnp.full((n,), -1, jnp.int32)
+    ptr0 = jnp.zeros((n,), jnp.int32)
+    fill_init = (jnp.zeros((k,), jnp.int32) if fill0 is None
+                 else fill0.astype(jnp.int32))
+
+    if n <= (1 << 20) or j <= 1:
+        owner, ptr, fill, _ = _assign_rounds(
+            ch_d, ch_i, row_valid, owner0, ptr0, fill_init,
+            k=k, cap=cap, j=j, max_rounds=j, n_stop=n_stop)
+        return _assign_finish(owner, fill, row_valid, k=k, cap=cap,
+                              dump=dump)
+
+    owner, ptr, fill, n_act = _assign_rounds(
+        ch_d, ch_i, row_valid, owner0, ptr0, fill_init,
+        k=k, cap=cap, j=j, max_rounds=2, n_stop=0)
+    na = int(n_act)                      # one scalar readback per level
+    rounds_left = j - 2
+    while na > n_stop and rounds_left > 0:
+        m = next(n // f for f in (64, 16, 4, 1) if na <= n // f)
+        r_t = min(4, rounds_left)
+        owner, ptr, fill, n_act = _assign_tail(
+            owner, ptr, fill, ch_d, ch_i, row_valid, n_act,
+            m=m, k=k, cap=cap, j=j, max_rounds=r_t, n_stop=n_stop)
+        rounds_left -= r_t
+        na = int(n_act)
+    return _assign_finish(owner, fill, row_valid, k=k, cap=cap, dump=dump)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "sub", "step"))
@@ -636,8 +763,10 @@ def build_cells_streaming(
             # corpus in place — no strided half-copy (3.2 GB at 8M x 768)
             ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale,
                                       cn2, j=jj, sub=sub, step=2)
+            _bsync(f"r{r} half-choices", ch_d)
             owner_h, _ = _assign_capacity(
                 ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb)
+            _bsync(f"r{r} half-assign", owner_h)
             cents = _refit_centroids(codes8, scales, owner_h, cents,
                                      k=k_real, sub=sub, step=2)
             # per-round barrier: XLA temp arenas allocate at ENQUEUE, so
@@ -650,9 +779,11 @@ def build_cells_streaming(
         ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale, cn2,
                                   j=jj, sub=sub)
         jax.block_until_ready(ch_d)    # temp-arena barrier (see above)
+        _blog(f"r{r} full-choices")
         owner, n_dumped = _assign_capacity(
             ch_d, ch_i, row_valid, k=k_real, cap=cell_cap, j=jj,
             n_buckets=nb)
+        _bsync(f"r{r} full-assign", owner)
         if r < refits:
             cents = _refit_centroids(codes8, scales, owner, cents,
                                      k=k_real, sub=sub)
