@@ -183,13 +183,22 @@ def _perm_map(perm, rows):
 
 @jax.jit
 def _pack_results(dists, rows):
-    """Fuse (dists f32, rows int32) into ONE [B, 2k] f32 array (rows
-    bitcast).  Every np.asarray readback costs a full link round-trip on
-    tunneled rigs (~30-60 ms here); packing halves the per-search readbacks
-    — the single largest controllable term in one-query serving latency."""
+    """Fuse (dists f32, rows int32) into ONE f32 array for a single
+    device->host readback.  Every np.asarray readback costs a full link
+    round-trip on tunneled rigs (~30-60 ms here); packing halves the
+    per-search readbacks — the single largest controllable term in
+    one-query serving latency.
+
+    Rows ride as exact f32 VALUES, not bitcasts: on the tunneled v5e
+    backend a concatenated bitcast half reads back as zeros for sub-tile
+    shapes (measured: [8, 32] and [1, 32] corrupt, [64, 32] fine), and
+    f32 holds integers exactly only below 2^24 — so stores above 2^24
+    rows split each row index into two f32 columns (hi 12 bits, lo 12
+    bits), [B, 3k] instead of [B, 2k]."""
+    rows = rows.astype(jnp.int32)
     return jnp.concatenate(
-        [dists, lax.bitcast_convert_type(rows.astype(jnp.int32),
-                                         jnp.float32)], axis=1)
+        [dists, (rows >> 12).astype(jnp.float32),
+         (rows & 0xFFF).astype(jnp.float32)], axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("width",))
@@ -257,7 +266,7 @@ class SearchTicket:
     #                    mapped slot->original ON DEVICE, so ids are
     #                    str(row) directly (valid even if the store
     #                    materializes host tables before completion)
-    packed: Any = None  # [B, 2*kb] f32 fused (dists | bitcast rows) device
+    packed: Any = None  # [B, 3*kb] f32 fused (dists | row-hi | row-lo) device
     #                    array: completion reads ONE array back (one link
     #                    RTT) instead of two — see _pack_results
 
@@ -1102,12 +1111,15 @@ class VectorStore:
         return dists_np, rows_np, ids
 
     def _readback(self, t: SearchTicket):
-        """One fused device->host readback per ticket (dists | bitcast rows
-        packed by _finish_ticket), trimmed to the real query count."""
+        """One fused device->host readback per ticket ([dists | row-hi |
+        row-lo] f32 packed by _finish_ticket), trimmed to the real query
+        count."""
         if t.packed is not None:
             arr = np.asarray(t.packed)[: t.nq]
-            return (arr[:, : t.kb],
-                    np.ascontiguousarray(arr[:, t.kb:]).view(np.int32))
+            kb = t.kb
+            rows = (arr[:, kb:2 * kb].astype(np.int64) * 4096
+                    + arr[:, 2 * kb:3 * kb].astype(np.int64))
+            return arr[:, :kb], rows.astype(np.int32)
         return np.asarray(t.dists)[: t.nq], np.asarray(t.rows)[: t.nq]
 
     def _map_results(self, dists_np, rows_np, k, kb, rows_are_orig=False,

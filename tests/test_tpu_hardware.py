@@ -91,3 +91,23 @@ def test_sharded_fused_on_tpu(rng):
     data = rng.standard_normal((8192, 768)).astype(np.float32)
     sh = ShardedVectorStore.from_matrix("shtpu", mesh, data, dtype="int8")
     assert sh.search(data[77], k=1)[0][0] == "77"
+
+
+@requires_tpu
+@pytest.mark.parametrize("bq", [1, 2, 8])
+def test_small_batch_rows_on_tpu(rng, bq):
+    """Small-batch fused readback returns CORRECT row indices.
+
+    Regression: on the tunneled v5e backend, the old (dists | bitcast
+    rows) pack read back ZEROS for the rows half at sub-tile shapes
+    ([8, 32] corrupt, [64, 32] fine) — every small-batch search returned
+    id "0" for every hit while distances stayed correct, so only an
+    id-checking test catches it.  The pack now carries rows as exact f32
+    values (hi/lo 12-bit columns) — see core/store.py::_pack_results."""
+    from erlvectordb_tpu.core.store import VectorStore
+
+    data = rng.standard_normal((20000, 100)).astype(np.float32)
+    store = VectorStore.from_matrix(f"smallb_{bq}", data, dtype="int8")
+    res = store.search_batch(data[17:17 + bq], k=5)
+    for i in range(bq):
+        assert res[i][0][0] == str(17 + i), res[i][:2]
