@@ -764,8 +764,13 @@ def build_cells_streaming(
             ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale,
                                       cn2, j=jj, sub=sub, step=2)
             _bsync(f"r{r} half-choices", ch_d)
+            # dump=False: the half-round owners feed ONLY the refit means —
+            # arbitrarily dump-placed stragglers would pollute them, and
+            # excluding the contended tail (looser stop) both cleans the
+            # means and skips its sort rounds
             owner_h, _ = _assign_capacity(
-                ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb)
+                ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb,
+                dump=False, stop_frac=1 / 256)
             _bsync(f"r{r} half-assign", owner_h)
             cents = _refit_centroids(codes8, scales, owner_h, cents,
                                      k=k_real, sub=sub, step=2)
