@@ -216,11 +216,17 @@ def _choices_all(codes8, scales, cents8, cscale, cn2, *, j, sub, step=1):
 # -------------------------------------------------------------------- assign
 
 
-def _make_round_body(chd, ch_i, row_valid, *, k, cap, j):
-    """(cond, body) for one greedy acceptance round at chd's row count.
+def _make_round_body(chd, ch_i, row_valid, *, k, cap, j, r0=0):
+    """Acceptance-round body shared by the full-size and compacted-tail
+    programs — identical semantics at both sizes.
 
-    Shared by the full-size round-1 program and the compacted tail
-    program — identical acceptance semantics at both sizes."""
+    INVARIANT: a row advances its preference pointer exactly once per
+    round it stays active (rejected), so at global round r every active
+    row proposes choice COLUMN r — the per-row [N]-gather of (cell,
+    dist) by pointer (2 x ~220 ms at 8.4M, the round's dominant cost)
+    becomes a free column slice, and no ptr array exists at all.  ``r0``
+    is the global round offset of this program's round 0 (compacted
+    tails resume mid-walk)."""
     n = chd.shape[0]
     rows_idx = jnp.arange(n, dtype=jnp.int32)
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -230,44 +236,44 @@ def _make_round_body(chd, ch_i, row_valid, *, k, cap, j):
         dspan = jnp.maximum(jnp.max(chd) - dmin, 1e-20)
 
     def body_(state):
-        owner, ptr, fill, rnd, _ = state
-        act = (owner < 0) & (ptr < j) & row_valid
-        pc = jnp.clip(ptr, 0, j - 1)
-        cell = jnp.where(act, ch_i[rows_idx, pc], k)
+        owner, fill, rnd, _ = state
+        act = (owner < 0) & row_valid
+        col = jnp.minimum(r0 + rnd, j - 1)
+        cell_col = lax.dynamic_slice_in_dim(ch_i, col, 1, axis=1)[:, 0]
+        dist_col = lax.dynamic_slice_in_dim(chd, col, 1, axis=1)[:, 0]
+        cell = jnp.where(act, cell_col, k)
         if packed:
-            dist = chd[rows_idx, pc]
             dq = jnp.where(act, jnp.clip(
-                (dist - dmin) / dspan * 65534.0, 0, 65534)
+                (dist_col - dmin) / dspan * 65534.0, 0, 65534)
                 .astype(jnp.int32), 65535)
             key = cell * 65536 + dq
             skey, sr = lax.sort((key, rows_idx), num_keys=1)
             sc = skey >> 16
         else:
-            dist = jnp.where(act, chd[rows_idx, pc], _INF)
+            dist = jnp.where(act, dist_col, _INF)
             sc, _, sr = lax.sort((cell, dist, rows_idx), num_keys=2)
         starts = jnp.searchsorted(sc, jnp.arange(k + 1, dtype=jnp.int32))
         rank = iota - starts[jnp.clip(sc, 0, k)]
         rem = jnp.append(jnp.maximum(cap - fill, 0), 0)    # dummy cell: 0
         acc_sorted = (sc < k) & (rank < rem[jnp.clip(sc, 0, k)])
-        accept = jnp.zeros((n,), bool).at[sr].set(acc_sorted)
-        accept = accept & act
-        owner = jnp.where(accept, cell, owner)
-        acc_cell = jnp.where(accept, cell, k)
+        # one scatter writes accepted owners in row order (mode=drop
+        # ignores the rejected lanes routed to index n)
+        owner = owner.at[jnp.where(acc_sorted, sr, n)].set(
+            jnp.where(acc_sorted, sc, 0).astype(jnp.int32), mode="drop")
         fill = fill + jax.ops.segment_sum(
-            jnp.ones((n,), jnp.int32), acc_cell, num_segments=k + 1)[:k]
-        ptr = ptr + (act & ~accept).astype(jnp.int32)
-        n_act = jnp.sum(((owner < 0) & (ptr < j) & row_valid)
-                        .astype(jnp.int32))
-        return owner, ptr, fill, rnd + 1, n_act
+            acc_sorted.astype(jnp.int32), jnp.clip(sc, 0, k),
+            num_segments=k + 1)[:k]
+        n_act = jnp.sum(((owner < 0) & row_valid).astype(jnp.int32))
+        return owner, fill, rnd + 1, n_act
 
     return body_
 
 
-@functools.partial(jax.jit, donate_argnums=(3, 4),
+@functools.partial(jax.jit, donate_argnums=(3,),
                    static_argnames=("k", "cap", "j", "max_rounds", "n_stop"))
-def _assign_rounds(ch_d, ch_i, row_valid, owner0, ptr0, fill_init,
+def _assign_rounds(ch_d, ch_i, row_valid, owner0, fill_init,
                    *, k, cap, j, max_rounds, n_stop):
-    """Up to ``max_rounds`` full-size acceptance rounds.
+    """Up to ``max_rounds`` full-size acceptance rounds (from round 0).
 
     ``fill_init`` is NOT donated: spill rounds pass the caller's live
     per-cell occupancy (counts_dev), which they keep using afterwards."""
@@ -275,54 +281,51 @@ def _assign_rounds(ch_d, ch_i, row_valid, owner0, ptr0, fill_init,
     body_ = _make_round_body(chd, ch_i, row_valid, k=k, cap=cap, j=j)
 
     def cond_(state):
-        _, _, _, rnd, n_act = state
+        _, _, rnd, n_act = state
         return (n_act > n_stop) & (rnd < max_rounds)
 
     n_act0 = jnp.sum(row_valid.astype(jnp.int32))
-    owner, ptr, fill, _, n_act = lax.while_loop(
-        cond_, body_, (owner0, ptr0, fill_init, jnp.int32(0), n_act0))
-    return owner, ptr, fill, n_act
+    owner, fill, rnd, n_act = lax.while_loop(
+        cond_, body_, (owner0, fill_init, jnp.int32(0), n_act0))
+    return owner, fill, rnd, n_act
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2),
-                   static_argnames=("m", "k", "cap", "j", "max_rounds",
-                                    "n_stop"))
-def _assign_tail(owner, ptr, fill, ch_d, ch_i, row_valid, n_act,
-                 *, m, k, cap, j, max_rounds, n_stop):
-    """Up to ``max_rounds`` rounds on the COMPACTED active tail.
+@functools.partial(jax.jit, donate_argnums=(0, 1),
+                   static_argnames=("m", "k", "cap", "j", "r0",
+                                    "max_rounds", "n_stop"))
+def _assign_tail(owner, fill, ch_d, ch_i, row_valid, n_act,
+                 *, m, k, cap, j, r0, max_rounds, n_stop):
+    """Up to ``max_rounds`` rounds on the COMPACTED active tail,
+    resuming the choice walk at global round ``r0``.
 
     After the full-size rounds, typically < 15% of rows are still
-    unassigned, but each further full-size round re-sorts all N
-    proposals — the sort dominated the whole build at 8M rows (16 rounds
-    x 0.85 s).  Compacting the active rows into an [m]-row buffer runs
-    the remaining rounds at tail size; owners and ptrs scatter back so
-    the host can re-compact into an even smaller buffer as the tail
-    drains (the active count shrinks ~5-10x every few rounds)."""
+    unassigned, but each further full-size round pays [N]-sized sorts
+    and scatters.  Compacting the active rows into an [m]-row buffer
+    runs the remaining rounds at tail size; owners scatter back, and the
+    host re-compacts into an even smaller buffer as the tail drains."""
     n = owner.shape[0]
     rows_idx = jnp.arange(n, dtype=jnp.int32)
-    act = (owner < 0) & (ptr < j) & row_valid
+    act = (owner < 0) & row_valid
     pos = jnp.cumsum(act.astype(jnp.int32)) - 1
     idx = jnp.zeros((m,), jnp.int32).at[
         jnp.where(act, pos, m)].set(rows_idx, mode="drop")
     live = jnp.arange(m, dtype=jnp.int32) < n_act
     chd_c = ch_d[idx].astype(jnp.float32)
     chi_c = ch_i[idx]
-    ptr_c = jnp.where(live, ptr[idx], j)
-    body_ = _make_round_body(chd_c, chi_c, live, k=k, cap=cap, j=j)
+    body_ = _make_round_body(chd_c, chi_c, live, k=k, cap=cap, j=j, r0=r0)
 
     def cond_(state):
-        _, _, _, rnd, n_act_c = state
+        _, _, rnd, n_act_c = state
         return (n_act_c > n_stop) & (rnd < max_rounds)
 
-    owner_c, ptr_c, fill, _, n_act = lax.while_loop(
-        cond_, body_, (jnp.full((m,), -1, jnp.int32), ptr_c, fill,
+    owner_c, fill, rnd, n_act = lax.while_loop(
+        cond_, body_, (jnp.full((m,), -1, jnp.int32), fill,
                        jnp.int32(0), n_act))
     placed = live & (owner_c >= 0) & (owner_c < k)
     upd = jnp.where(placed, owner_c, owner[idx])
     owner = owner.at[idx].set(jnp.where(live, upd, owner[idx]),
                               mode="drop")
-    ptr = ptr.at[idx].set(jnp.where(live, ptr_c, ptr[idx]), mode="drop")
-    return owner, ptr, fill, n_act
+    return owner, fill, rnd, n_act
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -348,29 +351,30 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
                      fill0=None, dump=True, stop_frac=1 / 4096):
     """Capacity-constrained greedy assignment, closest-first.
 
-    Round r: every unassigned row proposes its ptr-th choice cell.  All
-    active proposals are sorted by (cell, distance) and each cell accepts
-    its closest proposals up to remaining capacity (rank-within-cell <
-    remaining).  A rejected row genuinely lost to closer rows, so its
-    target cell is now full and it advances down its preference list;
-    with capacity slack the bulk of rows land in rounds 1-2 and the
-    while_loop exits early.  (An earlier histogram-bucketed variant
-    advanced every row in a cell's cutoff BUCKET even when slots
+    Round r: every unassigned row proposes its r-th choice cell (see
+    _make_round_body for why the pointer IS the round number).  All
+    active proposals are sorted by (cell, distance) and each cell
+    accepts its closest proposals up to remaining capacity
+    (rank-within-cell < remaining).  A rejected row genuinely lost to
+    closer rows, so its target cell is now full and it advances down its
+    preference list; with capacity slack the bulk of rows land in rounds
+    1-2 and the loop exits early.  (An earlier histogram-bucketed
+    variant advanced every row in a cell's cutoff BUCKET even when slots
     remained — under clustered contention that burned whole preference
     lists and dumped ~half the corpus.)
 
     For k < 32768 the sort key is PACKED into one int32 — cell in the
     high 15 bits, the distance globally quantized to 16 bits below —
-    which halves the per-round sort cost (the sort dominates the whole
-    assign phase at 8M rows).  Within-cell order is then closest-first up
-    to 1/65534 of the global distance span; ties break arbitrarily, which
-    is already true of the f32 distances the int8 routing produces.
+    which halves the per-round sort cost.  Within-cell order is then
+    closest-first up to 1/65534 of the global distance span; ties break
+    arbitrarily, which is already true of the f32 distances the int8
+    routing produces.
 
     The loop also stops once fewer than ``stop_frac * n`` rows remain
     active (a straggler tail of contended rows otherwise drags the loop
-    through all j full-size sort rounds for < 0.1% of the corpus); the
-    stragglers take the dump path below.  Pass ``stop_frac=0`` for the
-    exact exhaustive behavior.
+    through all j rounds for < 0.1% of the corpus); the stragglers take
+    the dump path below.  Pass ``stop_frac=0`` for the exact exhaustive
+    behavior.
 
     Rows exhausting all j choices are dumped into cells with space via a
     prefix-sum over remaining capacities (arbitrary placement; reported
@@ -381,9 +385,10 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
 
     ``n_buckets`` is kept for call-site compatibility (unused).
 
-    Large inputs (> 1M rows, j > 1) run ONE full-size round, read back
+    Large inputs (> 1M rows, j > 1) run two full-size rounds, read back
     the active count (one scalar), then finish on the compacted tail
-    (_assign_tail) — identical acceptance semantics, ~4x faster at 8M.
+    (_assign_tail) — identical acceptance semantics, several times
+    faster at 8M.
 
     Returns (owner [N] int32 in [0, k), or k for invalid/unplaced rows;
     n_unplaced scalar)."""
@@ -391,29 +396,29 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     n = ch_d.shape[0]
     n_stop = int(n * stop_frac)
     owner0 = jnp.full((n,), -1, jnp.int32)
-    ptr0 = jnp.zeros((n,), jnp.int32)
     fill_init = (jnp.zeros((k,), jnp.int32) if fill0 is None
                  else fill0.astype(jnp.int32))
 
     if n <= (1 << 20) or j <= 1:
-        owner, ptr, fill, _ = _assign_rounds(
-            ch_d, ch_i, row_valid, owner0, ptr0, fill_init,
+        owner, fill, _, _ = _assign_rounds(
+            ch_d, ch_i, row_valid, owner0, fill_init,
             k=k, cap=cap, j=j, max_rounds=j, n_stop=n_stop)
         return _assign_finish(owner, fill, row_valid, k=k, cap=cap,
                               dump=dump)
 
-    owner, ptr, fill, n_act = _assign_rounds(
-        ch_d, ch_i, row_valid, owner0, ptr0, fill_init,
+    owner, fill, rnd, n_act = _assign_rounds(
+        ch_d, ch_i, row_valid, owner0, fill_init,
         k=k, cap=cap, j=j, max_rounds=2, n_stop=0)
+    rounds_done = 2
     na = int(n_act)                      # one scalar readback per level
-    rounds_left = j - 2
-    while na > n_stop and rounds_left > 0:
+    while na > n_stop and rounds_done < j:
         m = next(n // f for f in (64, 16, 4, 1) if na <= n // f)
-        r_t = min(4, rounds_left)
-        owner, ptr, fill, n_act = _assign_tail(
-            owner, ptr, fill, ch_d, ch_i, row_valid, n_act,
-            m=m, k=k, cap=cap, j=j, max_rounds=r_t, n_stop=n_stop)
-        rounds_left -= r_t
+        r_t = min(4, j - rounds_done)
+        owner, fill, rnd_t, n_act = _assign_tail(
+            owner, fill, ch_d, ch_i, row_valid, n_act,
+            m=m, k=k, cap=cap, j=j, r0=rounds_done, max_rounds=r_t,
+            n_stop=n_stop)
+        rounds_done += r_t
         na = int(n_act)
     return _assign_finish(owner, fill, row_valid, k=k, cap=cap, dump=dump)
 
