@@ -253,9 +253,11 @@ def _make_round_body(chd, ch_i, row_valid, *, k, cap, j, r0=0):
             dist = jnp.where(act, dist_col, _INF)
             sc, _, sr = lax.sort((cell, dist, rows_idx), num_keys=2)
         starts = jnp.searchsorted(sc, jnp.arange(k + 1, dtype=jnp.int32))
-        rank = iota - starts[jnp.clip(sc, 0, k)]
         rem = jnp.append(jnp.maximum(cap - fill, 0), 0)    # dummy cell: 0
-        acc_sorted = (sc < k) & (rank < rem[jnp.clip(sc, 0, k)])
+        # rank-within-cell < remaining  <=>  sorted position < cutoff;
+        # one [N] gather of the fused cutoff instead of two (starts, rem)
+        cutoff = starts[:k + 1] + rem
+        acc_sorted = (sc < k) & (iota < cutoff[jnp.clip(sc, 0, k)])
         # one scatter writes accepted owners in row order (mode=drop
         # ignores the rejected lanes routed to index n)
         owner = owner.at[jnp.where(acc_sorted, sr, n)].set(
