@@ -402,6 +402,9 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
                  else fill0.astype(jnp.int32))
 
     if n <= (1 << 20) or j <= 1:
+        # (measured: compacting the j=1 spill round into the tail buffer
+        # is a net LOSS — the compaction's fixed [N] passes cost more
+        # than the smaller sort saves)
         owner, fill, _, _ = _assign_rounds(
             ch_d, ch_i, row_valid, owner0, fill_init,
             k=k, cap=cap, j=j, max_rounds=j, n_stop=n_stop)
