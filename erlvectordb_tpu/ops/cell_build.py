@@ -18,14 +18,16 @@ the TPU memory system:
           be 24.5 GB (over HBM); int8 is 6.1 GB and adds quantization noise
           ~16x below the int4 residual codes the build emits.
   seed    k-means centroids on a strided training sample (ops/kmeans.py).
-  route   [N, j] nearest-cell preference lists: chunked bf16 matmuls +
-          approx_max_k (lax.map bounds the [sub, K] f32 intermediate).
-  assign  capacity-constrained greedy, SORT-FREE: rounds of
-          histogram-threshold acceptance (see _assign_capacity) — each cell
-          accepts its closest proposals up to remaining capacity, rejected
-          rows walk down their own preference list.  Same acceptance rule
-          as the host greedy (core/ivf.py::_balanced_assign), but each
-          round is a segment-sum + cumsum instead of a global sort.
+  route   [N, j] nearest-cell preference lists: int8 MXU matmuls +
+          approx_max_k, one host-chunked dispatch per row sub-chunk into
+          donated accumulators (a scanned two-output approx_max_k stacks
+          8+ GB of partial-reduce tables — see _choices_all).
+  assign  capacity-constrained greedy, closest-first: rounds of
+          sorted acceptance (see _assign_capacity) — each cell accepts
+          its closest proposals up to remaining capacity, rejected rows
+          walk down their preference list (the round number IS the
+          pointer).  Two full-size rounds, then compacted-tail rounds at
+          1/4-1/64 size as the active set drains.
   refit   capacity-constrained Lloyd: refit each centroid to the members it
           actually got (segment-sums over the staged corpus), then
           re-route + re-assign.  Keeps residuals small at the slots rows
