@@ -418,6 +418,7 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
         k=k, cap=cap, j=j, max_rounds=2, n_stop=0)
     rounds_done = 2
     na = int(n_act)                      # one scalar readback per level
+    _blog(f"assign phase1: n_act={na}")
     while na > n_stop and rounds_done < j:
         m = next(n // f for f in (64, 16, 4, 1) if na <= n // f)
         r_t = min(4, j - rounds_done)
@@ -427,6 +428,7 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
             n_stop=n_stop)
         rounds_done += r_t
         na = int(n_act)
+        _blog(f"assign tail r0={rounds_done - r_t} m={m}: n_act={na}")
     return _assign_finish(owner, fill, row_valid, k=k, cap=cap, dump=dump)
 
 
@@ -776,13 +778,17 @@ def build_cells_streaming(
             ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale,
                                       cn2, j=jj, sub=sub, step=2)
             _bsync(f"r{r} half-choices", ch_d)
-            # dump=False: the half-round owners feed ONLY the refit means —
-            # arbitrarily dump-placed stragglers would pollute them, and
-            # excluding the contended tail (looser stop) both cleans the
-            # means and skips its sort rounds
+            # dump=True is LOAD-BEARING here: on contended corpora (raw
+            # k-means centroids over unstructured data) most rows exhaust
+            # their preference lists pre-refit, and excluding them from
+            # the means freezes the Lloyd feedback loop — measured at 8M
+            # iid-gaussian: dump=False left 3.6M of 4.2M half-rows
+            # unplaced, the refit barely moved, and the FINAL assign
+            # dumped 7.0M rows (vs 58k with dump=True).  The dump's
+            # arbitrary placements are what give every cell members to
+            # pull its mean toward uncovered data.
             owner_h, _ = _assign_capacity(
-                ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb,
-                dump=False, stop_frac=1 / 256)
+                ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb)
             _bsync(f"r{r} half-assign", owner_h)
             cents = _refit_centroids(codes8, scales, owner_h, cents,
                                      k=k_real, sub=sub, step=2)
