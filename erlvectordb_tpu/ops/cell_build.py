@@ -43,7 +43,6 @@ them, so build throughput is set by MXU/HBM rates, not the tunnel.
 from __future__ import annotations
 
 import functools
-import math
 import time
 from typing import Iterable, NamedTuple, Optional
 
@@ -413,7 +412,7 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
         return _assign_finish(owner, fill, row_valid, k=k, cap=cap,
                               dump=dump)
 
-    owner, fill, rnd, n_act = _assign_rounds(
+    owner, fill, _, n_act = _assign_rounds(
         ch_d, ch_i, row_valid, owner0, fill_init,
         k=k, cap=cap, j=j, max_rounds=2, n_stop=0)
     rounds_done = 2
@@ -422,7 +421,7 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     while na > n_stop and rounds_done < j:
         m = next(n // f for f in (64, 16, 4, 1) if na <= n // f)
         r_t = min(4, j - rounds_done)
-        owner, fill, rnd_t, n_act = _assign_tail(
+        owner, fill, _, n_act = _assign_tail(
             owner, fill, ch_d, ch_i, row_valid, n_act,
             m=m, k=k, cap=cap, j=j, r0=rounds_done, max_rounds=r_t,
             n_stop=n_stop)
