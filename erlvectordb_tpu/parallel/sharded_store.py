@@ -42,7 +42,7 @@ from erlvectordb_tpu.core.search import (
     int8_distances,
     pairwise_distances,
 )
-from erlvectordb_tpu.core.store import _next_pow2, _pad128
+from erlvectordb_tpu.core.store import _next_pow2, _pack_results, _pad128
 from erlvectordb_tpu.utils.hbm import prime_hbm
 from erlvectordb_tpu.utils.locks import RWLock
 from erlvectordb_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS
@@ -566,11 +566,22 @@ class ShardedVectorStore:
         with self._lock.read():
             return self._dispatch_locked(q, nq, k, metric, fmask)
 
+    def _readback(self, t):
+        """One fused device->host readback per ticket when the packed
+        array is present ([dists | row-hi | row-lo] f32, see
+        core.store._pack_results); two otherwise."""
+        if t.packed is not None:
+            arr = np.asarray(t.packed)[: t.nq]
+            kb = t.kb
+            rows = (arr[:, kb:2 * kb].astype(np.int64) * 4096
+                    + arr[:, 2 * kb:3 * kb].astype(np.int64))
+            return arr[:, :kb], rows.astype(np.int32)
+        return np.asarray(t.dists)[: t.nq], np.asarray(t.rows)[: t.nq]
+
     def search_batch_complete(self, t):
         if t.kb == 0 or t.dists is None:
             return [[] for _ in range(t.nq)]
-        dists_np = np.asarray(t.dists)[: t.nq]
-        rows_np = np.asarray(t.rows)[: t.nq]
+        dists_np, rows_np = self._readback(t)
         with self._lock.read():
             rows_np = self._remap_ticket_rows(rows_np, t)
             return self._map_results(dists_np, rows_np, t.k)
@@ -581,8 +592,9 @@ class ShardedVectorStore:
             return (np.zeros((t.nq, 0), np.float32),
                     np.zeros((t.nq, 0), np.int32), None)
         kk = min(t.k, np.shape(t.rows)[1])
-        dists_np = np.asarray(t.dists)[: t.nq, :kk]
-        rows_np = np.asarray(t.rows)[: t.nq, :kk]
+        dists_np, rows_np = self._readback(t)
+        dists_np = dists_np[:, :kk]
+        rows_np = rows_np[:, :kk]
         with self._lock.read():
             rows_now = self._remap_ticket_rows(rows_np, t)
             ids = self._ids_view().reshape(-1)[rows_now]
@@ -660,8 +672,11 @@ class ShardedVectorStore:
         aux = self._scales if self.dtype == "int8" else self._norms  # dummy for f32
         q_dev = jax.device_put(q, self._sharding(P(REPLICA_AXIS, None)))
         dists, rows = fn(self._vectors, aux, self._norms, valid, q_dev)
+        # fused single-readback pack (dists | row-hi | row-lo), same as
+        # the local store: completion pays ONE link round-trip, not two
         return SearchTicket(dists, rows, nq, k, kb,
-                            shard_cap=self._cap)
+                            shard_cap=self._cap,
+                            packed=_pack_results(dists, rows))
 
     # ------------------------------------------------------------ accessors
 
