@@ -253,13 +253,22 @@ class CellProbeIndex:
             super_route=self.super_route, child_cap=self.child_cap,
             sprobe=sprobe,
         )
+        # ONE fused device->host readback ([dists | row-hi | row-lo] f32,
+        # exact value-cast — see core.store._pack_results): each
+        # np.asarray costs a full link round-trip on tunneled rigs
+        from erlvectordb_tpu.core.store import _pack_results
+
         if self.row_map_dev is not None:
             dev_rows = _rows_to_store(self.row_map_dev, dev_rows)
-            dists = np.asarray(dists)
-            store_rows = np.asarray(dev_rows).astype(np.int64)
+        kk2 = dists.shape[1]
+        arr = np.asarray(_pack_results(dists, dev_rows))
+        dists = arr[:, :kk2]
+        raw_rows = (arr[:, kk2:2 * kk2].astype(np.int64) * 4096
+                    + arr[:, 2 * kk2:3 * kk2].astype(np.int64))
+        if self.row_map_dev is not None:
+            store_rows = raw_rows
         else:
-            dists = np.asarray(dists)
-            store_rows = self.row_map[np.asarray(dev_rows)]
+            store_rows = self.row_map[raw_rows]
         store_rows = np.where(np.isfinite(dists), store_rows, -1)
         if k_eff > k:
             from erlvectordb_tpu.ops.cell_probe import dedup_rows_topk
