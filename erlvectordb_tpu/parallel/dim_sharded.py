@@ -154,7 +154,8 @@ class DimShardedVectorStore(_VectorStore):
         # nprobe is validated away in search_batch_submit (dim-sharded
         # stores are never int4r), so it is always None here
         from erlvectordb_tpu.core.search import k_bucket
-        from erlvectordb_tpu.core.store import _next_pow2, _pad128
+        from erlvectordb_tpu.core.store import (_next_pow2, _pack_results,
+                                                _pad128)
 
         nq = q.shape[0]
         if self._vectors is None or self.count == 0 or k <= 0:
@@ -173,7 +174,9 @@ class DimShardedVectorStore(_VectorStore):
             valid = jnp.logical_and(valid, self._put(fmask))
         fn = _build(self.mesh, metric, kb)
         dists, rows = fn(self._vectors, self._norms, valid, self._put(q))
-        return _SearchTicket(dists, rows, nq, min(k, self.count), kb)
+        # fused single-readback pack, same as VectorStore (one link RTT)
+        return _SearchTicket(dists, rows, nq, min(k, self.count), kb,
+                             packed=_pack_results(dists, rows))
 
     def export_state(self) -> dict:
         state = super().export_state()
