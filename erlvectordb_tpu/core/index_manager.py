@@ -379,7 +379,12 @@ class IndexManager:
                 a["codes"], a["scales"], a["norms"], a["valid"],
                 jnp.asarray(qp), metric=store.metric, k=min(k, store.count),
             )
-            return self._rows_to_hits(store, np.asarray(dists)[0], np.asarray(rows)[0])
+            from erlvectordb_tpu.core.store import _pack_results
+            kk0 = dists.shape[1]
+            arr = np.asarray(_pack_results(dists, rows))  # one link RTT
+            rr = (arr[:, kk0:2 * kk0].astype(np.int64) * 4096
+                  + arr[:, 2 * kk0:3 * kk0].astype(np.int64))
+            return self._rows_to_hits(store, arr[0, :kk0], rr[0])
         # pq/opq: ADC scan over codes; artifact rows map code index -> row
         from erlvectordb_tpu.ops.adc import adc_search_exact_topk
 
@@ -394,8 +399,12 @@ class IndexManager:
         dists, idx = adc_search_exact_topk(
             a["codes"], cbk.codebooks, qj, k=kk
         )
-        dists = np.sqrt(np.maximum(np.asarray(dists)[0], 0.0))
-        rows = a["rows"][np.asarray(idx)[0]]
+        from erlvectordb_tpu.core.store import _pack_results
+        arr = np.asarray(_pack_results(dists, idx))      # one link RTT
+        ii = (arr[:, kk:2 * kk].astype(np.int64) * 4096
+              + arr[:, 2 * kk:3 * kk].astype(np.int64))
+        dists = np.sqrt(np.maximum(arr[0, :kk], 0.0))
+        rows = a["rows"][ii[0]]
         return self._rows_to_hits(store, dists, rows)
 
     # ----------------------------------------------------------- persistence
