@@ -55,10 +55,15 @@ from erlvectordb_tpu.ops.kmeans import kmeans_fit
 from erlvectordb_tpu.utils.hbm import prime_hbm
 
 
+_LOG_T0 = time.perf_counter()
+
+
 def _blog(msg: str, probe=None) -> None:
-    """EVDB_BUILD_LOG=1: phase-completion trace for HBM/OOM forensics.
-    ``probe`` (a small device array) additionally attempts a tiny D2H
-    transfer so the first phase whose readback wedges is identified."""
+    """EVDB_BUILD_LOG=1: phase-completion trace for HBM/OOM forensics,
+    timestamped relative to module import (perf_counter's raw epoch is
+    arbitrary — often system uptime).  ``probe`` (a small device array)
+    additionally attempts a tiny D2H transfer so the first phase whose
+    readback wedges is identified."""
     import os
     import sys
     if os.environ.get("EVDB_BUILD_LOG"):
@@ -69,8 +74,8 @@ def _blog(msg: str, probe=None) -> None:
                 tag = " [probe ok]"
             except Exception as e:  # noqa: BLE001
                 tag = f" [probe FAILED {type(e).__name__}]"
-        print(f"[cell_build +{time.perf_counter():.1f}s] {msg}{tag}",
-              file=sys.stderr, flush=True)
+        print(f"[cell_build +{time.perf_counter() - _LOG_T0:.1f}s]"
+              f" {msg}{tag}", file=sys.stderr, flush=True)
 
 def _bsync(msg: str, arr) -> None:
     """EVDB_BUILD_LOG=1: barrier + timestamped trace for phase
@@ -83,6 +88,11 @@ def _bsync(msg: str, arr) -> None:
 
 _NEG = -1e30
 _INF = jnp.inf
+
+# Inputs above this row count take the compacted-tail assignment path
+# (full-size rounds only for rounds 0-1).  Module-level so tests can
+# lower it and exercise the tail machinery at CPU-suite sizes.
+_TAIL_MIN_N = 1 << 20
 
 
 def _pad128(d: int) -> int:
@@ -230,11 +240,16 @@ def _make_round_body(chd, ch_i, row_valid, *, k, cap, j, r0=0):
     tails resume mid-walk)."""
     n = chd.shape[0]
     rows_idx = jnp.arange(n, dtype=jnp.int32)
-    iota = jnp.arange(n, dtype=jnp.int32)
     packed = k < 32768
     if packed:
-        dmin = jnp.min(chd)
-        dspan = jnp.maximum(jnp.max(chd) - dmin, 1e-20)
+        # quantization range over FINITE entries only: spill proposals
+        # encode ineligible rows as +inf, and an inf dspan would collapse
+        # every dq to 0 — acceptance would become arbitrary row order
+        # instead of closest-first
+        finite = jnp.isfinite(chd)
+        dmin = jnp.min(jnp.where(finite, chd, jnp.inf))
+        dmax = jnp.max(jnp.where(finite, chd, -jnp.inf))
+        dspan = jnp.maximum(dmax - dmin, 1e-20)
 
     def body_(state):
         owner, fill, rnd, _ = state
@@ -258,7 +273,7 @@ def _make_round_body(chd, ch_i, row_valid, *, k, cap, j, r0=0):
         # rank-within-cell < remaining  <=>  sorted position < cutoff;
         # one [N] gather of the fused cutoff instead of two (starts, rem)
         cutoff = starts[:k + 1] + rem
-        acc_sorted = (sc < k) & (iota < cutoff[jnp.clip(sc, 0, k)])
+        acc_sorted = (sc < k) & (rows_idx < cutoff[jnp.clip(sc, 0, k)])
         # one scatter writes accepted owners in row order (mode=drop
         # ignores the rejected lanes routed to index n)
         owner = owner.at[jnp.where(acc_sorted, sr, n)].set(
@@ -326,8 +341,10 @@ def _assign_tail(owner, fill, ch_d, ch_i, row_valid, n_act,
                        jnp.int32(0), n_act))
     placed = live & (owner_c >= 0) & (owner_c < k)
     upd = jnp.where(placed, owner_c, owner[idx])
-    owner = owner.at[idx].set(jnp.where(live, upd, owner[idx]),
-                              mode="drop")
+    # dead lanes (slots >= n_act) carry idx=0 — route them to index n
+    # (dropped) instead of writing the STALE owner[0] on top of row 0's
+    # real update (duplicate-index scatter order is undefined)
+    owner = owner.at[jnp.where(live, idx, n)].set(upd, mode="drop")
     return owner, fill, rnd, n_act
 
 
@@ -397,12 +414,15 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     n_unplaced scalar)."""
     del n_buckets
     n = ch_d.shape[0]
-    n_stop = int(n * stop_frac)
+    # single-round assigns (spill) must always RUN their round: the
+    # eligible-row count there is routinely below any stop fraction, and
+    # stopping before round 0 would silently drop every secondary copy
+    n_stop = 0 if j <= 1 else int(n * stop_frac)
     owner0 = jnp.full((n,), -1, jnp.int32)
     fill_init = (jnp.zeros((k,), jnp.int32) if fill0 is None
                  else fill0.astype(jnp.int32))
 
-    if n <= (1 << 20) or j <= 1:
+    if n <= _TAIL_MIN_N or j <= 1:
         # (measured: compacting the j=1 spill round into the tail buffer
         # is a net LOSS — the compaction's fixed [N] passes cost more
         # than the smaller sort saves)
@@ -765,8 +785,13 @@ def build_cells_streaming(
     # and the full route+assign pass is the build's dominant cost
     half_ok = refit_sample < 1.0 and npad >= 4 * sub
     if half_ok:
-        # rows in odd sub-chunks past n are invalid in the half view too
-        rv_h = row_valid.reshape(-1, sub)[::2].reshape(-1)
+        # rows in odd sub-chunks past n are invalid in the half view too.
+        # Truncate to the EXACT number of sub-chunks the step=2 routing
+        # visits: with an odd sub-chunk count, [::2] alone yields
+        # ceil(S/2) chunks while _choices_all(step=2) routes floor(S/2) —
+        # a shape mismatch inside the assignment
+        n_half = npad // (sub * 2)
+        rv_h = row_valid.reshape(-1, sub)[::2][:n_half].reshape(-1)
         cap_h = max(1, int(cell_cap * refit_sample))
     for r in range(refits + 1):
         cents8, cscale = _quant_cents_int8(cents)
@@ -776,7 +801,11 @@ def build_cells_streaming(
             # corpus in place — no strided half-copy (3.2 GB at 8M x 768)
             ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale,
                                       cn2, j=jj, sub=sub, step=2)
-            _bsync(f"r{r} half-choices", ch_d)
+            # unconditional temp-arena barrier, same as the full path:
+            # the assign's sort scratch allocates at ENQUEUE while the
+            # routing temps are still live
+            jax.block_until_ready(ch_d)
+            _blog(f"r{r} half-choices")
             # dump=True is LOAD-BEARING here: on contended corpora (raw
             # k-means centroids over unstructured data) most rows exhaust
             # their preference lists pre-refit, and excluding them from

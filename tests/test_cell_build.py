@@ -359,3 +359,69 @@ class TestContendedCorpus:
         assert res.stats["dumped_rows"] <= n * 0.15, res.stats
         assert res.counts.sum() == n
         assert res.counts.max() <= res.cell_cap
+
+
+class TestCompactedTailPath:
+    def test_tail_path_matches_single_path(self, monkeypatch):
+        """The >1M compacted-tail assignment (compaction, r0 round-offset
+        resume, scatter-back) must place rows identically to the
+        single-program path — exercised on CPU by lowering the size
+        threshold."""
+        from erlvectordb_tpu.ops import cell_build as cb
+
+        rng = np.random.default_rng(3)
+        n, k, cap, j = 20_000, 64, 512, 8
+        ch_d = rng.random((n, j)).astype(np.float32)
+        ch_d.sort(axis=1)  # preference lists are distance-ordered
+        ch_i = np.stack([(np.arange(n) * 13 + jj * 7) % k
+                         for jj in range(j)], 1).astype(np.int32)
+        rv = jnp.ones((n,), bool)
+        o1, d1 = cb._assign_capacity(jnp.asarray(ch_d), jnp.asarray(ch_i),
+                                     rv, k=k, cap=cap, j=j)
+        monkeypatch.setattr(cb, "_TAIL_MIN_N", 1024)
+        o2, d2 = cb._assign_capacity(jnp.asarray(ch_d), jnp.asarray(ch_i),
+                                     rv, k=k, cap=cap, j=j)
+        o1, o2 = np.asarray(o1), np.asarray(o2)
+        assert int(d1) == int(d2)
+        # same fills per cell and same placement feasibility; owners can
+        # differ only among quantization ties, so compare fill vectors
+        f1 = np.bincount(o1[o1 < k], minlength=k)
+        f2 = np.bincount(o2[o2 < k], minlength=k)
+        assert (f1 <= cap).all() and (f2 <= cap).all()
+        assert f1.sum() == f2.sum() == n - int(d1)
+        # row 0 regression: the tail's dead lanes used to overwrite row
+        # 0's accepted owner with a stale -1 (duplicate-index scatter)
+        assert o2[0] < k
+
+    def test_spill_round_runs_below_stop_fraction(self):
+        """j=1 (spill) assigns must run their single round even when the
+        eligible-row count is below the early-stop fraction — a round-3
+        bug silently dropped ALL secondary copies in that case."""
+        from erlvectordb_tpu.ops import cell_build as cb
+
+        n, k, cap = 8192, 16, 512
+        rv = np.zeros((n,), bool)
+        rv[:100] = True                      # 100 eligible << n/4096
+        ch_d = np.ones((n, 1), np.float32)
+        ch_i = np.zeros((n, 1), np.int32)
+        owner, _ = cb._assign_capacity(
+            jnp.asarray(ch_d), jnp.asarray(ch_i), jnp.asarray(rv),
+            k=k, cap=cap, j=1, dump=False)
+        owner = np.asarray(owner)
+        assert (owner[:100] == 0).all()      # all 100 copies placed
+        assert (owner[100:] == k).all()
+
+
+class TestOddChunkCount:
+    def test_half_round_odd_subchunk_count(self):
+        """npad/sub odd: the step=2 half view must truncate to the
+        sub-chunks the routing actually visits (shape-mismatch crash
+        otherwise)."""
+        rng = np.random.default_rng(5)
+        n, d = 5 * 1024, 32                  # 5 sub-chunks of 1024
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        res = build_cells_streaming(
+            _chunks(x, 1024), n=n, dim=d, cell_rows=24, cell_cap=32,
+            residual_bits=8, train_rows=1024, k_block=8, refits=1,
+            route_sub=1024)
+        assert res.counts.sum() == n
