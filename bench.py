@@ -1338,9 +1338,8 @@ def bench_config10(quick: bool) -> dict:
     # manifold corpora — 0.59 recall at 8M vs 0.94 via multiprobe — so it
     # is recorded separately as packed_scan_recall, not as the ceiling.)
     deep = min(n_cells_a, 512)
-    for nprobe in (8, 16, 32, 64, 128, deep):
-        if nprobe > n_cells_a:
-            break
+    for nprobe in sorted(set(
+            p for p in (8, 16, 32, 64, 128, deep) if p <= n_cells_a)):
         t = store.search_batch_submit(queries, k=k, nprobe=nprobe)
         _, rows, _ = store.search_batch_complete_raw(t)
         r = round(recall_rows(rows, gt_rows), 4)

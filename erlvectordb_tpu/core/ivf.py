@@ -111,6 +111,20 @@ def _top_choices_all(data, centroids, *, j, chunk):
     dscale = 1.0 / (cn_max + 2.0 * jnp.sqrt(xn2_max * cn_max) + 1.0)
 
     npad_rows = dp.shape[0]
+    if jax.default_backend() != "tpu":
+        # buffer donation is unsupported on CPU, so the per-chunk dispatch
+        # loop below would COPY both full [N, j] accumulators per chunk
+        # (O(n_chunks * N * j)).  The scan-stacked approx_max_k temp the
+        # loop exists to avoid is a TPU/XLA-scan behavior; on host
+        # backends one lax.map program is both safe and linear.
+        def one(rows):
+            dots = jnp.dot(rows, centroids.T,
+                           preferred_element_type=jnp.float32)
+            negd, cids = lax.approx_max_k(-(cn[None, :] - 2.0 * dots), j)
+            return ((-negd * dscale).astype(jnp.float16),
+                    cids.astype(id_t))
+        d3, i3 = lax.map(one, dp.reshape(-1, chunk, d))
+        return d3.reshape(-1, j)[:n], i3.reshape(-1, j)[:n]
     dists = jnp.zeros((npad_rows, j), jnp.float16)
     ids = jnp.zeros((npad_rows, j), id_t)
     # device-resident chunk indices: a host scalar per dispatch costs a

@@ -368,7 +368,8 @@ def _assign_finish(owner, fill, row_valid, *, k, cap, dump):
 
 
 def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
-                     fill0=None, dump=True, stop_frac=1 / 4096):
+                     fill0=None, dump=True, stop_frac=1 / 4096,
+                     stats_out=None):
     """Capacity-constrained greedy assignment, closest-first.
 
     Round r: every unassigned row proposes its r-th choice cell (see
@@ -398,7 +399,15 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
 
     Rows exhausting all j choices are dumped into cells with space via a
     prefix-sum over remaining capacities (arbitrary placement; reported
-    in stats so a degenerate geometry is visible).  ``dump=False`` skips
+    in stats so a degenerate geometry is visible).  ``stats_out`` (a dict,
+    optional) receives ``rounds`` (rounds actually run — a device scalar
+    on the small path) and ``rounds_cap`` (= j): rounds < rounds_cap means
+    the unplaced rows were EARLY-STOPPED stragglers that still had untried
+    choices, not rows that exhausted their lists — the build driver
+    reports the two separately (earlystop_rows vs dumped_rows) so
+    dumped_rows keeps its role as a degenerate-geometry signal.
+
+    ``dump=False`` skips
     that pass (spill rounds: an unplaced secondary copy is simply not
     spilled); ``fill0`` seeds per-cell occupancy (spill rounds start from
     the primary fill).
@@ -426,9 +435,12 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
         # (measured: compacting the j=1 spill round into the tail buffer
         # is a net LOSS — the compaction's fixed [N] passes cost more
         # than the smaller sort saves)
-        owner, fill, _, _ = _assign_rounds(
+        owner, fill, rnd, _ = _assign_rounds(
             ch_d, ch_i, row_valid, owner0, fill_init,
             k=k, cap=cap, j=j, max_rounds=j, n_stop=n_stop)
+        if stats_out is not None:
+            stats_out["rounds"] = rnd          # device scalar (lazy)
+            stats_out["rounds_cap"] = j
         return _assign_finish(owner, fill, row_valid, k=k, cap=cap,
                               dump=dump)
 
@@ -441,13 +453,19 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     while na > n_stop and rounds_done < j:
         m = next(n // f for f in (64, 16, 4, 1) if na <= n // f)
         r_t = min(4, j - rounds_done)
-        owner, fill, _, n_act = _assign_tail(
+        owner, fill, rnd_t, n_act = _assign_tail(
             owner, fill, ch_d, ch_i, row_valid, n_act,
             m=m, k=k, cap=cap, j=j, r0=rounds_done, max_rounds=r_t,
             n_stop=n_stop)
-        rounds_done += r_t
+        # count rounds ACTUALLY run: the tail program may stop on n_stop
+        # before exhausting its max_rounds budget, and the early/exhausted
+        # distinction below depends on the true walk depth
+        rounds_done += int(rnd_t)
         na = int(n_act)
-        _blog(f"assign tail r0={rounds_done - r_t} m={m}: n_act={na}")
+        _blog(f"assign tail r0={rounds_done - int(rnd_t)} m={m}: n_act={na}")
+    if stats_out is not None:
+        stats_out["rounds"] = rounds_done
+        stats_out["rounds_cap"] = j
     return _assign_finish(owner, fill, row_valid, k=k, cap=cap, dump=dump)
 
 
@@ -831,9 +849,10 @@ def build_cells_streaming(
                                   j=jj, sub=sub)
         jax.block_until_ready(ch_d)    # temp-arena barrier (see above)
         _blog(f"r{r} full-choices")
+        asn_stats = {}
         owner, n_dumped = _assign_capacity(
             ch_d, ch_i, row_valid, k=k_real, cap=cell_cap, j=jj,
-            n_buckets=nb)
+            n_buckets=nb, stats_out=asn_stats)
         _bsync(f"r{r} full-assign", owner)
         if r < refits:
             cents = _refit_centroids(codes8, scales, owner, cents,
@@ -930,12 +949,21 @@ def build_cells_streaming(
     counts = np.zeros((k_total,), np.int64)            # [K] readback, ~100 KB
     counts[:k_real] = np.asarray(counts_dev)
     dumped = int(n_dumped)
+    # early-stopped stragglers (rows dump-placed while they still had
+    # untried choices — bounded by stop_frac) are reported separately from
+    # genuinely EXHAUSTED rows, so dumped_rows keeps its documented role as
+    # a degenerate-geometry signal.  The split is all-or-nothing per build:
+    # the assign loop exits either on the straggler floor (rounds < j) or
+    # after walking every list (rounds == j).
+    early = (dumped if int(asn_stats.get("rounds", jj))
+             < asn_stats.get("rounds_cap", jj) else 0)
     stats = {
         "n": n,
         "n_cells": k_total,
         "n_cells_real": k_real,
         "cell_cap": cell_cap,
-        "dumped_rows": dumped,
+        "dumped_rows": dumped - early,
+        "earlystop_rows": early,
         "spilled_rows": n_spilled,
         "residual_bits": residual_bits,
         "stage_s": round(t_stage - t_start, 3),

@@ -302,15 +302,26 @@ def multiprobe_topk(
         while bc > 8 and (bc * nprobe * 4 > 512 * 1024
                           or bc * w * 4 > 4 * 1024 * 1024):
             bc -= bc // 2  # halve, rounding up for odd sizes
+        if bc * nprobe * 4 > 512 * 1024 or bc * w * 4 > 4 * 1024 * 1024:
+            # even the floor chunk (bc=8) spills the SMEM/VMEM budgets
+            # (legal when cell_cap <= 32 permits nprobe > 16k): fall back
+            # to the XLA gather path instead of invoking a spilling kernel
+            use_kernel = False
+    if use_kernel:
         if bc >= b:
             dots_raw = _dma_gather_dots(codes3, probe, queries,
                                         cell_cap=cell_cap)  # [B, np, cap]
         else:
+            # pad the batch to a multiple of bc: a ragged last chunk would
+            # be a fresh kernel compile per remainder shape
+            bpad = (-b) % bc
+            pq = jnp.pad(probe, ((0, bpad), (0, 0))) if bpad else probe
+            qq = jnp.pad(queries, ((0, bpad), (0, 0))) if bpad else queries
             dots_raw = jnp.concatenate([
-                _dma_gather_dots(codes3, probe[i:i + bc], queries[i:i + bc],
+                _dma_gather_dots(codes3, pq[i:i + bc], qq[i:i + bc],
                                  cell_cap=cell_cap)
-                for i in range(0, b, bc)
-            ], axis=0)
+                for i in range(0, b + bpad, bc)
+            ], axis=0)[:b]
     else:
         cand = codes3[probe]                               # [B, np, cap, Wc]
         if codes.dtype == jnp.uint8:                       # packed int4

@@ -100,8 +100,23 @@ class OAuthManager:
 
 
 class SocketHandler:
-    """Framed JSON over TCP with reconnect + backoff
-    (bridge SocketHandler, examples/gemini_mcp_server.py:50-477).
+    """Framed JSON over TCP with reconnect + backoff and PROACTIVE health
+    checks (bridge SocketHandler, examples/gemini_mcp_server.py:50-477 —
+    connect/reconnect :76-360, check_connection_health :261-300).
+
+    Resilience model:
+      * ``check_health()`` probes the socket WITHOUT consuming protocol
+        data (non-blocking MSG_PEEK): a remote FIN is visible as an empty
+        read long before the next send would fail with a broken pipe.
+      * ``request()`` runs that probe up front whenever the connection has
+        been idle longer than ``idle_check_s`` — a bridge that sat idle
+        behind a chat client for minutes reconnects BEFORE writing the
+        user's request into a dead socket, instead of burning the request
+        on an ECONNRESET and retrying.
+      * On any transport error the request is retried once on a fresh
+        connection (``connect`` itself retries ``max_reconnects`` times
+        with exponential backoff).
+    ``reconnects`` counts re-established connections for observability.
 
     The default timeout is generous because a TPU server's FIRST call on a
     new (store-shape, batch, k) combination pays XLA/Mosaic compile time —
@@ -110,14 +125,22 @@ class SocketHandler:
     """
 
     def __init__(self, host: str, port: int, timeout: float = 240.0,
-                 max_reconnects: int = 5):
+                 max_reconnects: int = 5, idle_check_s: float = 30.0):
         self.host = host
         self.port = port
         self.timeout = timeout
         self.max_reconnects = max_reconnects
+        self.idle_check_s = idle_check_s
+        self.reconnects = 0          # connections re-established after loss
         self._sock: Optional[socket.socket] = None
         self._buf = b""
+        self._last_io = 0.0
         self._lock = threading.Lock()
+
+    @property
+    def state(self) -> str:
+        """'connected' | 'disconnected' (reference ConnectionState)."""
+        return "connected" if self._sock is not None else "disconnected"
 
     def connect(self) -> None:
         delay = 0.2
@@ -128,6 +151,7 @@ class SocketHandler:
                     (self.host, self.port), timeout=self.timeout
                 )
                 self._buf = b""
+                self._last_io = time.monotonic()
                 return
             except OSError as e:
                 last = e
@@ -143,10 +167,44 @@ class SocketHandler:
                 pass
             self._sock = None
 
+    def check_health(self) -> bool:
+        """Liveness probe that consumes no protocol data.
+
+        A non-blocking ``recv(1, MSG_PEEK)``: an empty read means the peer
+        closed (FIN queued); ``BlockingIOError`` means no data pending but
+        the connection is alive; any socket error means dead.  The socket
+        is returned to blocking-with-timeout mode afterwards."""
+        if self._sock is None:
+            return False
+        try:
+            self._sock.setblocking(False)
+            try:
+                if self._sock.recv(1, socket.MSG_PEEK) == b"":
+                    self.close()
+                    return False
+            except (BlockingIOError, InterruptedError):
+                pass                        # nothing pending — alive
+            finally:
+                if self._sock is not None:
+                    self._sock.settimeout(self.timeout)
+            return True
+        except OSError:
+            self.close()
+            return False
+
     def request(self, obj: dict) -> dict:
-        """Send one JSON object, read one newline-terminated JSON reply;
-        reconnects once on a broken pipe."""
+        """Send one JSON object, read one newline-terminated JSON reply.
+
+        Proactively health-checks (and transparently reconnects) when the
+        connection has been idle > ``idle_check_s``; reconnects once more
+        on a transport error mid-request."""
         with self._lock:
+            if (self._sock is not None and self.idle_check_s
+                    and time.monotonic() - self._last_io > self.idle_check_s
+                    and not self.check_health()):
+                # dead idle connection detected BEFORE spending the request
+                self.connect()
+                self.reconnects += 1
             for attempt in range(2):
                 if self._sock is None:
                     self.connect()
@@ -158,11 +216,13 @@ class SocketHandler:
                             raise OSError("connection closed")
                         self._buf += chunk
                     line, self._buf = self._buf.split(b"\n", 1)
+                    self._last_io = time.monotonic()
                     return json.loads(line)
                 except OSError:
                     self.close()
                     if attempt == 1:
                         raise ClientError("connection lost and reconnect failed")
+                    self.reconnects += 1
             raise ClientError("unreachable")
 
 

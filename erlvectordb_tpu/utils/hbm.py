@@ -21,11 +21,17 @@ from __future__ import annotations
 
 import gc
 import logging
+import threading
 
 LOG = logging.getLogger("evdb.hbm")
 
 _GB = 1 << 30
 _primed_bytes = 0
+# Single-primer lock: two stores built concurrently would otherwise run
+# two alloc ladders at once, co-allocating multi-GB rungs — and one failed
+# allocation permanently wedges the TPU session (the exact failure priming
+# exists to prevent).
+_prime_lock = threading.Lock()
 
 
 def prime_hbm(need_bytes: int) -> None:
@@ -47,6 +53,14 @@ def prime_hbm(need_bytes: int) -> None:
     if jax.default_backend() not in ("tpu",):
         _primed_bytes = max(_primed_bytes, need)
         return
+    with _prime_lock:
+        if need <= _primed_bytes:   # another thread primed while we waited
+            return
+        _prime_locked(need, jax, jnp)
+
+
+def _prime_locked(need: int, jax, jnp) -> None:
+    global _primed_bytes
     rung = _GB
     try:
         # carve the device->host TRANSFER pool before the arena grows:

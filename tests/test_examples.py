@@ -51,6 +51,25 @@ def test_hashing_embedder_properties():
     assert sim_related > sim_unrelated
 
 
+def test_mcp_client_example_end_to_end(app, monkeypatch, capsys):
+    """The standalone example script (examples/mcp_client.py, the analogue
+    of the reference's runnable mcp_client.py) passes every step against a
+    live server and exits 0."""
+    from examples import mcp_client as example
+
+    monkeypatch.setattr(sys, "argv", [
+        "mcp_client.py",
+        "--port", str(app.service_port("mcp_server")),
+        "--oauth-url",
+        f"http://127.0.0.1:{app.service_port('oauth_server')}/oauth/token",
+        "--count", "40", "--searches", "3", "--dim", "16",
+    ])
+    assert example.main() == 0
+    out = capsys.readouterr().out
+    assert "all steps passed." in out
+    assert "self-hit check: 3/3" in out
+
+
 def test_smart_insert_and_search(app):
     client = VectorDBClient(
         mcp_port=app.service_port("mcp_server"),
