@@ -6,7 +6,9 @@ Three roles:
       builds the sharded store, snapshots it cooperatively, records the
       expected search results, then heartbeats the victim's TCP port until
       the victim dies (the reference's monitor_node/nodedown analogue,
-      src/cluster_manager.erl:217,246-256) and exits 0 on detection.
+      src/cluster_manager.erl:217,246-256).  On detection it RESHARDS IN
+      PLACE — local-device mesh + snapshot re-hydration — and re-answers
+      the recorded queries at full parity before exiting 0.
   victim <coord> <hb_port> <outdir>    — process 1: participates in the
       build + cooperative snapshot, then answers heartbeats until SIGKILLed
       by the test.
@@ -118,6 +120,25 @@ def main() -> int:
             time.sleep(0.1)
         except OSError:
             print("PEER_LOSS_DETECTED", flush=True)
+            # reshard-and-continue IN THIS PROCESS (VERDICT r3 #6): the dead
+            # peer cannot be dropped from the live XLA process group, but the
+            # survivor's OWN devices need no cross-process collectives.  Form
+            # a local mesh (8-shard snapshot -> 4-device mesh), re-hydrate
+            # the cooperatively replicated snapshot, and answer the SAME
+            # queries at full parity — the survivor keeps serving the whole
+            # corpus, which the reference cannot do (cluster_manager.erl
+            # :408-425 only logs under-replication).
+            lmesh = make_mesh(devices=jax.local_devices(), n_replica=1)
+            store2 = snap.load_store("drill", outdir / "snaps", mesh=lmesh)
+            assert store2 is not None, "replicated snapshot missing"
+            assert store2.count == 1024, store2.count
+            got = store2.search_batch(data[10:14], k=3)
+            for row, want in zip(got, hits):
+                assert [h[0] for h in row] == [w[0] for w in want], (
+                    row, want)
+                for h, w in zip(row, want):
+                    assert abs(h[2] - w[2]) < 1e-4, (h, w)
+            print("SURVIVOR_RESHARDED_OK", flush=True)
             # hard exit: jax.distributed's atexit shutdown would block on a
             # barrier with the dead peer — a real recovery path cannot wait
             # for a dead host either

@@ -101,6 +101,9 @@ def test_kill_a_host_failure_drill(tmp_path):
         out, _ = survivor.communicate(timeout=90)
         assert survivor.returncode == 0, out
         assert "PEER_LOSS_DETECTED" in out, out
+        # the survivor itself resharded onto its local devices and kept
+        # answering the same queries with FULL data (post-kill correctness)
+        assert "SURVIVOR_RESHARDED_OK" in out, out
     finally:
         for p in (survivor, victim):
             if p.poll() is None:
