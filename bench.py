@@ -26,10 +26,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+_TIMING_LOG: list = []  # per-_timeit dispersion rows (bench hygiene)
+
+
 def _timeit(fn, iters=5, warmup=2):
     """Median wall time of fn(). fn MUST force a device->host readback:
     on the tunneled TPU backend, block_until_ready can return before remote
-    execution finishes, so only a readback gives honest timing."""
+    execution finishes, so only a readback gives honest timing.
+
+    Every call also logs ``{n_runs, min, median, max, spread}`` into
+    ``_TIMING_LOG`` (attached to the config's output row by main): the
+    rig's tunnel congestion swings 2-3x minute to minute, and without
+    recorded dispersion a later round cannot tell a real regression from
+    a congested window (VERDICT r3 #10)."""
     for _ in range(warmup):
         fn()
     times = []
@@ -37,7 +46,15 @@ def _timeit(fn, iters=5, warmup=2):
         t0 = time.perf_counter()
         fn()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    med = float(np.median(times))
+    _TIMING_LOG.append({
+        "n_runs": iters,
+        "min": round(float(np.min(times)), 6),
+        "median": round(med, 6),
+        "max": round(float(np.max(times)), 6),
+        "spread": round(float(np.max(times) / max(np.min(times), 1e-12)), 3),
+    })
+    return med
 
 
 def make_corpus(key, n, d, n_centers=1024, noise=0.35, intrinsic_dim=None):
@@ -1623,7 +1640,15 @@ def main():
             pass
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    _TIMING_LOG.clear()
     result = CONFIGS[args.config](args.quick)
+    # bench hygiene (VERDICT r3 #10): every timed measurement's
+    # min/median/max/spread rides the row, so regressions are separable
+    # from tunnel congestion (spread >~ 1.5 means a noisy window)
+    if _TIMING_LOG and isinstance(result, dict):
+        result.setdefault("timing_dispersion", list(_TIMING_LOG))
+        worst = max(t["spread"] for t in _TIMING_LOG)
+        result.setdefault("worst_spread", worst)
     print(json.dumps(result), flush=True)
 
 
