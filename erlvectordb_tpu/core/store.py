@@ -395,6 +395,11 @@ class VectorStore:
         self._churn_inserts = 0
         self._churn_deletes = 0
         self._cells_at_build = 0
+        # realized max |int4 code|_2 (lazy; the packed-scan offset bound —
+        # see fused_topk.max_code_norm).  Invalidated on int4r mutations;
+        # a stale UNDERestimate is safe (worst-match rows rank last), so
+        # recomputation is only a recall matter, never correctness.
+        self._code_norm_max = None
         self._touched_rows: set = set()
         # False until a full snapshot anchors the delta chain (bulk builds,
         # capacity growth, and restores all force the next sync to be full).
@@ -805,6 +810,7 @@ class VectorStore:
                     self._vectors, self._scales, self._norms, self._valid,
                     rows_j, vecs_j, cents_rows,
                 )
+                self._code_norm_max = None  # realized bound may have grown
             elif self.dtype == "int8":
                 (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int8(
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
@@ -1683,6 +1689,7 @@ class VectorStore:
         self._vectors = res.codes
         self._scales = res.scales
         self._norms = res.norms
+        self._code_norm_max = None
         self._valid = res.valid
         self._centroids = res.centroids
         self._cell_cap = res.cell_cap

@@ -345,7 +345,9 @@ def _assign_tail(owner, fill, ch_d, ch_i, row_valid, n_act,
     # (dropped) instead of writing the STALE owner[0] on top of row 0's
     # real update (duplicate-index scatter order is undefined)
     owner = owner.at[jnp.where(live, idx, n)].set(upd, mode="drop")
-    return owner, fill, rnd, n_act
+    # (rounds, active) packed in ONE array: the host reads both per tail
+    # level, and separate scalars cost a ~50 ms tunnel readback EACH
+    return owner, fill, jnp.stack([rnd, n_act])
 
 
 @functools.partial(jax.jit, donate_argnums=(0,),
@@ -453,16 +455,31 @@ def _assign_capacity(ch_d, ch_i, row_valid, *, k, cap, j, n_buckets=2048,
     while na > n_stop and rounds_done < j:
         m = next(n // f for f in (64, 16, 4, 1) if na <= n // f)
         r_t = min(4, j - rounds_done)
-        owner, fill, rnd_t, n_act = _assign_tail(
+        owner, fill, meta = _assign_tail(
             owner, fill, ch_d, ch_i, row_valid, n_act,
             m=m, k=k, cap=cap, j=j, r0=rounds_done, max_rounds=r_t,
             n_stop=n_stop)
+        meta_np = np.asarray(meta)           # ONE readback per level
+        n_act = meta[1]
         # count rounds ACTUALLY run: the tail program may stop on n_stop
         # before exhausting its max_rounds budget, and the early/exhausted
         # distinction below depends on the true walk depth
-        rounds_done += int(rnd_t)
-        na = int(n_act)
-        _blog(f"assign tail r0={rounds_done - int(rnd_t)} m={m}: n_act={na}")
+        rounds_done += int(meta_np[0])
+        na_prev, na = na, int(meta_np[1])
+        _blog(f"assign tail r0={rounds_done - int(meta_np[0])} m={m}: "
+              f"n_act={na}")
+        if na > n_stop and na_prev - na < max(int(0.05 * na_prev), 1):
+            # EARLY ABANDON (the iid-contention cliff): this level's rounds
+            # placed < 5% of its active rows — the remaining preference
+            # entries all point at full cells, and walking the rest of the
+            # list would pay [M]-sized sorts for ~nothing (measured on
+            # iid-gaussian 8M: the pre-refit walk burned 16 rounds at 4.2M
+            # active to place 3% of them).  The dump pass distributes the
+            # leftovers, which is exactly what feeds the Lloyd refit on
+            # contended corpora (see the dump=True note in the driver).
+            _blog(f"assign abandon at rounds={rounds_done}: "
+                  f"placed {na_prev - na} of {na_prev}")
+            break
     if stats_out is not None:
         stats_out["rounds"] = rounds_done
         stats_out["rounds_cap"] = j
@@ -771,6 +788,10 @@ def build_cells_streaming(
             codes8, scales, norms, chunk, jnp.int32(i * ch), w=w)
         sample = _stage_sample(sample, chunk, jnp.int32(i * spc),
                                stride=stride, take=spc, w=w)
+    # the loop locals pin the FIRST and LAST f32 chunks (two ~1.6 GB device
+    # buffers at 524k x 768) for the whole build otherwise — measured as
+    # the difference between the slot-scatter window fitting and OOMing
+    del chunk, first
     row_valid = jnp.arange(npad) < n
     # Phase barrier (as below): async TPU dispatch allocates each program's
     # OUTPUT buffers at enqueue time, while the buffers a pending program
@@ -892,6 +913,8 @@ def build_cells_streaming(
         _blog("spill-routed")
     t_spill = time.perf_counter()
     del ch_d, ch_i                          # ~1.1 GB back pre-scatter
+    del norms, row_valid                    # last used by the spill margin
+    #                                         test / counts; ~75 MB back
     # barrier before the biggest single allocation of the build (~7 GB at
     # 8M x 768): pending position-sort scratch must drain first, and the
     # ch_d/ch_i frees above only take effect once their consumers finish.
@@ -918,7 +941,7 @@ def build_cells_streaming(
     jax.block_until_ready(slot_pm)
     _blog("scattered", slot_sc)
     t_scatter = time.perf_counter()
-    del codes8, scales, norms               # free the staged corpus (HBM)
+    del codes8, scales                      # free the staged corpus (HBM)
     if sp_owner is not None:
         # counted AFTER the barrier + corpus free: at 8M x 768 the scatter
         # window sits at ~14/16 GB HBM — even these KB-sized output

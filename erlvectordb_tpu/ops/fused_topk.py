@@ -756,6 +756,37 @@ def _affine_factors_residual(metric, scales, norms, valid, queries, qn):
     return qmult2, rowmult2
 
 
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def max_code_norm(codes: jax.Array, chunk: int = 4096) -> jax.Array:
+    """max over rows of |unpacked int4 code|_2 — the REALIZED bound for the
+    pos path's positive offset C.
+
+    The worst-case bound 8*sqrt(W) assumes an all-sevens row; real residual
+    codes sit far below it (measured 5-20x), and the packed key's value
+    bits quantize relative to C, so the realized bound is worth 2-4 extra
+    bits of score resolution — the difference between resolving and
+    collapsing near-tie corpora (BENCH_NOTES 'packed-scan keys').  Chunked
+    fori so the int32 unpack scratch stays ~<= chunk * W * 4 bytes."""
+    n, hw = codes.shape
+    n_ch = -(-n // chunk)
+
+    def body(i, best):
+        c = lax.dynamic_slice(codes, (i * chunk, 0), (chunk, hw))
+        ci = c.astype(jnp.int32)
+        hi = ci >> 4
+        lo = ci & 0xF
+        hi = jnp.where(hi > 7, hi - 16, hi)
+        lo = jnp.where(lo > 7, lo - 16, lo)
+        n2 = jnp.sum((hi * hi + lo * lo).astype(jnp.float32), axis=1)
+        return jnp.maximum(best, jnp.max(n2))
+
+    # rows past n are padding zeros in a fixed-capacity layout, and a
+    # trailing partial chunk re-reads earlier rows (dynamic_slice clamps) —
+    # both only ever LOWER the max, never inflate it
+    best = lax.fori_loop(0, n_ch, body, jnp.float32(0))
+    return jnp.sqrt(best)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric", "k", "n_tiles", "cell_cap"))
 def fused_topk_residual(
@@ -770,6 +801,7 @@ def fused_topk_residual(
     k: int,
     n_tiles: int,
     cell_cap: int,          # rows per cell; divides TILE_N; N_cap == K*cell_cap
+    code_norm_bound: Optional[jax.Array] = None,  # realized max |code|_2
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scan over a cell-residual int4 store: per-row int4 residual dot
     on the MXU + per-(query, cell) centroid-dot bias expanded in-kernel.
@@ -817,8 +849,15 @@ def fused_topk_residual(
         # and the bound stays tight — a loose C quantizes real score gaps
         # out of the packed key's value bits (see _pos_topk)
         qb_per = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))  # [B,1]
-        dots_bound = (jnp.max(qa * qb_per)
-                      * 8.0 * jnp.sqrt(float(w)))  # |int4 code|_2 <= 8*sqrt(W)
+        # code-norm bound: the REALIZED max |code|_2 when the caller has it
+        # (stores cache max_code_norm; 5-20x under the all-sevens worst
+        # case) — every factor of 2 saved here is one more usable bit of
+        # score resolution in the packed key.  An underestimate (stale
+        # cache after inserts) is SAFE: scores below -C go negative and
+        # bitcast-rank last, which only affects worst-match rows.
+        cnb = (code_norm_bound if code_norm_bound is not None
+               else 8.0 * jnp.sqrt(float(w)))
+        dots_bound = jnp.max(qa * qb_per) * cnb
         C = (dots_bound * jnp.max(rowmult)
              + jnp.max(jnp.abs(table)) * jnp.max(rowmult2) + 1.0)
         extra = -0.5 * norms * norms if metric == "euclidean" else 0.0
@@ -831,7 +870,12 @@ def fused_topk_residual(
             codes, q_in, qa, ma.reshape(1, -1), mb.reshape(1, -1),
             bb.reshape(1, -1), table.T, n_tiles=n_tiles, cell_cap=cell_cap)
         kk = min(k, keys.shape[1])
-        pool = min(max(4 * kk, 64), keys.shape[1])
+        # Deep pool (8k, >=256): on near-tie corpora the surviving score
+        # quantization makes the top tens of keys interchangeable; the
+        # exact f32 rescore below recovers ids as long as the true top-k
+        # are IN the pool.  Rescore cost grows linearly in pool and is a
+        # small fraction of the scan.
+        pool = min(max(8 * kk, 256), keys.shape[1])
         topkeys, sel = lax.top_k(keys, pool)
         # columns come in (top-1, top-2)-per-slice pairs: slice = col // 2
         top_rows = (sel // 2) * POS_SLICE + (topkeys & POS_LANE_MASK)

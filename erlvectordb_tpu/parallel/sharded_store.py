@@ -1012,6 +1012,7 @@ class ShardedVectorStore:
                         out_shardings=flat1)()
 
         written = 0
+        chunk = arr = None
         for chunk in chunks:
             c = int(chunk.shape[0])
             live = min(c, n - written)  # final chunk may be zero-padded
@@ -1029,6 +1030,10 @@ class ShardedVectorStore:
             written += live
         if written != n:
             raise ValueError(f"chunks covered {written} rows, declared {n}")
+        # loop locals otherwise pin the LAST f32 chunk (+ its converted
+        # copy) on device for the rest of the build — same class of leak
+        # as cell_build's staging loop
+        del chunk, arr
         jax.block_until_ready(valid)
 
         # donate: the reshape is layout-preserving for block partitioning, so

@@ -393,6 +393,33 @@ class TestCompactedTailPath:
         # 0's accepted owner with a stale -1 (duplicate-index scatter)
         assert o2[0] < k
 
+    def test_doomed_walk_abandons_early(self, monkeypatch):
+        """iid-contention cliff regression: when a tail level places <5% of
+        its active rows (every remaining preference entry points at a full
+        cell), the walk must ABANDON instead of paying [M]-sized sorts for
+        the rest of the list; the dump pass still places every row within
+        capacity."""
+        from erlvectordb_tpu.ops import cell_build as cb
+
+        n, k, cap, j = 20_000, 64, 512, 16
+        # every row's whole preference list is the SAME few cells: cells
+        # 0..3 absorb 4*cap rows in round 1, then nothing places
+        ch_d = np.tile(np.arange(j, dtype=np.float32), (n, 1))
+        ch_d += np.random.default_rng(0).random((n, 1)).astype(np.float32)
+        ch_i = np.tile(np.arange(j, dtype=np.int32) % 4, (n, 1))
+        rv = jnp.ones((n,), bool)
+        monkeypatch.setattr(cb, "_TAIL_MIN_N", 1024)
+        stats = {}
+        owner, dumped = cb._assign_capacity(
+            jnp.asarray(ch_d), jnp.asarray(ch_i), rv, k=k, cap=cap, j=j,
+            stats_out=stats)
+        owner = np.asarray(owner)
+        fills = np.bincount(owner[owner < k], minlength=k)
+        assert (fills <= cap).all()
+        assert fills.sum() == n              # dump placed everyone
+        # the walk stopped well short of exhausting all j columns
+        assert stats["rounds"] < j, stats
+
     def test_spill_round_runs_below_stop_fraction(self):
         """j=1 (spill) assigns must run their single round even when the
         eligible-row count is below the early-stop fraction — a round-3
