@@ -1231,10 +1231,15 @@ class VectorStore:
                 and ft.TILE_N % self._cell_cap == 0
                 and kb <= ft.MAX_T_PER_TILE * nt
             ):
+                if self._code_norm_max is None:
+                    # realized packed-key offset bound (one device pass,
+                    # cached; invalidated by int4r mutations)
+                    self._code_norm_max = ft.max_code_norm(self._vectors)
                 dists, rows = ft.fused_topk_residual(
                     self._vectors, self._scales, self._norms, valid,
                     self._centroids, q_j, metric=metric, k=kb,
                     n_tiles=nt, cell_cap=self._cell_cap,
+                    code_norm_bound=self._code_norm_max,
                 )
             else:
                 dists, rows = search_mod.exact_topk_int4r(
