@@ -287,6 +287,158 @@ def adc_search_exact_fused(
     return dist, rows_out
 
 
+def _make_adc_pos_kernel(m: int, k: int, sub: int, slice_w: int):
+    """Packed-key ADC selection + one in-kernel exact rerank per slice.
+
+    The exact-fused kernel above spends its VPU time on t-unrolled masked
+    extraction (t x (max + locate + mask) over [B_T, 1024]) and its MXU
+    time on t one-hot rerank contractions — at 1M rows that is 977 grid
+    steps each doing 12-24 extraction passes.  This variant applies the
+    pos-path trick (ops/fused_topk.py): the int8-LUT ADC distances are
+    SMALL ints (<= 127*M), so (-dist << 10) | lane is a single int32 sort
+    key per row and ONE max per 1024-row slice yields both the winner's
+    quantized distance and its lane.  Each slice winner is exactly
+    reranked in-kernel (one-hot contraction against the slice's int8 rows
+    already in VMEM).  Grid steps shrink ``sub``x (4096-row tiles);
+    extraction is 1 pass per slice instead of ~3t.
+
+    Candidate set: top-1 per 1024-row slice (vs top-t per 1024-tile) —
+    a true top-k candidate is lost only when two land in one slice
+    (C(k,2)*1024/N per query, ~0.5% at 1M) and the exact rerank keeps
+    reported distances exact either way."""
+
+    def kernel(codes_ref, lut_ref, q_ref, i8_ref, iaux_ref,
+               vals_ref, rows_ref):
+        j = pl.program_id(1)
+        q = q_ref[:]                                      # [B_T, D] f32
+        qsq = jnp.sum(q * q, axis=1, keepdims=True)
+        lane_k = None
+        lane = None
+        for s in range(sub):
+            sl = slice(s * slice_w, (s + 1) * slice_w)
+            codes = codes_ref[sl, :].astype(jnp.int32)    # [SLICE, M]
+            if lane_k is None:
+                lane_k = lax.broadcasted_iota(jnp.int32, (slice_w, k), 1)
+            onehot = jnp.concatenate(
+                [(lane_k == codes[:, mm:mm + 1]).astype(jnp.int8)
+                 for mm in range(m)], axis=1)             # [SLICE, M*K]
+            dist = lax.dot_general(
+                lut_ref[:], onehot, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)         # [B_T, SLICE] >= 0
+            if lane is None:
+                lane = lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+            # low 10 bits of a multiple of 1024 are zero even in two's
+            # complement, so OR-ing the lane in is exact for negatives
+            key = ((-dist) << 10) | lane
+            m1 = jnp.max(key, axis=1, keepdims=True)      # [B_T, 1]
+            w = m1 & jnp.int32(slice_w - 1)
+            sel = lane == w                               # [B_T, SLICE]
+            xcand = lax.dot_general(
+                sel.astype(jnp.bfloat16), i8_ref[sl, :].astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [B_T, D]
+            self_f = sel.astype(jnp.float32)
+            scale_c = lax.dot_general(
+                self_f, iaux_ref[0:1, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [B_T, 1]
+            n2_c = lax.dot_general(
+                self_f, iaux_ref[1:2, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            qdot = jnp.sum(q * xcand, axis=1, keepdims=True) * scale_c
+            d2 = qsq - 2.0 * qdot + n2_c
+            vals_ref[0, :, s] = -d2[:, 0]                 # exact
+            rows_ref[0, :, s] = j * (sub * slice_w) + s * slice_w + w[:, 0]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_tiles"))
+def adc_search_exact_pos(
+    pq_codes: jax.Array,   # [N_pad, M] uint8; N_pad % (4*ADC_TILE_N) == 0
+    codebooks: jax.Array,  # [M, K, Dsub] f32
+    i8_codes: jax.Array,   # [N_pad, D] int8 rerank rows
+    i8_scales: jax.Array,  # [N_pad] f32
+    i8_norms2: jax.Array,  # [N_pad] f32
+    queries: jax.Array,    # [B, D] f32
+    n_valid,               # scalar: rows >= n_valid are padding
+    *,
+    k: int,
+    n_tiles: int,          # 1024-row tiles covering the live rows
+) -> Tuple[jax.Array, jax.Array]:
+    """Packed-key ADC select + exact in-kernel rerank + top-k merge.
+
+    Candidates are the exact-reranked top-1 of every 1024-row slice;
+    padding slices can win their own slice but are masked before the
+    final top-k (costing at most their own candidates)."""
+    b, d = queries.shape
+    lut = _adc_l2_tables(queries, codebooks).reshape(b, -1)
+    row_max = jnp.max(lut, axis=1, keepdims=True)
+    lut_q = jnp.clip(jnp.round(lut / jnp.maximum(row_max, 1e-20) * 127.0),
+                     0, 127).astype(jnp.int8)
+
+    n_cap, m = pq_codes.shape
+    kk = lut.shape[1] // m
+    sub = 4
+    big_n = sub * ADC_TILE_N
+    if n_cap % big_n:
+        raise ValueError(f"pq_codes rows ({n_cap}) must be padded to "
+                         f"a multiple of {big_n}")
+    n_big = min(-(-n_tiles // sub), n_cap // big_n)
+    bt = min(256, b) if b >= 256 else max(8, 1 << (b - 1).bit_length())
+    pad_b = (-b) % bt
+    if pad_b:
+        lut_q = jnp.pad(lut_q, ((0, pad_b), (0, 0)))
+        queries = jnp.pad(queries, ((0, pad_b), (0, 0)))
+    nb = lut_q.shape[0] // bt
+    iaux = jnp.stack([i8_scales, i8_norms2], axis=0)      # [2, N_pad]
+
+    vals, rows = pl.pallas_call(
+        _make_adc_pos_kernel(m, kk, sub, ADC_TILE_N),
+        grid=(nb, n_big),
+        in_specs=[
+            pl.BlockSpec((big_n, m), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m * kk), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, big_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bt, sub), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, sub), lambda i, j: (j, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_big, lut_q.shape[0], sub), jnp.float32),
+            jax.ShapeDtypeStruct((n_big, lut_q.shape[0], sub), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * lut_q.shape[0] * (m * kk + d) * n_big * big_n,
+            bytes_accessed=n_big * big_n * (m + d) + lut_q.size,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(pq_codes, lut_q, queries, i8_codes, iaux)
+    bb = lut_q.shape[0]
+    vals = vals.transpose(1, 0, 2).reshape(bb, sub * n_big)
+    rows = rows.transpose(1, 0, 2).reshape(bb, sub * n_big)
+    if pad_b:
+        vals, rows = vals[:b], rows[:b]
+    vals = jnp.where(rows < jnp.int32(n_valid), vals, -jnp.inf)
+    kf = min(k, vals.shape[1])
+    best, sel = lax.top_k(vals, kf)
+    rows_out = jnp.take_along_axis(rows, sel, axis=1)
+    rows_out = jnp.where(jnp.isfinite(best), rows_out, -1)
+    dist = jnp.sqrt(jnp.maximum(-best, 0.0))
+    dist = jnp.where(rows_out >= 0, dist, jnp.inf)
+    return dist, rows_out
+
+
 @functools.partial(jax.jit, static_argnames=("k", "c", "n_tiles"))
 def adc_search_fused(
     pq_codes: jax.Array,   # [N_cap, M] uint8

@@ -703,9 +703,16 @@ def build_cells_streaming(
     j: int = 16,                # preference-list depth
     refits: int = 1,            # capacity-constrained Lloyd rounds (each
     #                             pays a re-route + re-assign pass)
-    refit_sample: float = 0.5,  # pre-refit rounds run on this fraction of
-    #                             the corpus (strided sub-chunks) — means
-    #                             converge on a sample; 1.0 = full passes
+    refit_sample: Optional[float] = None,  # pre-refit rounds run on this
+    #                             fraction of the corpus (strided
+    #                             sub-chunks) — means converge on a
+    #                             sample; 1.0 = full passes.  Default:
+    #                             0.25 when cells are large enough that a
+    #                             quarter sample still feeds >= ~64 rows
+    #                             per cell mean (measured at 8M x 768 /
+    #                             cell_rows=416: recall@8 0.9812 vs
+    #                             0.9813 at 0.5, build 8.1s vs 9.0s),
+    #                             else 0.5
     final_refit: bool = True,   # refit centroid means to their ACTUAL
     #                             members after the last assignment and
     #                             encode residuals against those — captures
@@ -737,6 +744,8 @@ def build_cells_streaming(
     an int4r VectorStore (bits=4) or CellProbeIndex (bits=8)."""
     if residual_bits not in (4, 8):
         raise ValueError("residual_bits must be 4 or 8")
+    if refit_sample is None:
+        refit_sample = 0.25 if cell_rows >= 256 else 0.5
     if cell_cap < cell_rows:
         raise ValueError(
             f"cell_cap ({cell_cap}) must be >= cell_rows ({cell_rows})")
@@ -819,27 +828,31 @@ def build_cells_streaming(
         sub //= 2
     n_dumped = jnp.int32(0)
     nb = max(64, min(2048, (1 << 26) // max(k_real, 1)))
-    # pre-refit rounds run on HALF the corpus (every other sub-chunk):
-    # they only feed centroid means, which converge with a 50% sample,
-    # and the full route+assign pass is the build's dominant cost
-    half_ok = refit_sample < 1.0 and npad >= 4 * sub
+    # pre-refit rounds run on a FRACTION of the corpus (every step-th
+    # sub-chunk): they only feed centroid means, which converge on a
+    # sample (>= ~100 rows/cell), and the full route+assign pass is the
+    # build's dominant cost.  step = round(1/refit_sample): 0.5 -> every
+    # other sub-chunk, 0.25 -> every fourth.
+    step_h = max(1, int(round(1.0 / max(refit_sample, 1e-6))))
+    half_ok = refit_sample < 1.0 and npad >= 2 * step_h * sub
     if half_ok:
-        # rows in odd sub-chunks past n are invalid in the half view too.
-        # Truncate to the EXACT number of sub-chunks the step=2 routing
-        # visits: with an odd sub-chunk count, [::2] alone yields
-        # ceil(S/2) chunks while _choices_all(step=2) routes floor(S/2) —
-        # a shape mismatch inside the assignment
-        n_half = npad // (sub * 2)
-        rv_h = row_valid.reshape(-1, sub)[::2][:n_half].reshape(-1)
-        cap_h = max(1, int(cell_cap * refit_sample))
+        # rows in sampled sub-chunks past n are invalid in the sample
+        # view too.  Truncate to the EXACT number of sub-chunks the
+        # strided routing visits: with a ragged sub-chunk count, [::step]
+        # alone yields ceil(S/step) chunks while _choices_all(step=...)
+        # routes floor(S/step) — a shape mismatch inside the assignment
+        n_half = npad // (sub * step_h)
+        rv_h = row_valid.reshape(-1, sub)[::step_h][:n_half].reshape(-1)
+        cap_h = max(1, int(cell_cap / step_h))
     for r in range(refits + 1):
         cents8, cscale = _quant_cents_int8(cents)
         cn2 = jnp.sum(cents * cents, axis=-1)
         if r < refits and half_ok:
-            # step=2 slices every other sub-chunk of the FULL staged
-            # corpus in place — no strided half-copy (3.2 GB at 8M x 768)
+            # step slices every step-th sub-chunk of the FULL staged
+            # corpus in place — no strided sample copy (3.2 GB at 8M x
+            # 768 for step=2)
             ch_d, ch_i = _choices_all(codes8, scales, cents8, cscale,
-                                      cn2, j=jj, sub=sub, step=2)
+                                      cn2, j=jj, sub=sub, step=step_h)
             # unconditional temp-arena barrier, same as the full path:
             # the assign's sort scratch allocates at ENQUEUE while the
             # routing temps are still live
@@ -858,7 +871,7 @@ def build_cells_streaming(
                 ch_d, ch_i, rv_h, k=k_real, cap=cap_h, j=jj, n_buckets=nb)
             _bsync(f"r{r} half-assign", owner_h)
             cents = _refit_centroids(codes8, scales, owner_h, cents,
-                                     k=k_real, sub=sub, step=2)
+                                     k=k_real, sub=sub, step=step_h)
             # per-round barrier: XLA temp arenas allocate at ENQUEUE, so
             # without one the next round's routing temps (~GBs at 18k+
             # cells) stack on top of this round's still-running programs

@@ -138,3 +138,67 @@ def test_exact_fused_matches_reference(pq_setup):
     rec = np.mean([len(set(gt[i]) & set(rows[i])) / k
                    for i in range(queries.shape[0])])
     assert rec >= 0.8, rec
+
+
+def test_exact_pos_matches_reference(pq_setup):
+    """Packed-key ADC kernel (top-1 per 1024-slice + in-kernel exact
+    rerank): reported distances are the true quantized-domain L2 and
+    recall matches the exact-fused kernel at this corpus size."""
+    import jax.numpy as jnp
+
+    from erlvectordb_tpu.core.search import exact_topk
+    from erlvectordb_tpu.ops.adc_pallas import adc_search_exact_pos
+
+    del pq_setup
+    # larger corpus (8 slices): the pos kernel keeps ONE candidate per
+    # 1024-row slice, so the 2-tile fixture corpus cannot cover k
+    rng = np.random.default_rng(5)
+    d, m = 64, 8
+    z = rng.standard_normal((8192 + 20, 8)).astype(np.float32)
+    proj = rng.standard_normal((8, d)).astype(np.float32) / np.sqrt(8)
+    all_pts = (z @ proj).astype(np.float32)
+    data, queries = all_pts[:8192], all_pts[8192:]
+    cb = PQCodebook.fit(data, m=m, k=64, iters=8)
+    codes = np.asarray(cb.encode(data))
+    absmax = np.abs(data).max(axis=1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    i8 = np.clip(np.round(data / scales[:, None]), -127, 127).astype(np.int8)
+    n = data.shape[0]
+    norms2 = (scales.astype(np.float64) ** 2
+              * (i8.astype(np.float64) ** 2).sum(axis=1)).astype(np.float32)
+    # pad to the pos kernel's 4096-row big tiles
+    big = 4 * ADC_TILE_N
+    pad = (-n) % big
+    codes_p = np.pad(codes, ((0, pad), (0, 0)))
+    i8_p = np.pad(i8, ((0, pad), (0, 0)))
+    sc_p = np.pad(scales, (0, pad), constant_values=1.0)
+    n2_p = np.pad(norms2, (0, pad))
+    nt = adc_n_tiles(n)
+    k = 2
+    dists, rows = adc_search_exact_pos(
+        jnp.asarray(codes_p), cb.codebooks, jnp.asarray(i8_p),
+        jnp.asarray(sc_p), jnp.asarray(n2_p), jnp.asarray(queries), n,
+        k=k, n_tiles=nt,
+    )
+    dists, rows = np.asarray(dists), np.asarray(rows)
+    assert (rows < n).all()
+    # distances are exact quantized-domain euclidean for the chosen rows
+    deq = i8.astype(np.float32) * scales[:, None]
+    for b in range(queries.shape[0]):
+        for j in range(k):
+            r = rows[b, j]
+            if r < 0:
+                continue
+            want = np.linalg.norm(deq[r] - queries[b])
+            np.testing.assert_allclose(dists[b, j], want, rtol=2e-2,
+                                       atol=2e-2)
+    # candidate set: top-1 per 1024-slice -> the true top-1 must be found
+    # unless it shares a slice with a better quantized-LUT row (rare here)
+    norms = jnp.linalg.norm(jnp.asarray(data), axis=1)
+    valid = jnp.ones((n,), bool)
+    _, gt = exact_topk(jnp.asarray(data), norms, valid,
+                       jnp.asarray(queries), metric="euclidean", k=k)
+    gt = np.asarray(gt)
+    recall = np.mean([len(set(gt[i]) & set(rows[i])) / k
+                      for i in range(queries.shape[0])])
+    assert recall >= 0.5, recall  # 8 live slices; queries off-corpus
