@@ -539,6 +539,37 @@ def bench_config5(quick: bool) -> dict:
     qps = batch / sec_dev
     log(f"[config5] device path: {sec_dev*1e3:.2f} ms/batch -> {qps:,.0f} QPS")
 
+    # ---- e2e decomposition (VERDICT r3 #5): split the pipelined gap into
+    # submit-side host work, the rig's raw readback RTT for an equivalent
+    # payload, and completion-side host mapping — so "host share" is
+    # separable from the tunnel's unavoidable transfer cost.
+    t0 = time.perf_counter()
+    tickets = [store.search_batch_submit(qs_host, k=k) for _ in range(T)]
+    submit_s = (time.perf_counter() - t0) / T
+    comp_samples = []
+    for t in tickets:
+        t1 = time.perf_counter()
+        store.search_batch_complete(t)
+        comp_samples.append(time.perf_counter() - t1)
+    # the FIRST completion also absorbs the overlapped device queue; the
+    # later ones measure readback+mapping in isolation
+    comp_s = float(np.median(comp_samples[1:]) if len(comp_samples) > 1
+                   else comp_samples[0])
+    # raw-readback floor: an equivalent-size device array through the rig
+    payload = jnp.zeros((batch, 3 * 16), jnp.float32)  # the packed ticket
+    jax.block_until_ready(payload)
+    rtts = []
+    for _ in range(5):
+        t1 = time.perf_counter()
+        np.asarray(payload)
+        rtts.append(time.perf_counter() - t1)
+    rtt_s = float(np.median(rtts))
+    host_s = max(submit_s, 0.0) + max(comp_s - rtt_s, 0.0)
+    log(f"[config5] decomposition per batch: submit {submit_s*1e3:.2f} ms, "
+        f"complete {comp_s*1e3:.2f} ms (raw readback floor {rtt_s*1e3:.2f}"
+        f" ms) -> host share {host_s*1e3:.2f} ms vs device {sec_dev*1e3:.2f}"
+        f" ms", )
+
     return {
         "metric": f"QPS sharded int8 cosine top-10 ({ndev}-device mesh, {n} x 768)",
         "value": round(qps, 1),
@@ -548,6 +579,10 @@ def bench_config5(quick: bool) -> dict:
         "end_to_end_qps": round(batch / sec_e2e, 1),
         "end_to_end_pipelined_qps": round(batch / sec_pipe, 1),
         "e2e_pipelined_vs_device": round(sec_dev / sec_pipe, 3),
+        "e2e_submit_ms": round(submit_s * 1e3, 3),
+        "e2e_complete_ms": round(comp_s * 1e3, 3),
+        "rtt_floor_ms": round(rtt_s * 1e3, 3),
+        "e2e_host_ms": round(host_s * 1e3, 3),
         "streaming_build_vectors_per_sec": round(n / build_s, 1),
         "n": n,
     }

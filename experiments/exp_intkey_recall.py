@@ -27,7 +27,7 @@ import numpy as np  # noqa: E402
 
 from bench import make_corpus  # noqa: E402
 
-N = 1_200_000
+N = 1_200_128          # 293 * 4096: the kernel's padded tile coverage
 D = 100
 W = 128
 NQ = 256
@@ -88,7 +88,7 @@ def main():
             rdots = jnp.einsum("bpw,bw->bp", cand.astype(jnp.float32),
                                qc8.astype(jnp.float32))
             rs = rescore_scale[rows]
-            sims = (rdots * rs * qs[i:i + 32]
+            sims = (rdots * rs * qs[i:i + 32, None]
                     / (qn[i:i + 32, None] * xn[rows]))
             _, top = jax.lax.top_k(sims, K)
             got = np.asarray(jnp.take_along_axis(rows, top, axis=1))
