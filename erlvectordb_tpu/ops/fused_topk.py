@@ -390,7 +390,13 @@ def _pos_topk(codes, scales, norms, valid, queries, q_in, qmult, rowmult,
         preferred_element_type=jnp.int32 if q_in.dtype == jnp.int8
         else jnp.float32,
     ).astype(jnp.float32)
-    exact_vals = dots * qmult * rowmult[top_rows] + rowbias[top_rows]
+    # rescore aux rides ONE packed [N, 2] gather: per-pool-row SCALAR
+    # gathers are descriptor-bound on TPU, and two separate [B, pool]
+    # gathers (rowmult, rowbias) measured ~2.5x the cost of one packed
+    # [B, pool, 2] fetch at pool=64
+    aux = jnp.stack([m, rowbias.astype(jnp.float32)], axis=1)  # [N, 2]
+    auxg = aux[top_rows]                                   # [B, pool, 2]
+    exact_vals = dots * qmult * auxg[:, :, 0] + auxg[:, :, 1]
     exact_sorted, sel2 = lax.top_k(exact_vals, kk)
     top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
     qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
@@ -723,7 +729,10 @@ def fused_topk(
         preferred_element_type=jnp.int32 if q_in.dtype == jnp.int8
         else jnp.float32,
     ).astype(jnp.float32)
-    exact_vals = dots * qmult * rowmult[top_rows] + rowbias[top_rows]
+    # packed aux gather (see _pos_topk)
+    aux = jnp.stack([rowmult, rowbias.astype(jnp.float32)], axis=1)
+    auxg = aux[top_rows]
+    exact_vals = dots * qmult * auxg[:, :, 0] + auxg[:, :, 1]
     # re-sort by the exact scores
     exact_sorted, sel2 = lax.top_k(exact_vals, kk)
     top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
@@ -911,8 +920,13 @@ def fused_topk_residual(
     dots = jnp.einsum("bkw,bw->bk", cand.astype(jnp.float32), queries,
                       preferred_element_type=jnp.float32)
     tgath = jnp.take_along_axis(table, top_rows // cell_cap, axis=1)
-    exact_vals = ((dots * rowmult[top_rows] + tgath * rowmult2[top_rows])
-                  * qmult2 + rowbias[top_rows])
+    # one packed [N, 3] aux gather instead of three scalar gathers (see
+    # _pos_topk: per-pool-row scalar gathers are descriptor-bound)
+    aux = jnp.stack([rowmult, rowmult2, rowbias.astype(jnp.float32)],
+                    axis=1)
+    auxg = aux[top_rows]                                  # [B, pool, 3]
+    exact_vals = ((dots * auxg[:, :, 0] + tgath * auxg[:, :, 1])
+                  * qmult2 + auxg[:, :, 2])
     exact_sorted, sel2 = lax.top_k(exact_vals, kk)
     top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
     qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
