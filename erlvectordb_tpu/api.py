@@ -112,12 +112,14 @@ class Database:
     # ------------------------------------------------------------ store ops
 
     def create_store(self, name: str, dim: Optional[int] = None,
-                     metric: str = "cosine", dtype: str = "float32") -> dict:
+                     metric: str = "cosine", dtype: str = "float32",
+                     intkey: bool = False) -> dict:
         from erlvectordb_tpu.core.registry import StoreExists
 
         if self._cluster is not None and self._cluster.get_store(name) is not None:
             raise StoreExists(f"store {name!r} already exists (distributed)")
-        store = self.registry.create(name, dim=dim, metric=metric, dtype=dtype)
+        store = self.registry.create(name, dim=dim, metric=metric,
+                                     dtype=dtype, intkey=intkey)
         if self.persistence is not None:
             self.persistence.track(store)
         return store.get_stats()

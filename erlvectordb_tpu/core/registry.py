@@ -35,11 +35,13 @@ class StoreRegistry:
         dim: Optional[int] = None,
         metric: str = "cosine",
         dtype: str = "float32",
+        intkey: bool = False,
     ) -> VectorStore:
         with self._lock:
             if name in self._stores:
                 raise StoreExists(f"store {name!r} already exists")
-            store = VectorStore(name, dim=dim, metric=metric, dtype=dtype)
+            store = VectorStore(name, dim=dim, metric=metric, dtype=dtype,
+                                intkey=intkey)
             self._stores[name] = store
             return store
 

@@ -100,6 +100,34 @@ def _pack_int4(q):
     return (nib[:, 0::2] << 4) | nib[:, 1::2]
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_insert_unit(unit, rows, new_vecs):
+    """Maintain the intkey unit plane (shared-scale int8 codes — raw int32
+    dots rank cosine cross-row; see fused_topk's intkey block comment)."""
+    n2 = jnp.sqrt(jnp.sum(new_vecs * new_vecs, axis=-1))
+    f = jnp.where(n2 > 0, 127.0 / jnp.where(n2 > 0, n2, 1.0), 0.0)
+    u = jnp.clip(jnp.round(new_vecs * f[:, None]), -127, 127).astype(jnp.int8)
+    return unit.at[rows].set(u, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_zero_unit(unit, rows):
+    """Zero deleted rows in the unit plane: their intkey becomes (0 << 10) |
+    lane, ranked below every positive-dot row (the exact rescore rejects
+    any that still reach the pool)."""
+    zero = jnp.zeros((rows.shape[0], unit.shape[1]), unit.dtype)
+    return unit.at[rows].set(zero, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _bulk_build_unit(arr, cap):
+    n = arr.shape[0]
+    n2 = jnp.sqrt(jnp.sum(arr * arr, axis=-1))
+    f = jnp.where(n2 > 0, 127.0 / jnp.where(n2 > 0, n2, 1.0), 0.0)
+    u = jnp.clip(jnp.round(arr * f[:, None]), -127, 127).astype(jnp.int8)
+    return jnp.pad(u, ((0, cap - n), (0, 0)))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _scatter_insert_int4(packed, scales, norms, valid, rows, new_vecs):
     absmax = jnp.max(jnp.abs(new_vecs), axis=-1)
@@ -300,6 +328,7 @@ class VectorStore:
         metric: str = "cosine",
         dtype: str = "float32",
         device: Optional[jax.Device] = None,
+        intkey: bool = False,
     ):
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
@@ -308,6 +337,8 @@ class VectorStore:
                 "dtype must be 'float32', 'int8', 'int4' or 'int4r', "
                 f"got {dtype!r}"
             )
+        if intkey and dtype != "int8":
+            raise ValueError("intkey requires dtype='int8'")
         self.name = name
         self.metric = metric
         self.dtype = dtype
@@ -322,6 +353,13 @@ class VectorStore:
         self._scales: Optional[jax.Array] = None    # int8 stores only
         self._norms: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
+        # intkey (int8 + cosine speed mode): second int8 plane with SHARED
+        # per-row scale so the raw int32 MXU dot ranks cosine cross-row —
+        # the hot kernel drops all scoring math (fused_topk intkey block
+        # comment).  Costs 2x code memory (still under f32 rows); derived
+        # on device from the absmax plane when missing (snapshot restore).
+        self.intkey = intkey
+        self._codes_unit: Optional[jax.Array] = None
 
         # int4r (cell-residual) state: rows live at cell*cell_cap + slot,
         # codes are 4-bit RESIDUALS against the row's cell centroid — the
@@ -529,6 +567,8 @@ class VectorStore:
         if self.dtype == "int8":
             self._vectors = self._put(np.zeros((cap, width), np.int8))
             self._scales = self._put(np.ones((cap,), np.float32))
+            if self.intkey:
+                self._codes_unit = self._put(np.zeros((cap, width), np.int8))
         elif self.dtype == "int4":
             self._vectors = self._put(np.zeros((cap, width // 2), np.uint8))
             self._scales = self._put(np.ones((cap,), np.float32))
@@ -548,6 +588,8 @@ class VectorStore:
     def _pad_capacity(self, new_cap: int) -> None:
         pad = new_cap - self._capacity
         self._vectors = jnp.pad(self._vectors, ((0, pad), (0, 0)))
+        if self._codes_unit is not None:
+            self._codes_unit = jnp.pad(self._codes_unit, ((0, pad), (0, 0)))
         if self._scales is not None:
             self._scales = jnp.pad(self._scales, ((0, pad),), constant_values=1.0)
         self._norms = jnp.pad(self._norms, ((0, pad),))
@@ -815,6 +857,9 @@ class VectorStore:
                 (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int8(
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
                 )
+                if self.intkey and self._codes_unit is not None:
+                    self._codes_unit = _scatter_insert_unit(
+                        self._codes_unit, rows_j, vecs_j)
             elif self.dtype == "int4":
                 (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int4(
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
@@ -874,7 +919,11 @@ class VectorStore:
                 return 0
             bucket = _next_pow2(len(rows))
             padded = rows + [self._capacity] * (bucket - len(rows))
-            self._valid = _scatter_delete(self._valid, self._put(np.asarray(padded, np.int32)))
+            rows_del = self._put(np.asarray(padded, np.int32))
+            self._valid = _scatter_delete(self._valid, rows_del)
+            if self._codes_unit is not None:
+                self._codes_unit = _scatter_zero_unit(self._codes_unit,
+                                                      rows_del)
             for vid, row in zip(hit_ids, rows):
                 del self._id_to_row[vid]
                 del self._row_to_id[row]
@@ -1258,6 +1307,11 @@ class VectorStore:
         ):
             # Pallas fused scan: streams code tiles through VMEM, extracts
             # per-tile candidates on-chip — never materializes [B, N] in HBM.
+            nt = ft.n_tiles_for(self._next_row, self._capacity)
+            cu = None
+            if (self.intkey and self.dtype == "int8"
+                    and ft.intkey_applies(metric, nt, kb)):
+                cu = self._ensure_unit_plane()
             dists, rows = ft.fused_topk(
                 self._vectors,
                 self._scales if self.dtype in ("int8", "int4") else None,
@@ -1266,7 +1320,8 @@ class VectorStore:
                 q_j,
                 metric=metric,
                 k=kb,
-                n_tiles=ft.n_tiles_for(self._next_row, self._capacity),
+                n_tiles=nt,
+                codes_unit=cu,
             )
         elif self.dtype == "int8":
             dists, rows = search_mod.exact_topk_int8(
@@ -1283,6 +1338,20 @@ class VectorStore:
                 self._vectors, self._norms, valid, q_j, metric=metric, k=kb,
             )
         return self._finish_ticket(dists, rows, nq, k, kb)
+
+    def _ensure_unit_plane(self):
+        """The intkey unit plane, derived on device from the absmax plane
+        when missing (snapshot restore / first search after enabling).
+        Idempotent cache fill, safe under the read lock like _cents_rt."""
+        if self._vectors is None:
+            return None
+        if (self._codes_unit is None
+                or self._codes_unit.shape[0] != self._capacity):
+            from erlvectordb_tpu.ops import fused_topk as ft
+
+            self._codes_unit = ft.requantize_unit(
+                self._vectors, self._scales, self._norms, self._valid)
+        return self._codes_unit
 
     def _finish_ticket(self, dists, rows, nq, k, kb, rows_are_orig=False):
         """Enqueue the fused single-readback pack alongside the search
@@ -1358,6 +1427,8 @@ class VectorStore:
             return 0
         total = self._vectors.size * self._vectors.dtype.itemsize
         total += self._norms.size * 4 + self._valid.size
+        if self._codes_unit is not None:
+            total += self._codes_unit.size
         if self._scales is not None:
             total += self._scales.size * 4
         if self._centroids is not None:
@@ -1383,6 +1454,7 @@ class VectorStore:
                 "metadata": dict(self._metadata),
                 "next_row": self._next_row,
                 "free_rows": list(self._free_rows),
+                "intkey": self.intkey,
             }
             if self._vectors is not None:
                 state["vectors"] = np.asarray(self._vectors)
@@ -1413,6 +1485,7 @@ class VectorStore:
             metric=state.get("metric", "cosine"),
             dtype=state.get("dtype", "float32"),
             device=device,
+            intkey=bool(state.get("intkey", False)),
         )
         store.created_at = state.get("created_at", time.time())
         store.version = state.get("version", 0)
@@ -1801,6 +1874,7 @@ class VectorStore:
         dtype: str = "float32",
         device: Optional[jax.Device] = None,
         metadatas: Optional[Sequence[dict]] = None,
+        intkey: bool = False,
     ) -> "VectorStore":
         """Bulk index build: one device transfer + one jitted program.
 
@@ -1809,7 +1883,8 @@ class VectorStore:
         ``ids=None`` row i gets the implicit id ``str(i)`` and the id tables
         stay virtual until the first targeted mutation.
         """
-        store = cls(name, metric=metric, dtype=dtype, device=device)
+        store = cls(name, metric=metric, dtype=dtype, device=device,
+                    intkey=intkey)
         arr = matrix if isinstance(matrix, jax.Array) else np.ascontiguousarray(
             np.asarray(matrix, np.float32)
         )
@@ -1841,6 +1916,9 @@ class VectorStore:
             store._vectors, store._scales, store._norms, store._valid = (
                 codes, scales, norms, valid,
             )
+            if intkey:
+                # exact unit plane from the f32 rows (no double quantization)
+                store._codes_unit = _bulk_build_unit(arr_dev, cap)
         elif store.dtype == "int4":
             packed, scales, norms, valid = _bulk_build_int4(arr_dev, cap)
             store._vectors, store._scales, store._norms, store._valid = (

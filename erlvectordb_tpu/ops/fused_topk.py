@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -328,6 +328,201 @@ def _pos_scan(codes, q, qm, m, b, *, n_tiles, use_qm):
     return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
 
 
+# ---------------------------------------------------------------------------
+# Intkey scan — the raw-integer ranking variant for big COSINE stores.
+#
+# The pos path still pays ~2 f32 VPU ops/element to make absmax-quantized
+# dots cross-row comparable (dots * rowmult + bias) plus the float->int
+# bitcast.  The intkey path removes scoring math from the kernel entirely by
+# changing the CODES instead: a second int8 plane quantized with a SHARED
+# per-row scale (|x|/127 — "unit codes", c8u ~ 127 * x/|x|) makes the raw
+# int32 MXU dot itself rank cosine similarity across rows.  The kernel is
+# then just
+#
+#     key[b, slice] = max over slice of (dot(q8, c8u) << 10) | lane
+#
+# 3 integer VPU ops/element (shift, or, max) and nothing else.  The shift
+# cannot wrap: |c8u|_2 <= 127 + rounding, |q8|_2 <= 127*sqrt(W), so
+# |dot| < 2^18 for W <= 2048 and the key fits int32 with FULL dot precision
+# (unlike the pos key, no value bits are sacrificed to the lane).
+#
+# Unit codes are ~3x coarser per element than absmax codes (the row's energy
+# spreads over sqrt(D) lanes), which is fine for slice-winner SELECTION but
+# not for final ranking — the pool rescore gathers the store's ABSMAX plane
+# and re-ranks exactly (measured on the config-3 corpus: candidate recall
+# 0.9227 intkey-select + absmax-rescore vs 0.9234 pos-select at pool 64;
+# rescoring with the unit plane itself collapses to 0.77).  Costs: a second
+# [N, W] int8 plane in HBM (2x code memory — still under the f32 rows the
+# reference stores), maintained by insert/delete and derivable on device
+# from the absmax plane (requantize) for restored snapshots.
+#
+# Deleted rows hold ZERO unit codes: their key is (0 << 10) | lane, ranked
+# below every positive-dot row, and the exact rescore rejects any that still
+# reach the pool (bias -1e30).  A deleted row can displace one pool slot
+# only in the corner where every valid row in its slice scores negative for
+# that query — same approximation class as the pos path's slice-top-1.
+#
+# Cosine ONLY: euclidean needs the -|x|^2 row bias (not integer-expressible
+# per row once query scales differ) and dot needs row magnitudes, which unit
+# codes erase by construction.  Measured (v5e, 1.2M x 128, same window):
+# intkey scan 2.94 ms vs pos scan 3.34 ms per 1024-query batch, with the
+# software-pipelined sub=8 body (exp_intkey_pipe.py) at 2.84-2.94 ms vs the
+# MXU floor of 2.10 ms.
+# ---------------------------------------------------------------------------
+
+INTKEY_SHIFT = 10  # log2(POS_SLICE): low bits carry the lane
+
+
+def _make_intkey_kernel(sub: int):
+    """Software-pipelined intkey body: sub-tile t+1's MXU dot is issued
+    before sub-tile t's VPU extraction, so Mosaic can overlap them (the
+    naive dot->extract body measured exactly additive)."""
+    s_per_tile = TILE_N // POS_SLICE
+
+    def dot_tile(q, codes_ref, t):
+        sl = slice(t * TILE_N, (t + 1) * TILE_N)
+        return lax.dot_general(q, codes_ref[sl, :], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    def kern(q_ref, codes_ref, out_ref):
+        q = q_ref[:]
+
+        def extract(d, lane, t):
+            kk = (d << INTKEY_SHIFT) | lane
+            for sx in range(s_per_tile):
+                ssl = slice(sx * POS_SLICE, (sx + 1) * POS_SLICE)
+                out_ref[0, :, t * s_per_tile + sx] = jnp.max(
+                    kk[:, ssl], axis=1)
+
+        d_prev = dot_tile(q, codes_ref, 0)
+        lane = (lax.broadcasted_iota(jnp.int32, d_prev.shape, 1)
+                & POS_LANE_MASK)
+        for t in range(sub - 1):
+            d_next = dot_tile(q, codes_ref, t + 1)
+            extract(d_prev, lane, t)
+            d_prev = d_next
+        extract(d_prev, lane, sub - 1)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles",))
+def _intkey_scan(codes_unit, q_in, *, n_tiles):
+    """Raw-int-dot scan over the unit plane.  Returns keys [B, n_slices]
+    int32 with key = (dot << 10) | lane; slice i covers rows
+    [i*1024, (i+1)*1024)."""
+    bq, w = q_in.shape
+    bt = _pick_bt(bq)
+    nb = bq // bt
+    # sub=8 halves per-step overhead vs 4 (measured); VMEM at W=128:
+    # codes 4 MB + two live [bt, TILE_N] i32 dots 8 MB
+    sub = _pick_sub(codes_unit.shape[0], n_tiles, w, max_sub=8)
+    n_big = -(-n_tiles // sub)
+    big_n = sub * TILE_N
+    spt = sub * (TILE_N // POS_SLICE)
+
+    out = pl.pallas_call(
+        _make_intkey_kernel(sub),
+        grid=(n_big, nb),
+        in_specs=[
+            pl.BlockSpec((bt, w), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, spt), lambda j, i: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_big, bq, spt), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * w * n_big * big_n,
+            bytes_accessed=n_big * big_n * w + bq * w
+            + bq * n_big * spt * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q_in, codes_unit)
+    return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
+
+
+def intkey_applies(metric: str, n_tiles: int, k: int) -> bool:
+    """Unit-plane gate: pos-path size/k gates, cosine only (see block
+    comment), and the same EVDB_EXACT_SCAN opt-out."""
+    return (POS_PATH_ENABLED and metric == "cosine"
+            and n_tiles >= POS_MIN_TILES and k <= POS_MAX_K)
+
+
+def _rescore_pool(codes, q_in, qmult, m, rowbias, top_rows, post, queries,
+                  kk, b_orig, pad_b):
+    """Shared exact-rescore tail: gather the pool's absmax rows + one packed
+    [N, 2] aux plane, re-rank by the exact affine score, map to distances."""
+    cand = codes[top_rows]
+    if codes.dtype == jnp.uint8:
+        hi = (cand >> 4).astype(jnp.int8)
+        lo = (cand & 0xF).astype(jnp.int8)
+        hi = jnp.where(hi > 7, hi - 16, hi)
+        lo = jnp.where(lo > 7, lo - 16, lo)
+        cand = jnp.stack([hi, lo], axis=-1).reshape(
+            cand.shape[0], cand.shape[1], -1)
+    dots = jnp.einsum(
+        "bkw,bw->bk", cand, q_in,
+        preferred_element_type=jnp.int32 if q_in.dtype == jnp.int8
+        else jnp.float32,
+    ).astype(jnp.float32)
+    # rescore aux rides ONE packed [N, 2] gather: per-pool-row SCALAR
+    # gathers are descriptor-bound on TPU, and two separate [B, pool]
+    # gathers (rowmult, rowbias) measured ~2.5x the cost of one packed
+    # [B, pool, 2] fetch at pool=64
+    aux = jnp.stack([m, rowbias.astype(jnp.float32)], axis=1)  # [N, 2]
+    auxg = aux[top_rows]                                   # [B, pool, 2]
+    exact_vals = dots * qmult * auxg[:, :, 0] + auxg[:, :, 1]
+    exact_sorted, sel2 = lax.top_k(exact_vals, kk)
+    top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
+    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    dists = post(exact_sorted, qsq)
+    dists = jnp.where(exact_sorted <= _NEG / 2, jnp.inf, dists)
+    if pad_b:
+        dists, top_rows = dists[:b_orig], top_rows[:b_orig]
+    return dists, top_rows
+
+
+def _intkey_topk(codes, codes_unit, norms, valid, queries, q_in, qmult,
+                 rowmult, rowbias, post, *, k, n_tiles, b_orig, pad_b):
+    """Intkey merge: raw-int-key pool selection over the unit plane + exact
+    absmax-plane rescore (cosine only)."""
+    keys = _intkey_scan(codes_unit, q_in, n_tiles=n_tiles)
+    kk = min(k, keys.shape[1])
+    pool = min(max(4 * kk, 64), keys.shape[1])
+    topkeys, sel = lax.top_k(keys, pool)
+    top_rows = sel * POS_SLICE + (topkeys & POS_LANE_MASK)
+    m = jnp.where(valid, rowmult, 0.0).astype(jnp.float32)
+    return _rescore_pool(codes, q_in, qmult, m, rowbias, top_rows, post,
+                         queries, kk, b_orig, pad_b)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def requantize_unit(codes: jax.Array, scales: jax.Array, norms: jax.Array,
+                    valid: jax.Array, chunk: int = 65536) -> jax.Array:
+    """Derive the unit plane from an existing absmax int8 plane on device
+    (snapshot restore / lazy enable): unit ~ round(codes * 127*scale/norm).
+    Double quantization adds ~absmax-step noise — selection-grade (the
+    exact rescore uses the absmax plane).  Invalid/zero-norm rows get ZERO
+    codes so their intkey ranks below every positive-dot row."""
+    f = jnp.where(valid & (norms > 0),
+                  127.0 * scales / jnp.where(norms > 0, norms, 1.0), 0.0)
+    n, w = codes.shape
+    ch = min(chunk, n)
+    n_ch = -(-n // ch)
+
+    def body(i, out):
+        c = lax.dynamic_slice(codes, (i * ch, 0), (ch, w))
+        fc = lax.dynamic_slice(f, (i * ch,), (ch,))
+        u = jnp.clip(jnp.round(c.astype(jnp.float32) * fc[:, None]),
+                     -127, 127).astype(jnp.int8)
+        return lax.dynamic_update_slice(out, u, (i * ch, 0))
+
+    return lax.fori_loop(0, n_ch, body, jnp.zeros((n, w), jnp.int8))
+
+
 def _pos_dot_term_bound(codes, scales, norms, rowmult, q_in):
     """Per-row bound on |dots * rowmult| (the ranking dot term).
 
@@ -377,34 +572,8 @@ def _pos_topk(codes, scales, norms, valid, queries, q_in, qmult, rowmult,
     pool = min(max(4 * kk, 64), keys.shape[1])
     topkeys, sel = lax.top_k(keys, pool)
     top_rows = sel * POS_SLICE + (topkeys & POS_LANE_MASK)
-    cand = codes[top_rows]
-    if codes.dtype == jnp.uint8:
-        hi = (cand >> 4).astype(jnp.int8)
-        lo = (cand & 0xF).astype(jnp.int8)
-        hi = jnp.where(hi > 7, hi - 16, hi)
-        lo = jnp.where(lo > 7, lo - 16, lo)
-        cand = jnp.stack([hi, lo], axis=-1).reshape(
-            cand.shape[0], cand.shape[1], -1)
-    dots = jnp.einsum(
-        "bkw,bw->bk", cand, q_in,
-        preferred_element_type=jnp.int32 if q_in.dtype == jnp.int8
-        else jnp.float32,
-    ).astype(jnp.float32)
-    # rescore aux rides ONE packed [N, 2] gather: per-pool-row SCALAR
-    # gathers are descriptor-bound on TPU, and two separate [B, pool]
-    # gathers (rowmult, rowbias) measured ~2.5x the cost of one packed
-    # [B, pool, 2] fetch at pool=64
-    aux = jnp.stack([m, rowbias.astype(jnp.float32)], axis=1)  # [N, 2]
-    auxg = aux[top_rows]                                   # [B, pool, 2]
-    exact_vals = dots * qmult * auxg[:, :, 0] + auxg[:, :, 1]
-    exact_sorted, sel2 = lax.top_k(exact_vals, kk)
-    top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
-    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
-    dists = post(exact_sorted, qsq)
-    dists = jnp.where(exact_sorted <= _NEG / 2, jnp.inf, dists)
-    if pad_b:
-        dists, top_rows = dists[:b_orig], top_rows[:b_orig]
-    return dists, top_rows
+    return _rescore_pool(codes, q_in, qmult, m, rowbias, top_rows, post,
+                         queries, kk, b_orig, pad_b)
 
 
 def pos_path_applies(metric: str, n_tiles: int, k: int) -> bool:
@@ -673,8 +842,13 @@ def fused_topk(
     metric: str,
     k: int,
     n_tiles: int,                # scan only the first n_tiles*TILE_N rows
+    codes_unit: Optional[jax.Array] = None,  # [N_cap, W] int8 unit plane
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused scan + candidate top-k. Returns (distances [B, k], rows [B, k])."""
+    """Fused scan + candidate top-k. Returns (distances [B, k], rows [B, k]).
+
+    ``codes_unit``: optional shared-scale ("unit") int8 plane for the intkey
+    scan — selection by raw int32 dots, exact rescore on the absmax plane
+    (cosine + big-store gated; see the intkey block comment)."""
     b = queries.shape[0]
     bt = _pick_bt(b)
     pad_b = (-b) % bt
@@ -686,6 +860,11 @@ def fused_topk(
     q_in, qmult, rowmult, rowbias, post = _affine_factors(
         metric, scales, norms, valid, queries,
     )
+
+    if codes_unit is not None and intkey_applies(metric, n_tiles, k):
+        return _intkey_topk(codes, codes_unit, norms, valid, queries, q_in,
+                            qmult, rowmult, rowbias, post, k=k,
+                            n_tiles=n_tiles, b_orig=b, pad_b=pad_b)
 
     if pos_path_applies(metric, n_tiles, k):
         return _pos_topk(codes, scales, norms, valid, queries, q_in, qmult,
@@ -716,33 +895,8 @@ def fused_topk(
     # keeps only an 11-bit value mantissa (selection-grade); one tiny
     # gather + batched dot recomputes the pool's exact affine scores, so
     # selection AND reported distances match the unfused XLA path.
-    cand = codes[top_rows]                                 # [B+pad, pool, *]
-    if codes.dtype == jnp.uint8:  # packed int4: unpack the pool only
-        hi = (cand >> 4).astype(jnp.int8)
-        lo = (cand & 0xF).astype(jnp.int8)
-        hi = jnp.where(hi > 7, hi - 16, hi)
-        lo = jnp.where(lo > 7, lo - 16, lo)
-        cand = jnp.stack([hi, lo], axis=-1).reshape(
-            cand.shape[0], cand.shape[1], -1)
-    dots = jnp.einsum(
-        "bkw,bw->bk", cand, q_in,
-        preferred_element_type=jnp.int32 if q_in.dtype == jnp.int8
-        else jnp.float32,
-    ).astype(jnp.float32)
-    # packed aux gather (see _pos_topk)
-    aux = jnp.stack([rowmult, rowbias.astype(jnp.float32)], axis=1)
-    auxg = aux[top_rows]
-    exact_vals = dots * qmult * auxg[:, :, 0] + auxg[:, :, 1]
-    # re-sort by the exact scores
-    exact_sorted, sel2 = lax.top_k(exact_vals, kk)
-    top_rows = jnp.take_along_axis(top_rows, sel2, axis=1)
-    qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
-    dists = post(exact_sorted, qsq)
-    # candidates that were only padding/invalid come back as -1e30 scores
-    dists = jnp.where(exact_sorted <= _NEG / 2, jnp.inf, dists)
-    if pad_b:
-        dists, top_rows = dists[:b], top_rows[:b]
-    return dists, top_rows
+    return _rescore_pool(codes, q_in, qmult, rowmult, rowbias, top_rows,
+                         post, queries, kk, b, pad_b)
 
 
 def _affine_factors_residual(metric, scales, norms, valid, queries, qn):

@@ -298,3 +298,94 @@ def test_pos_path_int4_packed(spiked_corpus, pos_gate):
     d_f, r_f, d_x, r_x = map(np.asarray, (d_f, r_f, d_x, r_x))
     assert set(r_f[0]) == set(r_x[0]) == set(targets)
     np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Intkey path (unit-code plane, raw-int32-dot selection + absmax rescore).
+# Cosine only; gated like the pos path.  The spiked corpus's planted
+# matches live in distinct 1024-row slices, so selection must be exact.
+# ---------------------------------------------------------------------------
+
+
+def _unit_quantize(data):
+    n2 = np.linalg.norm(data, axis=1)
+    f = np.where(n2 > 0, 127.0 / np.where(n2 > 0, n2, 1.0), 0.0)
+    return np.clip(np.round(data * f[:, None]), -127, 127).astype(np.int8)
+
+
+def test_intkey_gate_is_cosine_only():
+    import erlvectordb_tpu.ops.fused_topk as ft
+
+    assert ft.intkey_applies("cosine", ft.POS_MIN_TILES, 10)
+    assert not ft.intkey_applies("euclidean", ft.POS_MIN_TILES, 10)
+    assert not ft.intkey_applies("dot", ft.POS_MIN_TILES, 10)
+    assert not ft.intkey_applies("cosine", ft.POS_MIN_TILES - 1, 10)
+    assert not ft.intkey_applies("cosine", ft.POS_MIN_TILES, ft.POS_MAX_K + 1)
+
+
+def test_intkey_matches_xla(spiked_corpus, pos_gate):
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    unit = _unit_quantize(data)
+    unit[~valid] = 0
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    d_f, r_f = fused_topk(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=k,
+        n_tiles=nt, codes_unit=jnp.asarray(unit),
+    )
+    d_x, r_x = exact_topk_int8(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=k,
+    )
+    _, r_wide = exact_topk_int8(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=24,
+    )
+    d_f, r_f, d_x, r_x, r_wide = map(np.asarray, (d_f, r_f, d_x, r_x, r_wide))
+    assert set(r_f[0]) == set(r_x[0]) == set(targets)
+    np.testing.assert_allclose(np.sort(d_f[0]), np.sort(d_x[0]),
+                               rtol=1e-3, atol=1e-3)
+    # random queries lose same-slice collisions at this tiny corpus; assert
+    # every returned row is a genuine near neighbor and the top-1 is exact
+    for b in range(1, queries.shape[0]):
+        assert set(r_f[b]) <= set(r_wide[b]), b
+    np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-3, atol=1e-3)
+
+
+def test_intkey_deleted_rows_excluded(spiked_corpus, pos_gate):
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    valid = valid.copy()
+    valid[targets[1]] = False
+    unit = _unit_quantize(data)
+    unit[~valid] = 0
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    _, r_f = fused_topk(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="cosine", k=k,
+        n_tiles=nt, codes_unit=jnp.asarray(unit),
+    )
+    r_f = np.asarray(r_f)
+    assert targets[1] not in r_f[0]
+    assert set(targets) - {targets[1]} <= set(r_f[0])
+
+
+def test_requantize_unit_matches_direct(spiked_corpus):
+    """Deriving the unit plane from the absmax plane (snapshot restore)
+    stays within one quantization step of direct-from-f32 encoding and
+    zeroes invalid rows."""
+    from erlvectordb_tpu.ops.fused_topk import requantize_unit
+
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    direct = _unit_quantize(data)
+    derived = np.asarray(requantize_unit(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid)))
+    assert np.all(derived[~valid] == 0)
+    diff = np.abs(derived[valid].astype(np.int32)
+                  - direct[valid].astype(np.int32))
+    assert diff.max() <= 2 and (diff > 1).mean() < 0.01

@@ -507,3 +507,83 @@ class TestStoreHardening:
         sq = np.array([[2.0, 0.0], [0.0, 8.0]], np.float32)
         np.testing.assert_allclose(
             np.asarray(normalize(sq)), [[1.0, 0.0], [0.0, 1.0]], atol=1e-6)
+
+
+class TestIntkeyStore:
+    """int8 + intkey=True: the unit-code plane drives cosine selection
+    (raw int32 dots); rescore stays on the absmax plane.  Gated like the
+    pos path — tests lower the gate and use >= TILE_N capacity."""
+
+    @pytest.fixture(autouse=True)
+    def _gate(self, monkeypatch):
+        import erlvectordb_tpu.ops.fused_topk as ft
+
+        monkeypatch.setattr(ft, "POS_MIN_TILES", 1)
+        # run the store's fused dispatch (interpret mode) on CPU so the
+        # intkey wiring — plane derivation included — actually executes
+        real = ft.fused_topk_available
+        monkeypatch.setattr(
+            ft, "fused_topk_available",
+            lambda count, cap, metric, backend, k=10: real(
+                count, cap, metric, "tpu", k))
+
+    def _mk(self, rng, n=5000, d=64):
+        data = rng.standard_normal((n, d)).astype(np.float32)
+        store = VectorStore("ik", dtype="int8", intkey=True)
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        return store, data
+
+    def test_requires_int8(self):
+        with pytest.raises(ValueError):
+            VectorStore("bad", dtype="float32", intkey=True)
+
+    def test_search_uses_plane_and_matches_exact(self, rng):
+        # >= kb key slices needed at k=10 (kb 16): 20000 rows -> cap 32768
+        # -> 32 slices (production's POS_MIN_TILES gate guarantees >= 576)
+        store, data = self._mk(rng, n=20000)
+        assert store._codes_unit is not None
+        res = store.search(data[42], k=1)
+        assert res[0][0] == "v42"
+        # recall parity with a plain int8 store on the same data
+        plain = VectorStore("pl", dtype="int8")
+        plain.insert_batch([f"v{i}" for i in range(len(data))], data)
+        qs = rng.standard_normal((16, data.shape[1])).astype(np.float32)
+        hits = 0
+        for a, b in zip(store.search_batch(qs, k=10),
+                        plain.search_batch(qs, k=10)):
+            hits += len({x[0] for x in a} & {x[0] for x in b})
+        assert hits / 160 >= 0.9
+
+    def test_delete_zeroes_plane_and_excludes(self, rng):
+        store, data = self._mk(rng)
+        assert store.delete("v42")
+        assert np.all(np.asarray(store._codes_unit[42]) == 0)
+        res = store.search(data[42], k=3)
+        assert "v42" not in [r[0] for r in res]
+
+    def test_overwrite_updates_plane(self, rng):
+        store, data = self._mk(rng)
+        newv = rng.standard_normal(data.shape[1]).astype(np.float32)
+        store.insert("v7", newv)
+        res = store.search(newv, k=1)
+        assert res[0][0] == "v7"
+
+    def test_snapshot_restore_rederives_plane(self, rng, tmp_path):
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        store, data = self._mk(rng)
+        save_store(store, tmp_path)
+        back = load_store("ik", tmp_path)
+        assert back.intkey and back._codes_unit is None  # lazy
+        res = back.search(data[42], k=1)
+        assert res[0][0] == "v42"
+        assert back._codes_unit is not None  # derived on first search
+        # maintained by subsequent mutations
+        back.delete("v42")
+        assert np.all(np.asarray(back._codes_unit[42]) == 0)
+
+    def test_memory_reports_plane(self, rng):
+        store, _ = self._mk(rng, n=100)
+        plain = VectorStore("pl2", dtype="int8")
+        plain.insert_batch(["a"], np.ones((1, 64), np.float32))
+        assert store.device_memory_bytes() > plain.device_memory_bytes()
