@@ -197,6 +197,52 @@ def _bulk_build_int4r(xp, cents_rows, pos, n_rows):
     return packed, scales, norms, valid
 
 
+def _unpack_int4(packed):
+    """[R, W/2] uint8 nibble pairs -> [R, W] int4-valued int8 (dim 2p in
+    the high nibble, the _pack_int4 layout)."""
+    hi = (packed >> 4).astype(jnp.int8)
+    lo = (packed & 0xF).astype(jnp.int8)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    return jnp.stack([hi, lo], axis=-1).reshape(packed.shape[0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "dp2"))
+def _rq_encode_chunk(packed, scales, cents_rows, x_rows, rot, books, *,
+                     d, dp2):
+    """Second-stage encode of one slot chunk: stage-1 reconstruction from
+    the packed codes, error vs the original rows, OPQ encode, and the
+    FULL-reconstruction norm (numerator and denominator of the rescored
+    cosine must describe the same vector)."""
+    from erlvectordb_tpu.quant.pq import _decode, _encode
+
+    q = _unpack_int4(packed)
+    recon = cents_rows + q.astype(jnp.float32) * scales[:, None]
+    e = x_rows[:, :d] - recon[:, :d]
+    if dp2 > d:
+        e = jnp.pad(e, ((0, 0), (0, dp2 - d)))
+    er = jnp.dot(e, rot, preferred_element_type=jnp.float32)
+    c2 = _encode(er, books)
+    dec = jnp.dot(_decode(c2, books), rot.T,
+                  preferred_element_type=jnp.float32)
+    full = recon[:, :d] + dec[:, :d]
+    nrm = jnp.sqrt(jnp.sum(full * full, axis=-1))
+    return c2, nrm
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=("d", "dp2"))
+def _scatter_insert_rq(codes2, norms, packed_rows, scales_rows, cents_rows,
+                       new_vecs, rows, rot, books, *, d, dp2):
+    """Per-insert second-stage encode + scatter (rq stores): the freshly
+    written rows' int4 error is OPQ-encoded and their stored norms become
+    full-reconstruction norms.  Pad rows (row == capacity) drop."""
+    c2, nrm = _rq_encode_chunk(packed_rows, scales_rows, cents_rows,
+                               new_vecs, rot, books, d=d, dp2=dp2)
+    codes2 = codes2.at[rows].set(c2, mode="drop")
+    norms = norms.at[rows].set(nrm, mode="drop")
+    return codes2, norms
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _scatter_delete(valid, rows):
     return valid.at[rows].set(False, mode="drop")
@@ -369,6 +415,15 @@ class VectorStore:
         self._cents_rt: Optional[jax.Array] = None   # bf16 routing copy
         self._cents_cn2: Optional[jax.Array] = None  # |c|^2 routing buffer
         self._cents_rt_src: Optional[jax.Array] = None
+        # Optional second-stage residual quantization (``rq_m`` on
+        # from_matrix): OPQ error codes over the int4 reconstruction error,
+        # +rq_m bytes/row.  Multiprobe searches rescore a small candidate
+        # pool with the LUT'd error term (ops/cell_probe.py) — measured
+        # +0.04 recall@10 at 100-d for 10 B/row (exp_rq2, round 4).
+        self._rq_m = 0
+        self._rq_codes: Optional[jax.Array] = None  # [capacity, M2] uint8
+        self._rq_books: Optional[jax.Array] = None  # [M2, 256, ds] f32
+        self._rq_rot: Optional[jax.Array] = None    # [dp2, dp2] f32
         self._cell_cap = 0
         self._cell_next: Optional[np.ndarray] = None   # per-cell slot HWM
         self._cell_avail: Optional[np.ndarray] = None  # free slots per cell
@@ -594,6 +649,8 @@ class VectorStore:
             self._scales = jnp.pad(self._scales, ((0, pad),), constant_values=1.0)
         self._norms = jnp.pad(self._norms, ((0, pad),))
         self._valid = jnp.pad(self._valid, ((0, pad),))
+        if self._rq_codes is not None:
+            self._rq_codes = jnp.pad(self._rq_codes, ((0, pad), (0, 0)))
         if self._ids_np is not None:
             grown = np.full((new_cap,), None, object)
             grown[: self._capacity] = self._ids_np
@@ -853,6 +910,16 @@ class VectorStore:
                     rows_j, vecs_j, cents_rows,
                 )
                 self._code_norm_max = None  # realized bound may have grown
+                if self._rq_codes is not None:
+                    # stage-2 encode of the freshly written rows (clip-
+                    # gather reads garbage for pad rows; their scatter drops)
+                    self._rq_codes, self._norms = _scatter_insert_rq(
+                        self._rq_codes, self._norms,
+                        self._vectors[rows_j], self._scales[rows_j],
+                        cents_rows, vecs_j, rows_j,
+                        self._rq_rot, self._rq_books,
+                        d=self._dim, dp2=self._rq_rot.shape[0],
+                    )
             elif self.dtype == "int8":
                 (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int8(
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
@@ -1259,12 +1326,30 @@ class VectorStore:
                     self._cents_cn2 = jnp.sum(
                         self._centroids * self._centroids, axis=-1)
                     self._cents_rt_src = self._centroids
+                rq_kw = {}
+                if self._rq_codes is not None:
+                    # stage-2 pooled rescore: IP tables of the rotated
+                    # (zero-padded to the rq dim) queries feed the LUT
+                    from erlvectordb_tpu.quant.pq import _adc_ip_tables
+
+                    dp2 = self._rq_rot.shape[0]
+                    qe = q_j[:, : self._dim]
+                    if dp2 > self._dim:
+                        qe = jnp.pad(qe, ((0, 0), (0, dp2 - self._dim)))
+                    qr = jnp.dot(qe, self._rq_rot,
+                                 preferred_element_type=jnp.float32)
+                    rq_kw = dict(
+                        rq_codes=self._rq_codes,
+                        rq_lut=_adc_ip_tables(qr, self._rq_books),
+                        rq_pool=max(4 * kb, 64),
+                    )
                 dists, rows = multiprobe_topk(
                     self._vectors, self._scales, self._norms, valid,
                     self._centroids, q_j, metric=metric, k=kb,
                     nprobe=min(nprobe, max(1, self._centroids.shape[0])),
                     cell_cap=self._cell_cap,
                     centroids_route=self._cents_rt, cn2=self._cents_cn2,
+                    **rq_kw,
                 )
                 if self._perm_dev is not None:
                     rows = _perm_map(self._perm_dev, rows)
@@ -1433,6 +1518,9 @@ class VectorStore:
             total += self._scales.size * 4
         if self._centroids is not None:
             total += self._centroids.size * 4
+        if self._rq_codes is not None:
+            total += self._rq_codes.size
+            total += self._rq_books.size * 4 + self._rq_rot.size * 4
         return int(total)
 
     # ----------------------------------------------------- state export/import
@@ -1469,6 +1557,11 @@ class VectorStore:
                 state["cell_free"] = {
                     str(c): list(v) for c, v in self._cell_free.items()
                 }
+                if self._rq_codes is not None:
+                    state["rq_m"] = self._rq_m
+                    state["rq_codes"] = np.asarray(self._rq_codes)
+                    state["rq_books"] = np.asarray(self._rq_books)
+                    state["rq_rot"] = np.asarray(self._rq_rot)
             if self._spilled and self._perm_count:
                 # spilled streaming layout: ids stay implicit (mutations are
                 # rejected anyway) — persist the slot->row perm instead
@@ -1511,6 +1604,14 @@ class VectorStore:
                 + np.array([len(store._cell_free.get(c, []))
                             for c in range(len(store._cell_next))], np.int64)
             )
+            if "rq_codes" in state:
+                store._rq_m = int(state.get("rq_m", 0))
+                store._rq_codes = store._put(
+                    np.asarray(state["rq_codes"], np.uint8))
+                store._rq_books = store._put(
+                    np.asarray(state["rq_books"], np.float32))
+                store._rq_rot = store._put(
+                    np.asarray(state["rq_rot"], np.float32))
         if state.get("spilled") and "perm" in state:
             store._perm_dev = store._put(
                 np.asarray(state["perm"], np.int32))
@@ -1607,8 +1708,17 @@ class VectorStore:
             cents_rows = self._centroids[rows_j // self._cell_cap]
             vecs = (cents_rows + q.astype(jnp.float32)
                     * self._scales[rows_j][:, None])
+            if self._rq_codes is not None:
+                # rebuild from the FULL reconstruction: the stage-2 error
+                # term carries ~half the row's precision on rq stores
+                from erlvectordb_tpu.quant.pq import _decode
+                dec = jnp.dot(_decode(self._rq_codes[rows_j],
+                                      self._rq_books),
+                              self._rq_rot.T,
+                              preferred_element_type=jnp.float32)
+                vecs = vecs.at[:, : self._dim].add(dec[:, : self._dim])
             matrix = np.asarray(vecs)[:, : self._dim]
-            self._build_int4r(matrix, list(ids))
+            self._build_int4r(matrix, list(ids), rq_m=self._rq_m)
             # layout changed wholesale: columnar caches rebuild lazily
             self._tag_cols = {}
             self._dmask_cache = {}
@@ -1620,7 +1730,70 @@ class VectorStore:
 
     # ------------------------------------------------------------ bulk build
 
-    def _build_int4r(self, matrix, ids: Optional[Sequence[str]]) -> None:
+    def _fit_rq(self, x: np.ndarray, perm: np.ndarray, rq_m: int) -> None:
+        """Fit + encode the second-stage residual quantizer (``rq_m``).
+
+        OPQ (rotation + product codebooks) over the int4 reconstruction
+        ERROR, rq_m bytes/row.  The round-4 sweeps (experiments/exp_rq*.py)
+        measured why and how much: at 100-d every 4-bit-rate encoder sits
+        on the same rate-distortion wall (ceiling 0.86-0.87 recall@10),
+        and an OPQ m=10 error stage lifts the full-decode ceiling to ~0.91
+        at exactly 0.5x int8 memory.  Stored norms become
+        full-reconstruction norms.  Needs the original rows, so this runs
+        on the from_matrix path (streaming from_chunks discards them)."""
+        from erlvectordb_tpu.quant.opq import OPQCodebook
+
+        d = self._dim
+        dp2 = -(-d // rq_m) * rq_m
+        perm = np.asarray(perm)
+        cap_total = self._capacity
+        cap = self._cell_cap
+
+        def chunk_errors(lo, hi):
+            sl = slice(lo, hi)
+            orig = np.clip(perm[sl], 0, x.shape[0] - 1)
+            cells = (np.arange(lo, hi) // cap).astype(np.int32)
+            return _rq_encode_chunk(
+                self._vectors[sl], self._scales[sl],
+                self._centroids[self._put(cells)],
+                self._put(np.ascontiguousarray(x[orig])),
+                rot_j, books_j, d=d, dp2=dp2)
+
+        # ---- sample the error field and fit the codebooks ---------------
+        valid_slots = np.where(perm >= 0)[0]
+        step = max(1, len(valid_slots) // 131072)
+        samp = valid_slots[::step][:131072]
+        sl_j = self._put(samp.astype(np.int32))
+        q1 = _unpack_int4(self._vectors[sl_j])
+        recon_s = (self._centroids[sl_j // cap]
+                   + q1.astype(jnp.float32) * self._scales[sl_j][:, None])
+        xs = self._put(np.ascontiguousarray(x[perm[samp]]))
+        err_s = xs[:, :d] - recon_s[:, :d]
+        if dp2 > d:
+            err_s = jnp.pad(err_s, ((0, 0), (0, dp2 - d)))
+        cb = OPQCodebook.fit(np.asarray(err_s), m=rq_m, k=256, iters=10,
+                             opq_iters=3, seed=0, max_train=131072)
+        rot_j = self._put(np.asarray(cb.rotation, np.float32))
+        books_j = self._put(np.asarray(cb.pq.codebooks, np.float32))
+
+        # ---- encode every slot; norms -> full-reconstruction norms ------
+        codes2 = np.zeros((cap_total, rq_m), np.uint8)
+        norms = np.asarray(self._norms).copy()
+        ch = 262_144
+        for lo in range(0, cap_total, ch):
+            hi = min(lo + ch, cap_total)
+            c2, nrm = chunk_errors(lo, hi)
+            live = perm[lo:hi] >= 0
+            codes2[lo:hi][live] = np.asarray(c2)[live]
+            norms[lo:hi][live] = np.asarray(nrm)[live]
+        self._rq_m = rq_m
+        self._rq_codes = self._put(codes2)
+        self._rq_books = books_j
+        self._rq_rot = rot_j
+        self._norms = self._put(norms)
+
+    def _build_int4r(self, matrix, ids: Optional[Sequence[str]],
+                     rq_m: int = 0) -> None:
         """Bulk cell-residual build: k-means cells (~48 rows each), balanced
         capacity-64 assignment, residual int4 quantization — one device
         program for the quantize+scatter.  See fused_topk_residual for why
@@ -1649,7 +1822,7 @@ class VectorStore:
             # (ops/cell_build.py): the host greedy below reads [N, j]
             # choice lists back through the link (~5.6k vec/s on tunneled
             # rigs); the engine keeps everything on device (>100x)
-            self._build_int4r_device(x, ids)
+            self._build_int4r_device(x, ids, rq_m=rq_m)
             _tick("device engine build")
             return
         width = _pad128(d)
@@ -1738,9 +1911,15 @@ class VectorStore:
         self._built_rows = n
         self._churn_inserts = self._churn_deletes = 0
         self._cells_at_build = k_real
+        if rq_m:
+            perm_h = np.full((n_rows,), -1, np.int64)
+            perm_h[pos] = np.arange(n)
+            self._fit_rq(x, perm_h, rq_m)
+            _tick("rq error stage")
 
     def _build_int4r_device(self, x: np.ndarray,
-                            ids: Optional[Sequence[str]]) -> None:
+                            ids: Optional[Sequence[str]],
+                            rq_m: int = 0) -> None:
         """Bulk int4r build through the device streaming engine, with the
         from_matrix contract (explicit ids, materialized host tables).
 
@@ -1799,6 +1978,8 @@ class VectorStore:
         self._built_rows = n
         self._churn_inserts = self._churn_deletes = 0
         self._cells_at_build = k_real
+        if rq_m:
+            self._fit_rq(x, perm, rq_m)
 
     @classmethod
     def from_chunks(
@@ -1875,8 +2056,14 @@ class VectorStore:
         device: Optional[jax.Device] = None,
         metadatas: Optional[Sequence[dict]] = None,
         intkey: bool = False,
+        rq_m: int = 0,
     ) -> "VectorStore":
         """Bulk index build: one device transfer + one jitted program.
+
+        ``rq_m`` (int4r only): second-stage residual quantization — OPQ
+        error codes at rq_m bytes/row, rescored in multiprobe searches
+        (see _fit_rq).  rq_m=9 at 100-d keeps the store at exactly 0.5x
+        int8 memory.
 
         This is the high-throughput path the benchmark's "index build
         vectors/sec" measures — no per-row host bookkeeping.  With
@@ -1897,7 +2084,7 @@ class VectorStore:
             # no arr_dev here: the residual build does its own transfers
             # (k-means sample + padded corpus) — a full-size f32 copy would
             # just sit in HBM doubling peak memory through the build
-            store._build_int4r(arr, ids)
+            store._build_int4r(arr, ids, rq_m=rq_m)
             if metadatas is not None:
                 if len(metadatas) != n:
                     raise ValueError("metadatas and matrix length mismatch")

@@ -172,7 +172,7 @@ def _dma_gather_dots(codes3, probe, queries, *, cell_cap):
 
 @functools.partial(jax.jit,
                    static_argnames=("metric", "k", "nprobe", "cell_cap",
-                                    "child_cap", "sprobe"))
+                                    "child_cap", "sprobe", "rq_pool"))
 def multiprobe_topk(
     codes: jax.Array,       # [K*cell_cap, W] int8 residual or [.., W/2] uint8
     scales: jax.Array,      # [K*cell_cap] f32 per-row residual scales
@@ -190,6 +190,9 @@ def multiprobe_topk(
     super_route: jax.Array | None = None,      # bf16 [S, W] supercentroids
     child_cap: int = 0,                        # children per supercell
     sprobe: int = 0,                           # L1 width (0 = auto)
+    rq_codes: jax.Array | None = None,         # [K*cell_cap, M2] uint8 stage-2
+    rq_lut: jax.Array | None = None,           # [B, M2, 256] f32 IP tables
+    rq_pool: int = 128,                        # stage-2 rescore pool size
 ) -> Tuple[jax.Array, jax.Array]:
     """Sub-linear multiprobe search. Returns (distances [B, k], rows [B, k]);
     rows are device-row indices into the cell-major layout, distances inf
@@ -199,6 +202,14 @@ def multiprobe_topk(
     routing matmul.  Without it the in-program astype makes XLA read the
     full f32 table anyway; callers that search repeatedly should keep a
     persistent bf16 copy (halves the dominant HBM read at large K).
+
+    ``rq_codes``/``rq_lut``: optional RESIDUAL-QUANTIZATION second stage
+    (VectorStore ``rq_m``).  The stage-1 int4 scores select a per-query
+    pool of ``rq_pool`` candidates; their stage-2 error codes are gathered
+    (row-granular but tiny: M2 bytes/row) and the pool is re-ranked with
+    q.x corrected by the LUT term q.e = sum_m LUT[b, m, code] — the
+    two-stage retrieve+rerank that buys back the int4 quantization loss
+    the exp_rq sweeps measured (+0.04 recall@10 at 100-d) for ~10 B/row.
 
     ``super_route``/``child_cap``: optional HIERARCHICAL route.  The flat
     [B, K] routing matmul dominates the op's HBM traffic at large K (96 MB
@@ -350,17 +361,50 @@ def multiprobe_topk(
     rnorm = norms.reshape(n_cells, cell_cap)[probe].reshape(b, -1)
     if metric == "cosine":
         qn = jnp.sqrt(jnp.sum(queries * queries, axis=-1, keepdims=True))
-        denom = qn * rnorm
-        sim = jnp.where(denom > 0, qx / jnp.where(denom > 0, denom, 1.0), 0.0)
-        score = jnp.where(vmask, sim, _NEG)
+
+        def _final(qx_, rn_, vm_):
+            denom = qn * rn_
+            sim = jnp.where(denom > 0,
+                            qx_ / jnp.where(denom > 0, denom, 1.0), 0.0)
+            return jnp.where(vm_, sim, _NEG)
         dist_of = lambda s: 1.0 - s
     elif metric == "euclidean":
         qsq = jnp.sum(queries * queries, axis=-1, keepdims=True)
-        score = jnp.where(vmask, 2.0 * qx - rnorm * rnorm, _NEG)
+
+        def _final(qx_, rn_, vm_):
+            return jnp.where(vm_, 2.0 * qx_ - rn_ * rn_, _NEG)
         dist_of = lambda s: jnp.sqrt(jnp.maximum(qsq - s, 0.0))
     else:  # dot
-        score = jnp.where(vmask, qx, _NEG)
+        def _final(qx_, rn_, vm_):
+            return jnp.where(vm_, qx_, _NEG)
         dist_of = lambda s: -s
+    score = _final(qx, rnorm, vmask)
+    if rq_codes is not None and rq_lut is not None:
+        # stage-2 pooled rescore: top-rq_pool by stage-1 score, correct
+        # q.x by the LUT'd error dot, re-rank the pool only.  The stored
+        # norms are FULL-reconstruction norms (set by the rq encode), so
+        # the corrected numerator and the denominator describe the same
+        # vector.
+        m2 = rq_codes.shape[1]
+        r0 = min(rq_pool, score.shape[1])
+        _, psel = lax.top_k(score, r0)                       # [B, r0]
+        prow = jnp.take_along_axis(rows, psel, axis=1)       # global rows
+        pcodes = rq_codes[prow].astype(jnp.int32)            # [B, r0, M2]
+        sub = lax.broadcasted_iota(jnp.int32, (1, 1, m2), 2)
+        flat = (sub * rq_lut.shape[2] + pcodes).reshape(b, -1)
+        qe = jnp.take_along_axis(
+            rq_lut.reshape(b, -1), flat, axis=1
+        ).reshape(b, r0, m2).sum(axis=-1)                    # [B, r0] q.e
+        qx_p = jnp.take_along_axis(qx, psel, axis=1) + qe
+        rn_p = jnp.take_along_axis(rnorm, psel, axis=1)
+        vm_p = jnp.take_along_axis(vmask, psel, axis=1)
+        score_p = _final(qx_p, rn_p, vm_p)
+        kk = min(k, r0)
+        best, sel2 = lax.top_k(score_p, kk)
+        out_rows = jnp.take_along_axis(prow, sel2, axis=1)
+        dists = dist_of(best)
+        dists = jnp.where(best <= _NEG / 2, jnp.inf, dists)
+        return dists, out_rows
     kk = min(k, score.shape[1])
     best, sel = lax.top_k(score, kk)
     out_rows = jnp.take_along_axis(rows, sel, axis=1)

@@ -587,3 +587,77 @@ class TestIntkeyStore:
         plain = VectorStore("pl2", dtype="int8")
         plain.insert_batch(["a"], np.ones((1, 64), np.float32))
         assert store.device_memory_bytes() > plain.device_memory_bytes()
+
+
+class TestRQStore:
+    """Second-stage residual quantization (``rq_m`` on from_matrix):
+    OPQ error codes over the int4 reconstruction error, rescored in
+    multiprobe searches.  Round-4 sweeps (experiments/exp_rq*.py)
+    measured the recall lift this buys at flagship scale; these tests
+    pin the mechanics (recall no worse, insert encodes, snapshot
+    round-trip, memory accounting)."""
+
+    def _corpus(self, rng, n=6000, d=20, centers=64, noise=0.3):
+        c = rng.standard_normal((centers, d)).astype(np.float32)
+        a = rng.integers(0, centers, n)
+        return (c[a] + noise * rng.standard_normal((n, d))).astype(np.float32)
+
+    def _recall(self, store, q, gt, k=10, nprobe=32):
+        t = store.search_batch_submit(q, k=k, nprobe=nprobe)
+        _d, _r, ids = store.search_batch_complete_raw(t)
+        got = [[int(v) if v is not None else -1 for v in row]
+               for row in ids.tolist()]
+        return np.mean([len(set(gt[i]) & set(got[i])) / k
+                        for i in range(len(q))])
+
+    def test_rq_recall_not_worse_and_memory(self, rng):
+        x = self._corpus(rng)
+        plain = VectorStore.from_matrix("rqp", x, dtype="int4r")
+        rq = VectorStore.from_matrix("rqr", x, dtype="int4r", rq_m=5)
+        q = x[:64]
+        xn = np.linalg.norm(x, axis=1)
+        sims = (q @ x.T) / (np.linalg.norm(q, axis=1)[:, None] * xn[None, :])
+        gt = np.argsort(-sims, axis=1)[:, :10]
+        rp = self._recall(plain, q, gt)
+        rr = self._recall(rq, q, gt)
+        assert rr >= rp - 0.01, (rp, rr)
+        # +rq_m bytes/row (plus small codebook/rotation overheads)
+        extra = rq.device_memory_bytes() - plain.device_memory_bytes()
+        assert extra >= rq._capacity * 5
+        assert extra <= rq._capacity * 5 + 4 * (5 * 256 * 4 + 20 * 20) + 4096
+
+    def test_rq_insert_encodes_second_stage(self, rng):
+        x = self._corpus(rng, n=4000)
+        rq = VectorStore.from_matrix("rqi", x, dtype="int4r", rq_m=5)
+        v = x[0] + 0.01
+        rq.insert("fresh", v)
+        row = rq._id_to_row["fresh"]
+        codes2 = np.asarray(rq._rq_codes[row])
+        assert codes2.any()  # the error stage actually wrote codes
+        res = rq.search(v, k=2, nprobe=32)
+        assert "fresh" in [r[0] for r in res]
+
+    def test_rq_snapshot_roundtrip(self, rng):
+        x = self._corpus(rng, n=3000)
+        rq = VectorStore.from_matrix("rqs", x, dtype="int4r", rq_m=5)
+        back = VectorStore.from_state(rq.export_state())
+        assert back._rq_m == 5 and back._rq_codes is not None
+        q = x[:16]
+        t1 = rq.search_batch_submit(q, k=10, nprobe=32)
+        t2 = back.search_batch_submit(q, k=10, nprobe=32)
+        _d1, _r1, i1 = rq.search_batch_complete_raw(t1)
+        _d2, _r2, i2 = back.search_batch_complete_raw(t2)
+        assert (i1 == i2).all()
+
+    def test_rq_norms_are_full_reconstruction(self, rng):
+        # stored norms must describe centroid + stage1 + stage2, not stage1
+        x = self._corpus(rng, n=3000)
+        plain = VectorStore.from_matrix("rqn1", x, dtype="int4r")
+        rq = VectorStore.from_matrix("rqn2", x, dtype="int4r", rq_m=5)
+        # full-recon norms track the true norms at least as well on average
+        def err(st):
+            perm_rows = [st._id_to_row[str(i)] for i in range(200)]
+            nrm = np.asarray(st._norms)[perm_rows]
+            true = np.linalg.norm(x[:200], axis=1)
+            return np.mean(np.abs(nrm - true))
+        assert err(rq) <= err(plain) + 1e-6
