@@ -424,6 +424,7 @@ class VectorStore:
         self._rq_codes: Optional[jax.Array] = None  # [capacity, M2] uint8
         self._rq_books: Optional[jax.Array] = None  # [M2, 256, ds] f32
         self._rq_rot: Optional[jax.Array] = None    # [dp2, dp2] f32
+        self.rq_pool = 64  # stage-2 rescore pool floor (max(4k_bucket, this))
         self._cell_cap = 0
         self._cell_next: Optional[np.ndarray] = None   # per-cell slot HWM
         self._cell_avail: Optional[np.ndarray] = None  # free slots per cell
@@ -1341,7 +1342,7 @@ class VectorStore:
                     rq_kw = dict(
                         rq_codes=self._rq_codes,
                         rq_lut=_adc_ip_tables(qr, self._rq_books),
-                        rq_pool=max(4 * kb, 64),
+                        rq_pool=max(4 * kb, self.rq_pool),
                     )
                 dists, rows = multiprobe_topk(
                     self._vectors, self._scales, self._norms, valid,
