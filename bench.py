@@ -1691,6 +1691,18 @@ def bench_config11(quick: bool) -> dict:
     del idx, call               # call (partial over idx.codes) keeps the
     gc.collect()                # ~5.5 GB shard index alive past the del
 
+    # warm rebuild at shard shapes (VERDICT r3 #7): the cold number above
+    # includes per-shape compiles; a pod host building P shards pays them
+    # once, so the per-shard rate that matters is the warm one — directly
+    # comparable to config 10's warm rate on the same engine
+    idx = CellProbeIndex.build_streaming(
+        chunks(), n=n, dim=d, cell_rows=448, cell_cap=512,
+        train_rows=262_144, kmeans_iters=6, kmeans_init="random", refits=1)
+    shard_warm = idx.build_stats
+    log(f"[config11] shard WARM build: {shard_warm}")
+    del idx
+    gc.collect()
+
     # brute comparator: the same slice as an int8 flat store
     mesh = make_mesh(n_data=1, n_replica=1)
     flat = ShardedVectorStore.from_chunks("ep_flat", mesh, chunks(), n=n,
@@ -1737,6 +1749,7 @@ def bench_config11(quick: bool) -> dict:
         "vs_baseline": None,
         "n_shard": n,
         "shard_build": shard_stats,
+        "shard_build_warm": shard_warm,
         "per_shard_ms_at_nprobe": shard_ms,
         "brute_slice_ms": round(brute_ms, 3),
         "merge_bytes_per_shard": merge_bytes_per_shard,
