@@ -226,7 +226,12 @@ def adc_search_exact_fused(
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-pass ADC select + exact in-kernel rerank + top-k merge."""
     b, d = queries.shape
-    lut = _adc_l2_tables(queries, codebooks).reshape(b, -1)
+    # per-subspace min-shift before int8 quantization: ranking-invariant
+    # (shifts every row's distance by the same per-query constant) and
+    # spends the 127 levels on the spread instead of the offset floor
+    lut3 = _adc_l2_tables(queries, codebooks)             # [B, M, KK]
+    lut3 = lut3 - jnp.min(lut3, axis=2, keepdims=True)
+    lut = lut3.reshape(b, -1)
     row_max = jnp.max(lut, axis=1, keepdims=True)
     lut_q = jnp.clip(jnp.round(lut / jnp.maximum(row_max, 1e-20) * 127.0),
                      0, 127).astype(jnp.int8)
@@ -302,10 +307,14 @@ def _make_adc_pos_kernel(m: int, k: int, sub: int, slice_w: int):
     already in VMEM).  Grid steps shrink ``sub``x (4096-row tiles);
     extraction is 1 pass per slice instead of ~3t.
 
-    Candidate set: top-1 per 1024-row slice (vs top-t per 1024-tile) —
-    a true top-k candidate is lost only when two land in one slice
-    (C(k,2)*1024/N per query, ~0.5% at 1M) and the exact rerank keeps
-    reported distances exact either way."""
+    Candidate set: exact-reranked TOP-2 per 1024-row slice.  Top-1 lost
+    ~6% recall@10 at 1M (measured 0.916 vs 0.978) not from slice
+    collisions (C(k,2)*1024/N ~ 0.5%) but from QUANTIZED near-ties: the
+    int8 LUT resolves ~127 levels, so the true neighbor often isn't the
+    slice's quantized argmin.  The second extraction (one more masked
+    max + rerank contraction, ~6% extra MXU) plus the min-shifted LUT
+    (see caller) recovers it.  The exact rerank keeps reported
+    distances exact either way."""
 
     def kernel(codes_ref, lut_ref, q_ref, i8_ref, iaux_ref,
                vals_ref, rows_ref):
@@ -330,24 +339,29 @@ def _make_adc_pos_kernel(m: int, k: int, sub: int, slice_w: int):
             # low 10 bits of a multiple of 1024 are zero even in two's
             # complement, so OR-ing the lane in is exact for negatives
             key = ((-dist) << 10) | lane
-            m1 = jnp.max(key, axis=1, keepdims=True)      # [B_T, 1]
-            w = m1 & jnp.int32(slice_w - 1)
-            sel = lane == w                               # [B_T, SLICE]
-            xcand = lax.dot_general(
-                sel.astype(jnp.bfloat16), i8_ref[sl, :].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [B_T, D]
-            self_f = sel.astype(jnp.float32)
-            scale_c = lax.dot_general(
-                self_f, iaux_ref[0:1, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [B_T, 1]
-            n2_c = lax.dot_general(
-                self_f, iaux_ref[1:2, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            qdot = jnp.sum(q * xcand, axis=1, keepdims=True) * scale_c
-            d2 = qsq - 2.0 * qdot + n2_c
-            vals_ref[0, :, s] = -d2[:, 0]                 # exact
-            rows_ref[0, :, s] = j * (sub * slice_w) + s * slice_w + w[:, 0]
+            for c in range(2):                            # top-2 per slice
+                m1 = jnp.max(key, axis=1, keepdims=True)  # [B_T, 1]
+                w = m1 & jnp.int32(slice_w - 1)
+                sel = lane == w                           # [B_T, SLICE]
+                xcand = lax.dot_general(
+                    sel.astype(jnp.bfloat16),
+                    i8_ref[sl, :].astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [B_T, D]
+                self_f = sel.astype(jnp.float32)
+                scale_c = lax.dot_general(
+                    self_f, iaux_ref[0:1, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # [B_T, 1]
+                n2_c = lax.dot_general(
+                    self_f, iaux_ref[1:2, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                qdot = jnp.sum(q * xcand, axis=1, keepdims=True) * scale_c
+                d2 = qsq - 2.0 * qdot + n2_c
+                vals_ref[0, :, 2 * s + c] = -d2[:, 0]     # exact
+                rows_ref[0, :, 2 * s + c] = (
+                    j * (sub * slice_w) + s * slice_w + w[:, 0])
+                if c == 0:
+                    key = jnp.where(sel, jnp.int32(-(1 << 30)), key)
 
     return kernel
 
@@ -367,11 +381,19 @@ def adc_search_exact_pos(
 ) -> Tuple[jax.Array, jax.Array]:
     """Packed-key ADC select + exact in-kernel rerank + top-k merge.
 
-    Candidates are the exact-reranked top-1 of every 1024-row slice;
+    Candidates are the exact-reranked top-2 of every 1024-row slice;
     padding slices can win their own slice but are masked before the
-    final top-k (costing at most their own candidates)."""
+    final top-k (costing at most their own candidates).
+
+    LUT min-shift: subtracting each subspace's per-query minimum before
+    int8 quantization shifts every row's distance by the same constant
+    (ranking-invariant) and removes the offset floor that otherwise
+    burns most of the 127 levels — near-tie rows stop collapsing onto
+    one quantized value."""
     b, d = queries.shape
-    lut = _adc_l2_tables(queries, codebooks).reshape(b, -1)
+    lut3 = _adc_l2_tables(queries, codebooks)             # [B, M, KK]
+    lut3 = lut3 - jnp.min(lut3, axis=2, keepdims=True)
+    lut = lut3.reshape(b, -1)
     row_max = jnp.max(lut, axis=1, keepdims=True)
     lut_q = jnp.clip(jnp.round(lut / jnp.maximum(row_max, 1e-20) * 127.0),
                      0, 127).astype(jnp.int8)
@@ -408,25 +430,27 @@ def adc_search_exact_pos(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bt, sub), lambda i, j: (j, i, 0),
+            pl.BlockSpec((1, bt, 2 * sub), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, sub), lambda i, j: (j, i, 0),
+            pl.BlockSpec((1, bt, 2 * sub), lambda i, j: (j, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_big, lut_q.shape[0], sub), jnp.float32),
-            jax.ShapeDtypeStruct((n_big, lut_q.shape[0], sub), jnp.int32),
+            jax.ShapeDtypeStruct((n_big, lut_q.shape[0], 2 * sub),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_big, lut_q.shape[0], 2 * sub),
+                                 jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * lut_q.shape[0] * (m * kk + d) * n_big * big_n,
+            flops=2 * lut_q.shape[0] * (m * kk + 2 * d) * n_big * big_n,
             bytes_accessed=n_big * big_n * (m + d) + lut_q.size,
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
     )(pq_codes, lut_q, queries, i8_codes, iaux)
     bb = lut_q.shape[0]
-    vals = vals.transpose(1, 0, 2).reshape(bb, sub * n_big)
-    rows = rows.transpose(1, 0, 2).reshape(bb, sub * n_big)
+    vals = vals.transpose(1, 0, 2).reshape(bb, 2 * sub * n_big)
+    rows = rows.transpose(1, 0, 2).reshape(bb, 2 * sub * n_big)
     if pad_b:
         vals, rows = vals[:b], rows[:b]
     vals = jnp.where(rows < jnp.int32(n_valid), vals, -jnp.inf)
