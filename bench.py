@@ -1486,10 +1486,10 @@ def bench_config10(quick: bool) -> dict:
     # of the int4 residual codes themselves, with full-precision f32
     # scoring of the decoded values — the curve plateaus two octaves
     # earlier, and nprobe in the tens of thousands crashes the remote
-    # TPU compiler.  (The packed full-scan path ranks by bit-packed
-    # score keys whose ~13 usable mantissa bits collapse on near-tie
-    # manifold corpora — 0.59 recall at 8M vs 0.94 via multiprobe — so it
-    # is recorded separately as packed_scan_recall, not as the ceiling.)
+    # TPU compiler.  (The packed full-scan path is recorded separately
+    # as packed_scan_recall: 0.9415 at 8M since the round-4 scaled-int
+    # window keys + top-8/slice extraction — see BENCH_NOTES
+    # "Packed-scan keys vs manifold corpora".)
     deep = min(n_cells_a, 512)
     for nprobe in sorted(set(
             p for p in (8, 16, 32, 64, 128, deep) if p <= n_cells_a)):

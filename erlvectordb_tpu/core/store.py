@@ -1370,11 +1370,14 @@ class VectorStore:
                     # realized packed-key offset bound (one device pass,
                     # cached; invalidated by int4r mutations)
                     self._code_norm_max = ft.max_code_norm(self._vectors)
+                scan_w, scan_t = getattr(
+                    self, "_scan_wt", (ft.POS_RES_W, ft.POS_RES_T))
                 dists, rows = ft.fused_topk_residual(
                     self._vectors, self._scales, self._norms, valid,
                     self._centroids, q_j, metric=metric, k=kb,
                     n_tiles=nt, cell_cap=self._cell_cap,
                     code_norm_bound=self._code_norm_max,
+                    slice_w=scan_w, t_top=scan_t,
                 )
             else:
                 dists, rows = search_mod.exact_topk_int4r(

@@ -77,7 +77,8 @@ def _packed_int4_dots(q, codes_ref, sl):
     """dot(q_even, hi) + dot(q_odd, lo) over packed nibble codes.
 
     ``q`` is the [evens | odds]-reordered query tile; codes byte j of a row
-    packs element 2j+1 in the high nibble and 2j in the low.  Unpacks in
+    packs element 2j in the high nibble and 2j+1 in the low (store.py
+    _pack_int4).  Unpacks in
     <=_UNPACK_CHUNK-byte column chunks so the int32 nibble scratch is
     VMEM-bounded regardless of row width; the MXU contraction chunks along
     K (128 = one MXU pass) and accumulates in int32.  Mosaic note: uint8
@@ -223,6 +224,14 @@ MAX_T_PER_TILE = 8
 POS_SLICE = 1024
 POS_LANE_MASK = POS_SLICE - 1
 POS_MIN_TILES = 144          # ~590k rows: expected candidate loss < 0.8%/query
+# Default extraction structure for the RESIDUAL (int4r cell store) scan:
+# cell-major layout concentrates a query's true top-k into ~2-4 cells
+# (measured 8M x 768 manifold: mean 3.5 cells hold the top-10), so
+# per-slice capacity bounds candidate recall — top-2/1024 caps at 0.60
+# there while top-8 reaches 0.998 (exp_slice_diag).  Cost scales with
+# t_top only (masked-max passes), not slice width.
+POS_RES_W = 1024
+POS_RES_T = 8
 POS_MAX_K = 16
 # Opt-out (ADVICE r2): EVDB_EXACT_SCAN=1 disables the approximate pos path
 # so large-N searches stay on the (near-)exact masked-extraction kernel.
@@ -589,7 +598,8 @@ def pos_path_applies(metric: str, n_tiles: int, k: int) -> bool:
             and n_tiles >= POS_MIN_TILES and k <= POS_MAX_K)
 
 
-def _make_pos_residual_kernel(sub: int, cell_cap: int):
+def _make_pos_residual_kernel(sub: int, cell_cap: int,
+                              slice_w: int = POS_SLICE, t_top: int = 2):
     """Positive-packed scan for cell-residual (int4r) stores.
 
     Score (all metrics, divided by the positive per-query factor qmult2):
@@ -603,18 +613,27 @@ def _make_pos_residual_kernel(sub: int, cell_cap: int):
     ~34 M MACs of MXU time instead (and consumes the transposed table
     layout directly, no transpose at all).
 
-    Unlike the plain pos kernel this extracts the TOP-2 of each 1024-slice
-    (one extra masked max pass): int4r's cell-major layout puts a row's
-    nearest neighbors in the SAME cell, and a cell always fits inside one
-    slice, so slice-top-1 systematically drops same-cell co-neighbors —
-    simulated candidate recall@10 on the clustered bench corpus layout is
-    0.69 for top-1/slice (any slice width >= cell_cap) vs 0.93 for
-    top-2/slice == the masked path's top-2/4096-tile."""
-    s_per_tile = TILE_N // POS_SLICE
-    cpt = TILE_N // cell_cap
+    Unlike the plain pos kernel this extracts MULTIPLE keys per slice:
+    int4r's cell-major layout puts a row's nearest neighbors in the SAME
+    cell, and a cell always fits inside one slice, so slice-top-1
+    systematically drops same-cell co-neighbors.
 
-    def kern(q_ref, qa_ref, ma_ref, mb_ref, b_ref, table_ref, codes_ref,
-             out_ref):
+    ``slice_w``/``t_top`` control the extraction structure: top-t_top of
+    each slice_w-row slice.  Extraction cost scales with t_top only
+    (t_top masked-max passes x TILE_N lanes, width-independent); output
+    columns scale with t_top / slice_w.  On manifold corpora the true
+    top-k concentrate in ~2-4 CELLS (measured 8M x 768: mean 3.5 distinct
+    cells hold the top-10), so per-slice capacity — not key precision —
+    bounds candidate recall: with PERFECT keys, top-2/1024 caps at 0.595
+    there, top-4 at 0.875, top-8 at 0.998 (exp_slice_diag); the real
+    kernel at top-8/1024 measures 0.9415 == the multiprobe ceiling on
+    the same build."""
+    s_per_tile = TILE_N // slice_w
+    lane_mask = slice_w - 1          # python int: jnp consts can't be
+    cpt = TILE_N // cell_cap         # closure-captured by a pallas kernel
+
+    def kern(q_ref, qa_ref, f_ref, g_ref, ma_ref, mb_ref, b_ref, table_ref,
+             codes_ref, out_ref):
         q = q_ref[:]
         lane = None
         ecell = None
@@ -628,53 +647,78 @@ def _make_pos_residual_kernel(sub: int, cell_cap: int):
                 cell_idx = lax.broadcasted_iota(jnp.int32, (cpt, TILE_N), 0)
                 ecell = (cell_of_lane == cell_idx).astype(jnp.float32)
                 lane = (lax.broadcasted_iota(jnp.int32, dots.shape, 1)
-                        & POS_LANE_MASK)
+                        & jnp.int32(lane_mask))
             # [cpt, bt] x [cpt, TILE_N] -> [bt, TILE_N] (contract cell dim);
             # consumes the transposed table block directly
             tdot = lax.dot_general(
                 table_ref[t * cpt:(t + 1) * cpt, :], ecell,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            # SCALED-INT key: (s - f) * g quantized to int32.  f is a
+            # provable per-query lower bound on the near-top scores and
+            # g = (2^30-1) / (s_ub - f) a provable gain (see caller), so
+            # valid scores land in [?, 2^30) — the key's 20 usable value
+            # bits are spent UNIFORMLY across the query's own score range
+            # instead of bitcast-relative to the global offset C (2^13
+            # levels at the band; measured collapsing to ~16 effective
+            # levels on the 8M near-tie corpus, recall 0.59).  Scores
+            # below the window go negative and rank below all positives
+            # (junk candidates, discarded by the exact rescore).  ~4 extra
+            # VPU ops/element; at wide D the scan is MXU/HBM bound.
             s = ((dots * qa_ref[:]) * ma_ref[:, sl] + tdot * mb_ref[:, sl]
-                 + b_ref[:, sl])
-            si = lax.bitcast_convert_type(s, jnp.int32)
-            key = (si & jnp.int32(~POS_LANE_MASK)) | lane
+                 + b_ref[:, sl] - f_ref[:]) * g_ref[:]
+            si = jnp.clip(jnp.round(s), -2.0e9, 2.0e9).astype(jnp.int32)
+            key = (si & jnp.int32(~lane_mask)) | lane
             imin = jnp.int32(-2147483648)
             for sidx in range(s_per_tile):
-                ssl = slice(sidx * POS_SLICE, (sidx + 1) * POS_SLICE)
+                ssl = slice(sidx * slice_w, (sidx + 1) * slice_w)
                 kb = key[:, ssl]
-                m1 = jnp.max(kb, axis=1)
-                # lane bits make keys unique, so exactly one lane is masked
-                kb2 = jnp.where(kb == m1[:, None], imin, kb)
-                m2 = jnp.max(kb2, axis=1)
-                o = 2 * (t * s_per_tile + sidx)
-                out_ref[0, :, o] = m1
-                out_ref[0, :, o + 1] = m2
+                o = t_top * (t * s_per_tile + sidx)
+                for r in range(t_top):
+                    m = jnp.max(kb, axis=1)
+                    out_ref[0, :, o + r] = m
+                    if r + 1 < t_top:
+                        # lane bits make keys unique: exactly one masked
+                        kb = jnp.where(kb == m[:, None], imin, kb)
 
     return kern
 
 
-@functools.partial(jax.jit, static_argnames=("n_tiles", "cell_cap"))
-def _pos_residual_scan(codes, q, qa, ma, mb, b, table, *, n_tiles, cell_cap):
-    """Packed-key residual scan; returns keys [B, 2*n_slices] int32 — the
-    top-2 of slice s at columns 2s and 2s+1 (row = (col//2)*POS_SLICE +
-    (key & POS_LANE_MASK))."""
+@functools.partial(jax.jit, static_argnames=("n_tiles", "cell_cap",
+                                              "slice_w", "t_top"))
+def _pos_residual_scan(codes, q, qa, f, g, ma, mb, b, table, *, n_tiles,
+                       cell_cap, slice_w=POS_SLICE, t_top=2):
+    """Scaled-int-key residual scan; returns keys [B, t_top*n_slices]
+    int32 — the top-t_top of slice s at columns t_top*s .. t_top*s+t_top-1
+    (row = (col//t_top)*slice_w + (key & (slice_w-1))).  ``f``/``g``
+    [B, 1] are the per-query window offset and gain: key value =
+    round((s - f) * g) with the low log2(slice_w) bits replaced by the
+    lane (f=0, g=1 degrades to raw-score keys)."""
     bq, w = q.shape
     q = jnp.concatenate([q[:, 0::2], q[:, 1::2]], axis=1)
     cw = codes.shape[1]
     bt = _pick_bt(bq, cw)
     nb = bq // bt
-    sub = _pick_sub(codes.shape[0], n_tiles, cw, max_sub=2)
+    # deep extraction (t_top > 4) keeps a longer masked-max temp chain
+    # live in scoped VMEM; shrink the codes double-buffer (sub=1) to make
+    # room — measured: sub=2 + t_top=8 exceeds the 16 MB scoped limit by
+    # 1.5 MB at W=768, sub=1 frees 3.1 MB
+    sub = _pick_sub(codes.shape[0], n_tiles, cw,
+                    max_sub=2 if t_top <= 4 else 1)
     n_big = -(-n_tiles // sub)
     big_n = sub * TILE_N
-    spt = 2 * sub * (TILE_N // POS_SLICE)   # top-2 keys per slice
+    spt = t_top * sub * (TILE_N // slice_w)   # top-t_top keys per slice
     cells_per_big = big_n // cell_cap
 
     out = pl.pallas_call(
-        _make_pos_residual_kernel(sub, cell_cap),
+        _make_pos_residual_kernel(sub, cell_cap, slice_w, t_top),
         grid=(n_big, nb),
         in_specs=[
             pl.BlockSpec((bt, w), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -701,7 +745,7 @@ def _pos_residual_scan(codes, q, qa, ma, mb, b, table, *, n_tiles, cell_cap):
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, qa, ma, mb, b, table, codes)
+    )(q, qa, f, g, ma, mb, b, table, codes)
     return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
 
 
@@ -951,7 +995,8 @@ def max_code_norm(codes: jax.Array, chunk: int = 4096) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("metric", "k", "n_tiles", "cell_cap"))
+                   static_argnames=("metric", "k", "n_tiles", "cell_cap",
+                                    "slice_w", "t_top"))
 def fused_topk_residual(
     codes: jax.Array,       # [N_cap, W/2] packed int4 RESIDUAL codes
     scales: jax.Array,      # [N_cap] f32 residual scales
@@ -965,6 +1010,8 @@ def fused_topk_residual(
     n_tiles: int,
     cell_cap: int,          # rows per cell; divides TILE_N; N_cap == K*cell_cap
     code_norm_bound: Optional[jax.Array] = None,  # realized max |code|_2
+    slice_w: int = POS_SLICE,  # extraction slice width (divides TILE_N)
+    t_top: int = 2,            # keys kept per slice (extract cost ~ t_top)
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scan over a cell-residual int4 store: per-row int4 residual dot
     on the MXU + per-(query, cell) centroid-dot bias expanded in-kernel.
@@ -1029,9 +1076,61 @@ def fused_topk_residual(
         if metric == "euclidean":
             C = C + 0.5 * jnp.max(norms * norms)
         bb = jnp.where(valid, C + extra, 0.0).astype(jnp.float32)
+        # Per-query WINDOW (f) + GAIN (g): scores span [0, ~2C] but the
+        # top-k band's gaps are tiny — a bitcast key's 13 mantissa bits
+        # quantize RELATIVE to C and collapse to ~16 effective levels on
+        # near-tie corpora (measured 0.59 recall at 8M x 768 vs the 0.94
+        # code ceiling; window-shift alone did not move it: 0.60).  So
+        # bound each query's score range PROVABLY on both sides and spend
+        # the key's 20 value bits uniformly across it:
+        #   f  = lower bound on the near-top band.  Achievable-row: for
+        #        any cell c with a valid row, s_top >= cellterm_c +
+        #        extra_min_c + C - rmax (the residual dot is >= -rmax,
+        #        and cellterm_c = max over the cell's rows of tdot_c*mb
+        #        is attained by a real row); maximize over cells, subtract
+        #        ONE extra rmax as the top-k band margin — a true top-k
+        #        row can fall under f only if the band spans > rmax, which
+        #        rmax (a bound on the only per-row score term) forbids.
+        #   s_ub = upper bound on ANY valid score: max_c(cellterm_c +
+        #        extra_max_c) + C + rmax.
+        #   g  = (2^30 - 1) / (s_ub - f): keys hit [0, 2^30) exactly, no
+        #        saturation, ~2^20 uniform levels across the real range —
+        #        vs bitcast's C * 2^-13 absolute step, a >= 128x finer
+        #        grid wherever s_ub - f <= 2C (always).
+        # Scores under the window go negative and rank below all
+        # positives, costing only junk candidates the rescore discards.
+        kreal = mb.shape[0] // cell_cap
+        validc = valid.reshape(kreal, cell_cap)
+        has_valid = jnp.any(validc, axis=1)
+        mbc = mb.reshape(kreal, cell_cap)
+        mbmax_c = jnp.max(mbc, axis=1)
+        mbmin_c = jnp.min(jnp.where(validc, mbc, jnp.inf), axis=1)
+        if metric == "euclidean":
+            extrac = extra.reshape(kreal, cell_cap)
+            extramin_c = jnp.min(jnp.where(validc, extrac, jnp.inf), axis=1)
+            extramax_c = jnp.max(jnp.where(validc, extrac, -jnp.inf), axis=1)
+        else:
+            extramin_c = jnp.zeros_like(mbmax_c)
+            extramax_c = extramin_c
+        tb = table[:, :kreal]
+        cellterm = jnp.where(tb >= 0, tb * mbmax_c[None, :],
+                             tb * mbmin_c[None, :])
+        cell_lb = jnp.where(has_valid[None, :],
+                            cellterm + extramin_c[None, :], -jnp.inf)
+        cell_ub = jnp.where(has_valid[None, :],
+                            cellterm + extramax_c[None, :], -jnp.inf)
+        rmax_q = jnp.abs(qa) * qb_per * cnb * jnp.max(ma)       # [B, 1]
+        top_lb = jnp.max(cell_lb, axis=1, keepdims=True)        # [B, 1]
+        top_ub = jnp.max(cell_ub, axis=1, keepdims=True)        # [B, 1]
+        f = jnp.maximum(top_lb + C - 2.0 * rmax_q, 0.0)
+        f = jnp.where(jnp.isfinite(f), f, 0.0).astype(jnp.float32)
+        s_ub = top_ub + C + rmax_q
+        g = (float(1 << 30) - 1.0) / jnp.maximum(s_ub - f, 1e-20)
+        g = jnp.where(jnp.isfinite(g) & (g > 0), g, 1.0).astype(jnp.float32)
         keys = _pos_residual_scan(
-            codes, q_in, qa, ma.reshape(1, -1), mb.reshape(1, -1),
-            bb.reshape(1, -1), table.T, n_tiles=n_tiles, cell_cap=cell_cap)
+            codes, q_in, qa, f, g, ma.reshape(1, -1), mb.reshape(1, -1),
+            bb.reshape(1, -1), table.T, n_tiles=n_tiles, cell_cap=cell_cap,
+            slice_w=slice_w, t_top=t_top)
         kk = min(k, keys.shape[1])
         # Deep pool (8k, >=256): on near-tie corpora the surviving score
         # quantization makes the top tens of keys interchangeable; the
@@ -1040,8 +1139,9 @@ def fused_topk_residual(
         # small fraction of the scan.
         pool = min(max(8 * kk, 256), keys.shape[1])
         topkeys, sel = lax.top_k(keys, pool)
-        # columns come in (top-1, top-2)-per-slice pairs: slice = col // 2
-        top_rows = (sel // 2) * POS_SLICE + (topkeys & POS_LANE_MASK)
+        # columns come in top-t_top-per-slice runs: slice = col // t_top
+        top_rows = ((sel // t_top) * slice_w
+                    + (topkeys & jnp.int32(slice_w - 1)))
     else:
         vals, rows = _fused_scan(
             codes,
