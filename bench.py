@@ -402,8 +402,8 @@ def bench_config4(quick: bool) -> dict:
     )
 
     nt = -(-n // ADC_TILE_N)
-    # pad to the pos kernel's 4096-row big tiles (superset of the 1024 pad)
-    pad_rows = -(-n // (4 * ADC_TILE_N)) * 4 * ADC_TILE_N - n
+    # pad to the pos kernel's sub=8 big tiles (superset of the 1024 pad)
+    pad_rows = -(-n // (8 * ADC_TILE_N)) * 8 * ADC_TILE_N - n
     codes_p = jnp.pad(codes, ((0, pad_rows), (0, 0)))
     i8_codes_p = jnp.pad(i8_codes, ((0, pad_rows), (0, 0)))
     i8_scales_p = jnp.pad(i8_scales, ((0, pad_rows),), constant_values=1.0)
@@ -595,11 +595,17 @@ def bench_config5(quick: bool) -> dict:
     # later ones measure readback+mapping in isolation
     comp_s = float(np.median(comp_samples[1:]) if len(comp_samples) > 1
                    else comp_samples[0])
-    # raw-readback floor: an equivalent-size device array through the rig
-    payload = jnp.zeros((batch, 3 * 16), jnp.float32)  # the packed ticket
-    jax.block_until_ready(payload)
+    # raw-readback floor: an equivalent-size device array through the rig.
+    # Must be a FRESH computed array per sample: jnp.zeros is a known
+    # constant the client materializes host-side (measured 0.004 ms,
+    # i.e. no wire transfer), and a jax.Array caches fetched host data
+    # so a second np.asarray of the same array is free.
+    mk_payload = jax.jit(
+        lambda s: jnp.full((batch, 3 * 16), 1.0, jnp.float32) * s)
     rtts = []
-    for _ in range(5):
+    for i in range(5):
+        payload = mk_payload(jnp.float32(i + 1))
+        jax.block_until_ready(payload)
         t1 = time.perf_counter()
         np.asarray(payload)
         rtts.append(time.perf_counter() - t1)

@@ -366,7 +366,7 @@ def _make_adc_pos_kernel(m: int, k: int, sub: int, slice_w: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_tiles"))
+@functools.partial(jax.jit, static_argnames=("k", "n_tiles", "sub"))
 def adc_search_exact_pos(
     pq_codes: jax.Array,   # [N_pad, M] uint8; N_pad % (4*ADC_TILE_N) == 0
     codebooks: jax.Array,  # [M, K, Dsub] f32
@@ -378,6 +378,9 @@ def adc_search_exact_pos(
     *,
     k: int,
     n_tiles: int,          # 1024-row tiles covering the live rows
+    sub: int = 8,          # slices per grid step (rows pad to sub*1024);
+                           # 8 measured +13% over 4 at 1M x 128 (grid-step
+                           # overhead), 16 regresses (VMEM pressure)
 ) -> Tuple[jax.Array, jax.Array]:
     """Packed-key ADC select + exact in-kernel rerank + top-k merge.
 
@@ -400,7 +403,6 @@ def adc_search_exact_pos(
 
     n_cap, m = pq_codes.shape
     kk = lut.shape[1] // m
-    sub = 4
     big_n = sub * ADC_TILE_N
     if n_cap % big_n:
         raise ValueError(f"pq_codes rows ({n_cap}) must be padded to "

@@ -200,16 +200,23 @@ MAX_T_PER_TILE = 8
 #   * the per-query factor (qmult) is DROPPED from ranking for cosine/dot —
 #     it is a positive per-query scale, so per-query top-k is unchanged
 #     (euclidean keeps it: its row bias term is not query-scaled);
-#   * scores are offset by a bound C so every valid score is a POSITIVE
-#     float; positive IEEE floats compare identically as int32 bit patterns,
-#     so the raw bitcast IS the sort key — no sign fix-up, no compare/where;
-#   * the low 10 mantissa bits are replaced by the lane index:
-#     key = (bits & ~1023) | lane.  One max per 1024-lane slice then yields
-#     value AND location in a single pass — no masked second pass, and the
-#     kernel emits ONE packed int32 per (query, slice) instead of separate
-#     value/row planes;
-#   * invalid/padded rows get m = b = 0 => key = lane (tiny positive),
-#     ranked below every valid row and rejected by the exact rescore.
+#   * scores become SCALED-INT keys: key value = round((s - f) * g) with
+#     f/g a provable per-query window offset and gain (every valid score
+#     lies in [f, s_ub]; g = (2^30-1)/(s_ub-f)), so the key's 20 value
+#     bits are spent uniformly across the query's own score range.  The
+#     original bitcast-f32 key (score + offset C, bits as sort key)
+#     quantized relative to C — ~13 mantissa bits that collapsed to ~16
+#     effective levels on near-tie corpora (measured: int4r packed scan
+#     0.59 recall at 8M x 768; the window keys restore the extraction
+#     ceiling exactly — int8 manifold 2M x 768: 0.9734 == masked path);
+#   * the low 10 bits are replaced by the lane index:
+#     key = (round((s-f)*g) & ~1023) | lane.  One max per 1024-lane slice
+#     then yields value AND location in a single pass — no masked second
+#     pass, and the kernel emits ONE packed int32 per (query, slice)
+#     instead of separate value/row planes;
+#   * invalid/padded rows score s = 0 and key round((0-f)*g) <= -g,
+#     ranked below every valid row (valid s >= f) and rejected by the
+#     exact rescore.
 #
 # Per 4096-row tile the pos path emits the top-1 of each of its four
 # 1024-lane slices.  A candidate is lost only when two of the true top-k
@@ -252,10 +259,21 @@ def _pick_sub(n_cap: int, n_tiles: int, row_bytes: int, max_sub: int = 4) -> int
 
 
 def _make_pos_kernel(sub: int, packed_int4: bool, use_qm: bool):
-    """Positive-packed scan kernel: one int32 key per (query, 1024-slice)."""
+    """Positive-packed scan kernel: one int32 key per (query, 1024-slice).
+
+    Keys are SCALED-INT: key value = round((s - f) * g) with the low 10
+    bits replaced by the lane.  f/g are a provable per-query window
+    offset and gain (see _pos_topk) — valid scores land in [0, 2^30), so
+    the 20 value bits are spent uniformly across the query's own score
+    range instead of bitcast-relative to the global offset C (whose 13
+    mantissa bits collapse to ~16 effective levels on near-tie corpora —
+    same mechanism as the residual path's measured 0.59-recall collapse).
+    Scores below the window go negative but stay ORDERED (round((s-f)g)
+    is monotone until the ±2e9 clip, two windows out); invalid rows
+    (s=0, f>=1) clip to -2e9, below every valid key."""
     s_per_tile = TILE_N // POS_SLICE
 
-    def kern(q_ref, qm_ref, m_ref, b_ref, codes_ref, out_ref):
+    def kern(q_ref, qm_ref, f_ref, g_ref, m_ref, b_ref, codes_ref, out_ref):
         q = q_ref[:]
         lane = None
         for t in range(sub):
@@ -277,8 +295,13 @@ def _make_pos_kernel(sub: int, packed_int4: bool, use_qm: bool):
             s = dots * m_ref[:, sl]
             if use_qm:  # euclidean: row bias is not query-scaled
                 s = s * qm_ref[:]
-            s = s + b_ref[:, sl]
-            si = lax.bitcast_convert_type(s, jnp.int32)
+            s = (s + b_ref[:, sl] - f_ref[:]) * g_ref[:]
+            # round+clip+convert measured FASTEST of the monotone f32->i32
+            # chains on Mosaic (exp_pos_key: 4.56 ms/batch vs 5.26 trunc,
+            # 6.40 lax.round, 4.58 no-cancel fold; bitcast floor 3.56) —
+            # the ~1 ms/batch window-key overhead buys near-tie recall
+            # (0.9734 == masked ceiling at 2M x 768 vs bitcast collapse)
+            si = jnp.clip(jnp.round(s), -2.0e9, 2.0e9).astype(jnp.int32)
             if lane is None:
                 lane = (lax.broadcasted_iota(jnp.int32, s.shape, 1)
                         & POS_LANE_MASK)
@@ -292,10 +315,11 @@ def _make_pos_kernel(sub: int, packed_int4: bool, use_qm: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles", "use_qm"))
-def _pos_scan(codes, q, qm, m, b, *, n_tiles, use_qm):
+def _pos_scan(codes, q, qm, f, g, m, b, *, n_tiles, use_qm):
     """Run the positive-packed kernel.  Returns keys [B, n_slices] int32
-    where key = (f32-score bits & ~1023) | lane; slice i covers rows
-    [i*1024, (i+1)*1024)."""
+    where key = (round((score - f) * g) & ~1023) | lane; slice i covers
+    rows [i*1024, (i+1)*1024).  ``f``/``g`` [B, 1] are the per-query
+    window offset and gain (f=0, g=1 degrades to raw-score keys)."""
     bq, w = q.shape
     packed = codes.dtype == jnp.uint8
     if packed:
@@ -316,6 +340,10 @@ def _pos_scan(codes, q, qm, m, b, *, n_tiles, use_qm):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, big_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, big_n), lambda j, i: (0, j),
@@ -333,16 +361,16 @@ def _pos_scan(codes, q, qm, m, b, *, n_tiles, use_qm):
             transcendentals=0,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, qm, m, b, codes)
+    )(q, qm, f, g, m, b, codes)
     return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
 
 
 # ---------------------------------------------------------------------------
 # Intkey scan — the raw-integer ranking variant for big COSINE stores.
 #
-# The pos path still pays ~2 f32 VPU ops/element to make absmax-quantized
-# dots cross-row comparable (dots * rowmult + bias) plus the float->int
-# bitcast.  The intkey path removes scoring math from the kernel entirely by
+# The pos path still pays ~5 f32 VPU ops/element to make absmax-quantized
+# dots cross-row comparable (dots * rowmult + bias, window shift/gain) plus
+# the float->int round.  The intkey path removes scoring math from the kernel entirely by
 # changing the CODES instead: a second int8 plane quantized with a SHARED
 # per-row scale (|x|/127 — "unit codes", c8u ~ 127 * x/|x|) makes the raw
 # int32 MXU dot itself rank cosine similarity across rows.  The kernel is
@@ -535,10 +563,10 @@ def requantize_unit(codes: jax.Array, scales: jax.Array, norms: jax.Array,
 def _pos_dot_term_bound(codes, scales, norms, rowmult, q_in):
     """Per-row bound on |dots * rowmult| (the ranking dot term).
 
-    Must be TIGHT, not just valid: the packed key keeps 13 effective value
-    bits relative to the offset C, so a loose C (e.g. the blanket
-    127^2*W Cauchy-Schwarz bound) quantizes real score gaps away and the
-    lane bits start deciding ranks.  Per-row, |codes_row|_2 is bounded by
+    Must be TIGHT, not just valid: the per-query window the packed key
+    quantizes over is built from this bound, so a loose bound (e.g. the
+    blanket 127^2*W Cauchy-Schwarz) stretches the window and quantizes
+    real score gaps away.  Per-row, |codes_row|_2 is bounded by
     norms/scale + sqrt(W)/2 (rounding slack; clipping only shrinks), which
     for cosine collapses to |q_in|_2 * (1 + sqrt(W)/(2*127)) — within 5% of
     the true maximum.  All [N]-vector math on existing stats; the corpus is
@@ -558,6 +586,12 @@ def _pos_topk(codes, scales, norms, valid, queries, q_in, qmult, rowmult,
     """Pos-path merge: packed-key pool selection + exact affine rescore."""
     use_qm = metric == "euclidean"
     dot_term = _pos_dot_term_bound(codes, scales, norms, rowmult, q_in)
+    qf = q_in.astype(jnp.float32)
+    qb_per = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))  # [B,1]
+    qb_all = jnp.maximum(jnp.max(qb_per), 1e-9)
+    # per-ROW coefficient max over valid rows (dot_term carries the
+    # batch-max query norm; divide it back out for the per-query window)
+    row_coef = jnp.max(jnp.where(valid, dot_term, 0.0)) / qb_all
     if use_qm:
         # euclidean keeps qmult on the dot term (the -|x|^2 row bias is not
         # query-scaled, so qmult cannot be dropped from ranking).  The
@@ -565,18 +599,32 @@ def _pos_topk(codes, scales, norms, valid, queries, q_in, qmult, rowmult,
         # PADDED (all-zero) queries get a defaulted q_scale of 1.0, so a
         # bare max(qmult) can inflate C ~100x, and the packed key's value
         # bits quantize relative to C — real score gaps would vanish.
-        qf = q_in.astype(jnp.float32)
-        qb_per = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))  # [B,1]
-        qb_all = jnp.maximum(jnp.max(qb_per), 1e-9)
         qm_eff = jnp.max(qmult * qb_per) / qb_all   # 0-weighted for padding
         C = jnp.max(dot_term * qm_eff + norms * norms) + 1.0
         b = jnp.where(valid, C + rowbias, 0.0).astype(jnp.float32)
+        # per-query window: s = (dots*m)*qm + C + rowbias with
+        # |dots*m| <= qb_per*row_coef and rowbias in [min_rb, 0]
+        rmax_q = qmult * qb_per * row_coef                      # [B, 1]
+        min_rb = jnp.min(jnp.where(valid, rowbias, 0.0))
+        f = C - rmax_q + min_rb
     else:
         C = jnp.max(dot_term) + 1.0
         b = jnp.where(valid, C, 0.0).astype(jnp.float32)
+        # s = dots*m + C with |dots*m| <= qb_per*row_coef
+        rmax_q = qb_per * row_coef                              # [B, 1]
+        f = C - rmax_q
+    # every valid score lies in [f, s_ub]: the window is the PROVABLE
+    # per-query score range, so g spends the key's 20 value bits
+    # uniformly across it — >=2^7x finer than bitcast's C*2^-13 step
+    # (see _make_pos_kernel; same fix as the residual path's measured
+    # 0.59 -> 0.94 recall recovery on near-tie corpora)
+    s_ub = C + rmax_q
+    f = jnp.maximum(f, 0.0).astype(jnp.float32)
+    g = (float(1 << 30) - 1.0) / jnp.maximum(s_ub - f, 1e-20)
+    g = jnp.where(jnp.isfinite(g) & (g > 0), g, 1.0).astype(jnp.float32)
     m = jnp.where(valid, rowmult, 0.0).astype(jnp.float32)
-    keys = _pos_scan(codes, q_in, qmult, m.reshape(1, -1), b.reshape(1, -1),
-                     n_tiles=n_tiles, use_qm=use_qm)
+    keys = _pos_scan(codes, q_in, qmult, f, g, m.reshape(1, -1),
+                     b.reshape(1, -1), n_tiles=n_tiles, use_qm=use_qm)
     kk = min(k, keys.shape[1])
     pool = min(max(4 * kk, 64), keys.shape[1])
     topkeys, sel = lax.top_k(keys, pool)
@@ -667,6 +715,7 @@ def _make_pos_residual_kernel(sub: int, cell_cap: int,
             # VPU ops/element; at wide D the scan is MXU/HBM bound.
             s = ((dots * qa_ref[:]) * ma_ref[:, sl] + tdot * mb_ref[:, sl]
                  + b_ref[:, sl] - f_ref[:]) * g_ref[:]
+            # round+clip+convert: fastest monotone chain (_make_pos_kernel)
             si = jnp.clip(jnp.round(s), -2.0e9, 2.0e9).astype(jnp.int32)
             key = (si & jnp.int32(~lane_mask)) | lane
             imin = jnp.int32(-2147483648)
@@ -1063,8 +1112,8 @@ def fused_topk_residual(
         # (stores cache max_code_norm; 5-20x under the all-sevens worst
         # case) — every factor of 2 saved here is one more usable bit of
         # score resolution in the packed key.  An underestimate (stale
-        # cache after inserts) is SAFE: scores below -C go negative and
-        # bitcast-rank last, which only affects worst-match rows.
+        # cache after inserts) is SAFE: scores below the window go
+        # negative and rank last, which only affects worst-match rows.
         cnb = (code_norm_bound if code_norm_bound is not None
                else 8.0 * jnp.sqrt(float(w)))
         dots_bound = jnp.max(qa * qb_per) * cnb

@@ -166,8 +166,8 @@ def test_exact_pos_matches_reference(pq_setup):
     n = data.shape[0]
     norms2 = (scales.astype(np.float64) ** 2
               * (i8.astype(np.float64) ** 2).sum(axis=1)).astype(np.float32)
-    # pad to the pos kernel's 4096-row big tiles
-    big = 4 * ADC_TILE_N
+    # pad to the pos kernel's sub=8 big tiles
+    big = 8 * ADC_TILE_N
     pad = (-n) % big
     codes_p = np.pad(codes, ((0, pad), (0, 0)))
     i8_p = np.pad(i8, ((0, pad), (0, 0)))
