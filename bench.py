@@ -586,15 +586,29 @@ def bench_config5(quick: bool) -> dict:
     t0 = time.perf_counter()
     tickets = [store.search_batch_submit(qs_host, k=k) for _ in range(T)]
     submit_s = (time.perf_counter() - t0) / T
+    # Drain the DEVICE queue before timing completions: a complete()
+    # blocks until its batch's device work finishes, so timing them
+    # while later batches still execute counts device wait as "host" —
+    # the round-3 decomposition overstated the host share this way.
+    for t in tickets:
+        jax.block_until_ready(t.packed if t.packed is not None else t.dists)
     comp_samples = []
     for t in tickets:
         t1 = time.perf_counter()
         store.search_batch_complete(t)
         comp_samples.append(time.perf_counter() - t1)
-    # the FIRST completion also absorbs the overlapped device queue; the
-    # later ones measure readback+mapping in isolation
-    comp_s = float(np.median(comp_samples[1:]) if len(comp_samples) > 1
-                   else comp_samples[0])
+    comp_s = float(np.median(comp_samples))
+    # columnar completion (the serving stack's path: MCP batch/b64, gRPC)
+    # skips the per-hit (id, metadata, dist) tuple mapping — its cost over
+    # the raw link readback is the decode only (~0.2 ms measured)
+    raw_samples = []
+    for _ in range(len(tickets)):
+        t = store.search_batch_submit(qs_host, k=k)
+        jax.block_until_ready(t.packed if t.packed is not None else t.dists)
+        t1 = time.perf_counter()
+        store.search_batch_complete_raw(t)
+        raw_samples.append(time.perf_counter() - t1)
+    comp_raw_s = float(np.median(raw_samples))
     # raw-readback floor: an equivalent-size device array through the rig.
     # Must be a FRESH computed array per sample: jnp.zeros is a known
     # constant the client materializes host-side (measured 0.004 ms,
@@ -612,9 +626,9 @@ def bench_config5(quick: bool) -> dict:
     rtt_s = float(np.median(rtts))
     host_s = max(submit_s, 0.0) + max(comp_s - rtt_s, 0.0)
     log(f"[config5] decomposition per batch: submit {submit_s*1e3:.2f} ms, "
-        f"complete {comp_s*1e3:.2f} ms (raw readback floor {rtt_s*1e3:.2f}"
-        f" ms) -> host share {host_s*1e3:.2f} ms vs device {sec_dev*1e3:.2f}"
-        f" ms", )
+        f"complete {comp_s*1e3:.2f} ms (columnar {comp_raw_s*1e3:.2f}, raw "
+        f"readback floor {rtt_s*1e3:.2f} ms) -> host share {host_s*1e3:.2f}"
+        f" ms vs device {sec_dev*1e3:.2f} ms", )
 
     return {
         "metric": f"QPS sharded int8 cosine top-10 ({ndev}-device mesh, {n} x 768)",
@@ -627,6 +641,7 @@ def bench_config5(quick: bool) -> dict:
         "e2e_pipelined_vs_device": round(sec_dev / sec_pipe, 3),
         "e2e_submit_ms": round(submit_s * 1e3, 3),
         "e2e_complete_ms": round(comp_s * 1e3, 3),
+        "e2e_complete_raw_ms": round(comp_raw_s * 1e3, 3),
         "rtt_floor_ms": round(rtt_s * 1e3, 3),
         "e2e_host_ms": round(host_s * 1e3, 3),
         "streaming_build_vectors_per_sec": round(n / build_s, 1),
