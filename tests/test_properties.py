@@ -127,3 +127,71 @@ def test_int4r_store_nprobe_subset_of_reconstruction_space(seed):
     assert "7" not in ids
     assert len(set(ids)) == len(ids)
     assert all(np.isfinite(r[2]) for r in res)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=1e6, allow_nan=False,
+                       width=32), min_size=2, max_size=32),
+    st.floats(min_value=0.0, max_value=1e5, allow_nan=False, width=32),
+    st.floats(min_value=0.0009765625, max_value=1e4, allow_nan=False,
+              width=32),
+)
+def test_window_key_monotone(scores, f, g):
+    """The pos paths' scaled-int window key round((s-f)*g) (value bits,
+    lane bits stripped) is monotone non-decreasing in the score for ANY
+    window offset/gain — a wrong f/g may waste resolution but can never
+    invert an ordering beyond one quantization level."""
+    s = np.sort(np.asarray(scores, np.float32))
+    keys = np.clip(np.round((s - np.float32(f)) * np.float32(g)),
+                   -2.0e9, 2.0e9).astype(np.int64) & ~1023
+    assert (np.diff(keys) >= 0).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.sampled_from(["cosine", "euclidean", "dot"]),
+)
+def test_pos_path_window_keys_keep_global_top1(seed, metric):
+    """Window-keyed pos scan (interpret mode): the global best row is some
+    slice's top-1, so it must survive selection and rank first after the
+    exact rescore — for any corpus and any metric, including a deleted-row
+    variant."""
+    import jax.numpy as jnp
+
+    import erlvectordb_tpu.ops.fused_topk as ft
+    from erlvectordb_tpu.core.search import exact_topk_int8
+
+    old_gate = ft.POS_MIN_TILES
+    ft.POS_MIN_TILES = 1
+    try:
+        rng = np.random.default_rng(seed)
+        n_cap, d, k = 2 * ft.TILE_N, 16, 4
+        data = rng.standard_normal((n_cap, d)).astype(np.float32)
+        absmax = np.abs(data).max(axis=1)
+        scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+        codes = np.clip(np.round(data / scales[:, None]), -127,
+                        127).astype(np.int8)
+        norms = np.linalg.norm(codes.astype(np.float32) * scales[:, None],
+                               axis=1).astype(np.float32)
+        valid = np.ones(n_cap, bool)
+        valid[rng.integers(0, n_cap, 64)] = False
+        q = rng.standard_normal((2, d)).astype(np.float32)
+        d_f, r_f = ft.fused_topk(
+            jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+            jnp.asarray(valid), jnp.asarray(q), metric=metric, k=k,
+            n_tiles=2)
+        d_x, r_x = exact_topk_int8(
+            jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+            jnp.asarray(valid), jnp.asarray(q), metric=metric, k=k)
+        r_f, r_x = np.asarray(r_f), np.asarray(r_x)
+        d_f = np.asarray(d_f)
+        for b in range(q.shape[0]):
+            assert r_f[b][0] == r_x[b][0], (metric, seed, b)
+            assert valid[r_f[b][np.isfinite(d_f[b])]].all()
+            fin = r_f[b][np.isfinite(d_f[b])]
+            assert len(set(fin.tolist())) == len(fin)
+            assert (np.diff(d_f[b][np.isfinite(d_f[b])]) >= -1e-5).all()
+    finally:
+        ft.POS_MIN_TILES = old_gate
