@@ -175,26 +175,46 @@ class Database:
 
     def search(self, store: str, query, k: int = 10,
                metric: Optional[str] = None,
-               nprobe: Optional[int] = None) -> List[Tuple[str, Any, float]]:
+               nprobe: Optional[int] = None,
+               recall_target: Optional[float] = None,
+               ) -> List[Tuple[str, Any, float]]:
         """``nprobe`` (local int4r stores only) switches to the sub-linear
         multiprobe gather — O(nprobe*cell_cap) HBM traffic per query, the
-        low-latency path at large N (ops/cell_probe.py)."""
+        low-latency path at large N (ops/cell_probe.py).
+        ``recall_target`` instead picks the smallest calibrated nprobe
+        meeting a ceiling-relative recall@k target
+        (VectorStore.calibrate_nprobe; lazily calibrated on first use)."""
         st = self.any_store(store)
         kw = {}
         if nprobe is not None:
             self._check_nprobe(st)
             kw["nprobe"] = nprobe
+        if recall_target is not None:
+            self._check_nprobe(st)
+            kw["recall_target"] = recall_target
         return st.search(query, k=k, metric=metric, **kw)
 
     def search_batch(self, store: str, queries, k: int = 10,
                      metric: Optional[str] = None,
-                     nprobe: Optional[int] = None):
+                     nprobe: Optional[int] = None,
+                     recall_target: Optional[float] = None):
         st = self.any_store(store)
         kw = {}
         if nprobe is not None:
             self._check_nprobe(st)
             kw["nprobe"] = nprobe
+        if recall_target is not None:
+            self._check_nprobe(st)
+            kw["recall_target"] = recall_target
         return st.search_batch(queries, k=k, metric=metric, **kw)
+
+    def calibrate_store(self, store: str, queries=None, n_sample: int = 256,
+                        k: int = 10) -> dict:
+        """Measure a local int4r store's recall-vs-nprobe curve (see
+        VectorStore.calibrate_nprobe); returns {nprobe: recall}."""
+        st = self.any_store(store)
+        self._check_nprobe(st)
+        return st.calibrate_nprobe(queries=queries, n_sample=n_sample, k=k)
 
     @staticmethod
     def _check_nprobe(st) -> None:

@@ -425,6 +425,7 @@ class VectorStore:
         self._rq_books: Optional[jax.Array] = None  # [M2, 256, ds] f32
         self._rq_rot: Optional[jax.Array] = None    # [dp2, dp2] f32
         self.rq_pool = 64  # stage-2 rescore pool floor (max(4k_bucket, this))
+        self._nprobe_curve: Optional[Dict[int, float]] = None  # calibration
         self._cell_cap = 0
         self._cell_next: Optional[np.ndarray] = None   # per-cell slot HWM
         self._cell_avail: Optional[np.ndarray] = None  # free slots per cell
@@ -1013,6 +1014,69 @@ class VectorStore:
 
     # ---------------------------------------------------------------- search
 
+    _NPROBE_GRID = (4, 8, 16, 32, 64, 128, 256, 512)
+
+    def calibrate_nprobe(self, queries=None, n_sample: int = 256,
+                         k: int = 10) -> dict:
+        """Measure the multiprobe recall@k curve so searches can take a
+        ``recall_target=`` instead of a raw ``nprobe=`` (int4r stores).
+
+        Reference ranking is the store's own DEEP probe
+        (nprobe = min(n_cells, 512)) — the quantization ceiling of the
+        int4 residual codes, which no nprobe can beat; the curve is
+        therefore ceiling-relative (recall at deep == 1.0 by
+        construction).  ``queries`` defaults to ``n_sample`` live rows
+        decoded on device — member queries slightly flatter the curve vs
+        genuine out-of-sample traffic, so pass a held-out sample for
+        SLA-grade targeting.  Cost: one deep dispatch + one per grid point
+        (~100 ms device total at 8M x 768).  The curve persists with
+        snapshots and is consulted lazily on the first
+        ``recall_target=`` search."""
+        if self.dtype != "int4r":
+            raise ValueError("calibrate_nprobe requires an int4r store")
+        if self.count == 0:
+            raise ValueError("empty store")
+        if queries is None:
+            with self._lock.read():
+                valid = np.asarray(self._valid)
+                rows = np.flatnonzero(valid)
+                rng = np.random.default_rng(len(rows))
+                rows = rng.choice(rows, size=min(n_sample, len(rows)),
+                                  replace=False)
+                res = _unpack_int4_np(np.asarray(self._vectors[rows]))
+                res = res.astype(np.float32)
+                res *= np.asarray(self._scales[rows])[:, None]
+                cents = np.asarray(
+                    self._centroids[rows // self._cell_cap])
+                queries = (cents + res)[:, : self._dim]
+        queries = np.asarray(queries, np.float32)
+        deep = min(int(self._centroids.shape[0]), 512)
+        t = self.search_batch_submit(queries, k=k, nprobe=deep)
+        _, ref_rows, _ = self.search_batch_complete_raw(t)
+        curve = {}
+        for nprobe in [p for p in self._NPROBE_GRID if p < deep]:
+            t = self.search_batch_submit(queries, k=k, nprobe=nprobe)
+            _, rows_p, _ = self.search_batch_complete_raw(t)
+            hit = sum(
+                len(set(rows_p[i].tolist()) & set(ref_rows[i].tolist()))
+                for i in range(len(queries)))
+            curve[nprobe] = round(hit / (len(queries) * k), 4)
+        curve[deep] = 1.0
+        self._nprobe_curve = curve
+        return dict(curve)
+
+    def _nprobe_for_target(self, target: float, k: int) -> int:
+        """Smallest calibrated nprobe meeting ``target`` (ceiling-relative
+        recall@k); lazily calibrates on first use."""
+        if not (0.0 < target <= 1.0):
+            raise ValueError("recall_target must be in (0, 1]")
+        if getattr(self, "_nprobe_curve", None) is None:
+            self.calibrate_nprobe(k=k)
+        for nprobe in sorted(self._nprobe_curve):
+            if self._nprobe_curve[nprobe] >= target:
+                return nprobe
+        return max(self._nprobe_curve)
+
     def search(
         self,
         query,
@@ -1020,6 +1084,7 @@ class VectorStore:
         metric: Optional[str] = None,
         where: Optional[dict] = None,
         nprobe: Optional[int] = None,
+        recall_target: Optional[float] = None,
     ) -> List[Tuple[str, Any, float]]:
         """Top-k search for one query (exact unless ``nprobe`` is given).
 
@@ -1040,7 +1105,7 @@ class VectorStore:
         """
         results = self.search_batch(
             np.asarray(query, np.float32)[None, :], k, metric, where,
-            nprobe=nprobe,
+            nprobe=nprobe, recall_target=recall_target,
         )
         return results[0]
 
@@ -1148,10 +1213,12 @@ class VectorStore:
         metric: Optional[str] = None,
         where: Optional[dict] = None,
         nprobe: Optional[int] = None,
+        recall_target: Optional[float] = None,
     ) -> List[List[Tuple[str, Any, float]]]:
         """Batched exact top-k: one compiled program for B queries."""
         return self.search_batch_complete(
-            self.search_batch_submit(queries, k, metric, where, nprobe=nprobe)
+            self.search_batch_submit(queries, k, metric, where, nprobe=nprobe,
+                                     recall_target=recall_target)
         )
 
     def search_batch_submit(
@@ -1161,6 +1228,7 @@ class VectorStore:
         metric: Optional[str] = None,
         where: Optional[dict] = None,
         nprobe: Optional[int] = None,
+        recall_target: Optional[float] = None,
     ) -> SearchTicket:
         """Dispatch a batched search WITHOUT waiting for the device.
 
@@ -1172,6 +1240,16 @@ class VectorStore:
         metric = metric or self.metric
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
+        if recall_target is not None:
+            # SLA knob: map a ceiling-relative recall target to the
+            # smallest calibrated nprobe (calibrate_nprobe)
+            if nprobe is not None:
+                raise ValueError(
+                    "pass either nprobe or recall_target, not both")
+            if self.dtype != "int4r":
+                raise ValueError(
+                    "recall_target requires an int4r store (cell layout)")
+            nprobe = self._nprobe_for_target(recall_target, k)
         if nprobe is not None:
             if self.dtype != "int4r":
                 raise ValueError(
@@ -1557,6 +1635,10 @@ class VectorStore:
             if self.dtype == "int4r" and self._centroids is not None:
                 state["centroids"] = np.asarray(self._centroids)
                 state["cell_cap"] = self._cell_cap
+                if getattr(self, "_nprobe_curve", None):
+                    state["nprobe_curve"] = {
+                        int(p): float(r)
+                        for p, r in self._nprobe_curve.items()}
                 state["cell_next"] = [int(x) for x in self._cell_next]
                 state["cell_free"] = {
                     str(c): list(v) for c, v in self._cell_free.items()
@@ -1598,6 +1680,10 @@ class VectorStore:
             store._centroids = store._put(
                 np.asarray(state["centroids"], np.float32))
             store._cell_cap = int(state.get("cell_cap", 64))
+            if "nprobe_curve" in state:
+                store._nprobe_curve = {
+                    int(p): float(r)
+                    for p, r in state["nprobe_curve"].items()}
             store._cell_next = np.asarray(state.get("cell_next", []), np.int64)
             store._cell_free = {
                 int(c): [int(r) for r in v]

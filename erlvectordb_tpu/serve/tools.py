@@ -185,6 +185,11 @@ TOOLS: Dict[str, dict] = {
                            "description": "int4r stores: probe only the N "
                            "nearest cells (sub-linear low-latency path, "
                            "approximate)"},
+                "recall_target": {"type": "number",
+                                  "description": "int4r stores: pick the "
+                                  "smallest calibrated nprobe meeting this "
+                                  "ceiling-relative recall@k (alternative "
+                                  "to nprobe)"},
             },
             ["store"],
         ),
@@ -367,15 +372,20 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         )
         return {"status": "ok", "store": args["store"], "id": args["id"]}
     if name == "search_vectors":
-        if args.get("nprobe") is not None:
+        if (args.get("nprobe") is not None
+                or args.get("recall_target") is not None):
             # the sub-linear latency path: a direct dispatch IS the point
             # (no batching window) — only the probed cells are read
             store = db.any_store(args["store"])
             db._check_nprobe(store)  # clean ValueError for distributed stores
+            kw = {}
+            if args.get("nprobe") is not None:
+                kw["nprobe"] = int(args["nprobe"])
+            if args.get("recall_target") is not None:
+                kw["recall_target"] = float(args["recall_target"])
             hits = store.search(
                 decode_query(args), k=int(args.get("k", 10)),
-                metric=args.get("metric"), where=args.get("filter"),
-                nprobe=int(args["nprobe"]))
+                metric=args.get("metric"), where=args.get("filter"), **kw)
             return format_hits(hits)
         # concurrent protocol requests coalesce into one device batch
         hits = db.batcher.search(

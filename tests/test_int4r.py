@@ -308,3 +308,54 @@ class TestDeepSliceExtraction:
         # cell-aligned 512-slices at t_top=8 also recover everything
         got512 = self._pos(one_cell_corpus, 512, 8, monkeypatch)
         assert len(got512 & truth) == 8
+
+
+class TestNprobeCalibration:
+    """recall_target -> nprobe auto-tuning (calibrate_nprobe): the curve
+    is ceiling-relative (deep probe == 1.0), monotone non-decreasing,
+    persists through state export/import, and recall_target searches
+    match the curve's chosen nprobe exactly."""
+
+    @pytest.fixture(scope="class")
+    def cal_store(self):
+        rng = np.random.default_rng(11)
+        n, d = 6000, 24
+        centers = rng.standard_normal((40, d)).astype(np.float32)
+        data = (centers[rng.integers(0, 40, n)]
+                + 0.25 * rng.standard_normal((n, d)).astype(np.float32))
+        return VectorStore.from_matrix("cal", data, dtype="int4r")
+
+    def test_curve_shape_and_persistence(self, cal_store):
+        curve = cal_store.calibrate_nprobe(n_sample=64, k=5)
+        deep = max(curve)
+        assert curve[deep] == 1.0
+        probes = sorted(curve)
+        vals = [curve[p] for p in probes]
+        # monotone within sampling noise
+        for a, b in zip(vals, vals[1:]):
+            assert b >= a - 0.05, curve
+        state = cal_store.export_state()
+        assert state["nprobe_curve"]
+        st2 = VectorStore.from_state(state)
+        assert st2._nprobe_curve == curve
+
+    def test_recall_target_search(self, cal_store):
+        if cal_store._nprobe_curve is None:
+            cal_store.calibrate_nprobe(n_sample=64, k=5)
+        q = np.asarray(cal_store.get("7")[0], np.float32)
+        want = cal_store._nprobe_for_target(0.9, k=5)
+        r_target = cal_store.search(q, k=5, recall_target=0.9)
+        r_nprobe = cal_store.search(q, k=5, nprobe=want)
+        assert [h[0] for h in r_target] == [h[0] for h in r_nprobe]
+        with pytest.raises(ValueError):
+            cal_store.search(q, k=5, nprobe=4, recall_target=0.9)
+        with pytest.raises(ValueError):
+            cal_store.search(q, k=5, recall_target=1.5)
+
+    def test_recall_target_rejected_on_non_cell_store(self):
+        rng = np.random.default_rng(3)
+        st = VectorStore.from_matrix(
+            "cal8", rng.standard_normal((64, 8)).astype(np.float32),
+            dtype="int8")
+        with pytest.raises(ValueError):
+            st.search(np.zeros(8, np.float32), k=2, recall_target=0.9)
