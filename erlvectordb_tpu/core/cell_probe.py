@@ -231,10 +231,60 @@ class CellProbeIndex:
 
     # ----------------------------------------------------------------- search
 
+    def calibrate_nprobe(self, queries=None, n_sample: int = 256,
+                         k: int = 10, metric: str = "cosine") -> dict:
+        """Measure the recall@k-vs-nprobe curve against the index's own
+        DEEP probe (nprobe = min(n_cells, 512), the residual-code
+        ceiling), so ``search(recall_target=...)`` can pick the smallest
+        qualifying nprobe.  Same semantics as
+        VectorStore.calibrate_nprobe; ``queries`` defaults to sampled
+        live rows decoded on host (member queries slightly flatter the
+        curve — pass held-out traffic for SLA-grade targeting)."""
+        if queries is None:
+            valid = np.asarray(self.valid)
+            rows = np.flatnonzero(valid)
+            rng = np.random.default_rng(len(rows))
+            rows = rng.choice(rows, size=min(n_sample, len(rows)),
+                              replace=False)
+            res = (np.asarray(self.codes[rows]).astype(np.float32)
+                   * np.asarray(self.scales[rows])[:, None])
+            queries = res + np.asarray(self.centroids[rows // self.cell_cap])
+        queries = np.asarray(queries, np.float32)
+        deep = min(self.n_cells, 512)
+        _, ref = self.search(queries, k=k, nprobe=deep, metric=metric)
+        curve = {}
+        for nprobe in [p for p in (4, 8, 16, 32, 64, 128, 256, 512)
+                       if p < deep]:
+            _, got = self.search(queries, k=k, nprobe=nprobe, metric=metric)
+            hit = sum(len(set(got[i].tolist()) & set(ref[i].tolist()))
+                      for i in range(len(queries)))
+            curve[nprobe] = round(hit / (len(queries) * k), 4)
+        curve[deep] = 1.0
+        self._nprobe_curve = curve
+        return dict(curve)
+
+    def nprobe_for(self, recall_target: float, k: int = 10,
+                   metric: str = "cosine") -> int:
+        """Smallest calibrated nprobe meeting the ceiling-relative
+        recall@k target (lazily calibrates on first use)."""
+        if not (0.0 < recall_target <= 1.0):
+            raise ValueError("recall_target must be in (0, 1]")
+        if getattr(self, "_nprobe_curve", None) is None:
+            self.calibrate_nprobe(k=k, metric=metric)
+        for nprobe in sorted(self._nprobe_curve):
+            if self._nprobe_curve[nprobe] >= recall_target:
+                return nprobe
+        return max(self._nprobe_curve)
+
     def search(self, queries, k: int = 10, nprobe: int = 32,
                metric: str = "cosine",
-               sprobe: int = 0) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (distances [B, k], store rows [B, k]; -1 = no hit)."""
+               sprobe: int = 0,
+               recall_target: float = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (distances [B, k], store rows [B, k]; -1 = no hit).
+        ``recall_target`` overrides ``nprobe`` with the smallest
+        calibrated value meeting the target (see calibrate_nprobe)."""
+        if recall_target is not None:
+            nprobe = self.nprobe_for(recall_target, k=k, metric=metric)
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]

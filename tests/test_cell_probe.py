@@ -270,3 +270,27 @@ class TestDmaGatherKernel:
                         vals[np.asarray(probe)].astype(np.float32),
                         np.asarray(q))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-2)
+
+
+def test_cellprobe_recall_target_calibration():
+    """CellProbeIndex.calibrate_nprobe: deep probe == 1.0, monotone-ish
+    curve, and search(recall_target=) equals search(nprobe=chosen)."""
+    rng = np.random.default_rng(9)
+    n, d = 4000, 16
+    centers = rng.standard_normal((30, d)).astype(np.float32)
+    data = (centers[rng.integers(0, 30, n)]
+            + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    dp = np.pad(data, ((0, 0), (0, 128 - d)))
+    idx = CellProbeIndex.build(dp, np.arange(n, dtype=np.int64),
+                               cell_rows=40)
+    curve = idx.calibrate_nprobe(n_sample=48, k=5)
+    deep = max(curve)
+    assert curve[deep] == 1.0
+    vals = [curve[p] for p in sorted(curve)]
+    for a, b in zip(vals, vals[1:]):
+        assert b >= a - 0.05, curve
+    q = np.pad(data[:3], ((0, 0), (0, 128 - d)))
+    want = idx.nprobe_for(0.9, k=5)
+    _, r1 = idx.search(q, k=5, recall_target=0.9)
+    _, r2 = idx.search(q, k=5, nprobe=want)
+    np.testing.assert_array_equal(r1, r2)
