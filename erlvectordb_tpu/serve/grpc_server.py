@@ -281,12 +281,15 @@ class GrpcServer:
         k = int(request.k or 10)
         metric = request.metric or None
         where = self._where(request.filter_json)
-        if request.nprobe:
+        if request.nprobe or request.recall_target:
             store = self.db.any_store(request.store)
             self.db._check_nprobe(store)  # ValueError, not TypeError, for
-            return store.search(          # distributed store classes
-                q, k=k, metric=metric, where=where,
-                nprobe=int(request.nprobe))
+            kw = {}                       # distributed store classes
+            if request.nprobe:
+                kw["nprobe"] = int(request.nprobe)
+            if request.recall_target:
+                kw["recall_target"] = float(request.recall_target)
+            return store.search(q, k=k, metric=metric, where=where, **kw)
         batcher = getattr(self.db, "batcher", None)
         if batcher is not None and batcher.is_alive():
             hits = batcher.search(request.store, q, k=k, metric=metric,
@@ -320,8 +323,8 @@ class GrpcServer:
             metric = request.metric or None
             where = self._where(request.filter_json)
             batcher = getattr(self.db, "batcher", None)
-            if request.nprobe:  # sub-linear path: direct, no batch window
-                batcher = None
+            if request.nprobe or request.recall_target:
+                batcher = None  # sub-linear path: direct, no batch window
             if batcher is not None and batcher.is_alive():
                 done = threading.Event()
                 box = {}
@@ -339,10 +342,13 @@ class GrpcServer:
                 dists, _rows, ids = box["cols"]
             else:
                 store = self.db.any_store(request.store)
-                if request.nprobe:
+                if request.nprobe or request.recall_target:
                     self.db._check_nprobe(store)
-                kw = ({"nprobe": int(request.nprobe)} if request.nprobe
-                      else {})
+                kw = {}
+                if request.nprobe:
+                    kw["nprobe"] = int(request.nprobe)
+                if request.recall_target:
+                    kw["recall_target"] = float(request.recall_target)
                 t = store.search_batch_submit(rows, k=k, metric=metric,
                                               where=where, **kw)
                 dists, _rows, ids = store.search_batch_complete_raw(t)
@@ -371,7 +377,8 @@ class GrpcServer:
             try:
                 for req in request_iterator:
                     seq = req.seq
-                    if use_batcher and not req.nprobe:
+                    if use_batcher and not req.nprobe \
+                            and not req.recall_target:
                         q = np.asarray(req.vector, np.float32)
 
                         def cb(hits, err, seq=seq):

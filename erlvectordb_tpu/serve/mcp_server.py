@@ -288,6 +288,7 @@ class MCPServer:
                 send is not None
                 and name in ("search_vectors", "search_vectors_batch")
                 and args.get("nprobe") is None  # sub-linear path: direct
+                and args.get("recall_target") is None
                 and self.db.batcher.is_alive()
                 and self._search_async(req_id, name, args, send)
             ):

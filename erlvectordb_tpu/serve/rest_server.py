@@ -222,12 +222,30 @@ class RestServer:
                             and parts[4] == "search"):
                         if self._require("read") is None:
                             return
-                        outer.db.any_store(parts[3])  # 404 before batching
-                        hits = outer.db.batcher.search(
-                            parts[3], body["vector"], k=int(body.get("k", 10)),
-                            metric=body.get("metric"),
-                            where=body.get("filter"),
-                        )
+                        store = outer.db.any_store(parts[3])  # 404 first
+                        if (body.get("nprobe") is not None
+                                or body.get("recall_target") is not None):
+                            # sub-linear latency path: direct dispatch IS
+                            # the point (no batching window) — mirrors the
+                            # MCP search_vectors tool (serve/tools.py)
+                            outer.db._check_nprobe(store)
+                            kw = {}
+                            if body.get("nprobe") is not None:
+                                kw["nprobe"] = int(body["nprobe"])
+                            if body.get("recall_target") is not None:
+                                kw["recall_target"] = float(
+                                    body["recall_target"])
+                            hits = store.search(
+                                body["vector"], k=int(body.get("k", 10)),
+                                metric=body.get("metric"),
+                                where=body.get("filter"), **kw)
+                        else:
+                            hits = outer.db.batcher.search(
+                                parts[3], body["vector"],
+                                k=int(body.get("k", 10)),
+                                metric=body.get("metric"),
+                                where=body.get("filter"),
+                            )
                         return self._reply(200, {"results": [
                             {"id": vid, "metadata": meta, "distance": dist}
                             for vid, meta, dist in hits

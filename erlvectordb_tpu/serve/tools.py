@@ -214,6 +214,11 @@ TOOLS: Dict[str, dict] = {
                 "nprobe": {"type": "integer",
                            "description": "int4r stores: sub-linear "
                            "multiprobe (approximate)"},
+                "recall_target": {"type": "number",
+                                  "description": "int4r stores: pick the "
+                                  "smallest calibrated nprobe meeting this "
+                                  "ceiling-relative recall@k (alternative "
+                                  "to nprobe)"},
                 "compact": {"type": "boolean",
                             "description": "return parallel ids/distances "
                             "arrays without metadata (cheap to encode)"},
@@ -403,6 +408,9 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         if args.get("nprobe") is not None:
             db._check_nprobe(store)
             kw["nprobe"] = int(args["nprobe"])
+        if args.get("recall_target") is not None:
+            db._check_nprobe(store)
+            kw["recall_target"] = float(args["recall_target"])
         if args.get("encoding") == "b64":
             cols = store.search_batch_complete_raw(
                 store.search_batch_submit(qs, **kw))

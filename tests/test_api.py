@@ -127,6 +127,22 @@ class TestDistributedVerbs:
                 "store": "distnp", "vector": data[0].tolist(),
                 "k": 3, "nprobe": 4})
 
+    def test_recall_target_batch_tool(self, db, rng):
+        """search_vectors_batch accepts recall_target (auto-nprobe) like
+        search_vectors does — parity across the MCP tool surface."""
+        from erlvectordb_tpu.serve.tools import call_tool
+
+        db.create_store("rt4r", metric="cosine", dtype="int4r")
+        centers = rng.standard_normal((8, 16)).astype(np.float32)
+        data = (centers[rng.integers(0, 8, 400)]
+                + 0.2 * rng.standard_normal((400, 16))).astype(np.float32)
+        db.any_store("rt4r").insert_batch(
+            [f"v{i}" for i in range(400)], data)
+        out = call_tool(db, "search_vectors_batch", {
+            "store": "rt4r", "vectors": data[:4].tolist(), "k": 2,
+            "recall_target": 0.9, "compact": True})
+        assert out["ids"][0][0] == "v0" and out["ids"][3][0] == "v3"
+
     def test_distribute_existing_store(self, db, rng):
         db.create_store("local1")
         data = rng.standard_normal((50, 8)).astype(np.float32)

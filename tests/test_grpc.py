@@ -306,3 +306,31 @@ def test_nprobe_multiprobe_over_grpc(server, stub, seeded):
         stub.Search(pb.SearchRequest(store="g1", vector=[0.0] * 8,
                                      k=1, nprobe=4))
     assert "int4r" in ei.value.details()
+
+
+def test_recall_target_over_grpc(server, stub, seeded):
+    """recall_target maps to the smallest calibrated nprobe (auto-nprobe)
+    on the same direct sub-linear dispatch as an explicit nprobe."""
+    stub.CreateStore(pb.CreateStoreRequest(name="g4t", dimension=16,
+                                           metric="cosine", dtype="int4r"))
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((8, 16)).astype("<f4")
+    vecs = (centers[rng.integers(0, 8, 400)]
+            + 0.2 * rng.standard_normal((400, 16))).astype("<f4")
+    stub.InsertBatch(pb.InsertBatchRequest(
+        store="g4t", ids=[f"t{i}" for i in range(400)],
+        vectors_f32=vecs.tobytes(), dim=16))
+    # unary: lazily calibrates on first use, then answers correctly
+    r = stub.Search(pb.SearchRequest(store="g4t", vector=vecs[42].tolist(),
+                                     k=3, recall_target=0.9))
+    assert r.hits[0].id == "t42"
+    # batch takes the same direct path
+    rb = stub.SearchBatch(pb.SearchBatchRequest(
+        store="g4t", vectors_f32=vecs[:4].tobytes(), dim=16, k=2,
+        recall_target=0.9))
+    assert rb.count == 4 and rb.ids[0] == "t0" and rb.ids[3 * rb.k] == "t3"
+    # on a non-int4r store -> INVALID_ARGUMENT, not a crash
+    with pytest.raises(grpc.RpcError) as ei:
+        stub.Search(pb.SearchRequest(store="g1", vector=[0.0] * 8,
+                                     k=1, recall_target=0.9))
+    assert "int4r" in ei.value.details()

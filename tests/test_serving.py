@@ -299,6 +299,45 @@ class TestREST:
         status, _ = _http("GET", f"http://127.0.0.1:{port}/api/v1/stores")
         assert status == 401
 
+    def test_int4r_search_knobs(self, app, token):
+        """nprobe / recall_target ride the direct sub-linear dispatch over
+        REST (parity with the MCP search_vectors tool and gRPC Search)."""
+        import numpy as np
+        port = app.service_port("rest_api")
+        tok = token["access_token"]
+        status, _ = _http("POST", f"http://127.0.0.1:{port}/api/v1/stores",
+                          {"name": "rest4r", "metric": "cosine",
+                           "dtype": "int4r"}, tok)
+        assert status == 201
+        rng = np.random.default_rng(11)
+        centers = rng.standard_normal((8, 16)).astype(np.float32)
+        vecs = (centers[rng.integers(0, 8, 400)]
+                + 0.2 * rng.standard_normal((400, 16))).astype(np.float32)
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/vectors",
+            {"vectors": [{"id": f"x{i}", "vector": vecs[i].tolist()}
+                         for i in range(400)]}, tok)
+        assert body["inserted"] == 400
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/search",
+            {"vector": vecs[42].tolist(), "k": 3, "nprobe": 4}, tok)
+        assert status == 200 and body["results"][0]["id"] == "x42"
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/search",
+            {"vector": vecs[7].tolist(), "k": 3, "recall_target": 0.9}, tok)
+        assert status == 200 and body["results"][0]["id"] == "x7"
+        # either knob on a non-int4r store -> 400, not a crash
+        status, _ = _http("POST", f"http://127.0.0.1:{port}/api/v1/stores",
+                          {"name": "restf32", "dimension": 8}, tok)
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/restf32/search",
+            {"vector": [0.0] * 8, "k": 1, "recall_target": 0.9}, tok)
+        assert status == 400
+        _http("DELETE", f"http://127.0.0.1:{port}/api/v1/stores/rest4r",
+              token=tok)
+        _http("DELETE", f"http://127.0.0.1:{port}/api/v1/stores/restf32",
+              token=tok)
+
     def test_ports_status(self, app, token):
         port = app.service_port("rest_api")
         status, body = _http("GET", f"http://127.0.0.1:{port}/api/v1/ports/status",
