@@ -437,8 +437,14 @@ class Database:
             shutil.rmtree(idir, ignore_errors=True)
         return hit
 
-    def search_index(self, name: str, query, k: int = 10):
-        return self.indexes.search(name, query, k=k)
+    def search_index(self, name: str, query, k: int = 10,
+                     nprobe: Optional[int] = None,
+                     recall_target: Optional[float] = None):
+        """``nprobe`` overrides the build-time probe width per request
+        (ivf/cellprobe families); ``recall_target`` auto-picks the
+        smallest calibrated nprobe (cellprobe family)."""
+        return self.indexes.search(name, query, k=k, nprobe=nprobe,
+                                   recall_target=recall_target)
 
     # ----------------------------------------------------------- compression
 

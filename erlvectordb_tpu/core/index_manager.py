@@ -342,31 +342,58 @@ class IndexManager:
             store = self._registry.get(info.store)
             return info.built_version is not None and info.built_version != store.version
 
-    def search(self, name: str, query, k: int = 10):
-        """Search through a built index; returns [(id, metadata, distance)]."""
+    def search(self, name: str, query, k: int = 10,
+               nprobe: Optional[int] = None,
+               recall_target: Optional[float] = None):
+        """Search through a built index; returns [(id, metadata, distance)].
+
+        ``nprobe`` overrides the build-time probe width per request
+        (ivf/cellprobe families); ``recall_target`` instead picks the
+        smallest calibrated nprobe meeting a ceiling-relative recall@k
+        (cellprobe family only — CellProbeIndex.calibrate_nprobe)."""
+        if nprobe is not None and recall_target is not None:
+            raise ValueError("pass either nprobe or recall_target, not both")
         with self._lock:
             info = self._indexes.get(name)
         if info is None:
             raise IndexError_(f"index {name!r} not found")
         if not info.built:
             raise IndexError_(f"index {name!r} is not built")
+        probed = info.type in ("ivf", "ep_ivf", "hnsw", "cellprobe",
+                               "ep_cellprobe")
+        if (nprobe is not None or recall_target is not None) and not probed:
+            raise ValueError(
+                f"index {name!r} ({info.type}) has no probe knob — "
+                "nprobe/recall_target apply to ivf/cellprobe-family indexes")
         store: VectorStore = self._registry.get(info.store)
         if info.type == "flat" or (info.type == "int8" and info.artifact is None):
             return store.search(query, k=k)
         q = np.asarray(query, np.float32)
         if info.type in ("ivf", "ep_ivf"):
+            if recall_target is not None:
+                raise ValueError(
+                    "recall_target calibration is cellprobe-family only; "
+                    "pass an explicit nprobe for ivf/ep_ivf indexes")
             a = info.artifact
             dists, rows = a[info.type].search(
-                q, k=k, nprobe=a["nprobe"],
+                q, k=k, nprobe=a["nprobe"] if nprobe is None else int(nprobe),
                 metric=store.metric if store.metric != "manhattan" else "euclidean",
             )
             return self._rows_to_hits(store, dists[0], rows[0])
         if info.type in ("hnsw", "cellprobe", "ep_cellprobe"):
             a = info.artifact
             key = "ep_cellprobe" if info.type == "ep_cellprobe" else "cell_probe"
+            kw = {"nprobe": a["nprobe"] if nprobe is None else int(nprobe)}
+            if recall_target is not None:
+                if info.type == "ep_cellprobe":
+                    raise ValueError(
+                        "recall_target calibration is single-index only; "
+                        "pass an explicit nprobe for ep_cellprobe")
+                kw = {"recall_target": float(recall_target)}
             dists, rows = a[key].search(
-                q, k=k, nprobe=a["nprobe"],
+                q, k=k,
                 metric=store.metric if store.metric != "manhattan" else "euclidean",
+                **kw,
             )
             return self._rows_to_hits(store, dists[0], rows[0])
         if info.type == "int8":

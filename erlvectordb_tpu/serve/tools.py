@@ -323,6 +323,13 @@ TOOLS: Dict[str, dict] = {
                 "name": {"type": "string"},
                 "vector": {"type": "array", "items": {"type": "number"}},
                 "k": {"type": "integer", "default": 10},
+                "nprobe": {"type": "integer",
+                           "description": "override the build-time probe "
+                           "width (ivf/cellprobe-family indexes)"},
+                "recall_target": {"type": "number",
+                                  "description": "cellprobe-family indexes: "
+                                  "pick the smallest calibrated nprobe "
+                                  "meeting this ceiling-relative recall@k"},
             },
             ["name", "vector"],
         ),
@@ -450,8 +457,13 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
     if name == "list_indexes":
         return {"indexes": db.list_indexes()}
     if name == "search_index":
+        kw = {}
+        if args.get("nprobe") is not None:
+            kw["nprobe"] = int(args["nprobe"])
+        if args.get("recall_target") is not None:
+            kw["recall_target"] = float(args["recall_target"])
         hits = db.search_index(args["name"], args["vector"],
-                               k=int(args.get("k", 10)))
+                               k=int(args.get("k", 10)), **kw)
         return {"results": [
             {"id": vid, "metadata": meta, "distance": dist}
             for vid, meta, dist in hits

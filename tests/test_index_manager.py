@@ -105,6 +105,32 @@ class TestBuilds:
         im.build_index("q8")  # rebuild clears staleness
         assert not im.is_stale("q8")
 
+    def test_probe_knob_overrides(self, setup):
+        """Per-request nprobe / recall_target override the build-time probe
+        width on probed index families; non-probed types reject them."""
+        _, im, data = setup
+        im.create_index("cp1", "s", "cellprobe", {"nprobe": 2})
+        info = im.build_index("cp1")
+        assert info["built"], info["error"]
+        hits = im.search("cp1", data[11], k=3, nprobe=8)
+        assert hits[0][0] == "v11"
+        # recall_target lazily calibrates, then answers correctly
+        hits = im.search("cp1", data[23], k=3, recall_target=0.9)
+        assert hits[0][0] == "v23"
+        with pytest.raises(ValueError, match="not both"):
+            im.search("cp1", data[0], k=1, nprobe=4, recall_target=0.9)
+        # ivf takes nprobe but not recall_target
+        im.create_index("iv1", "s", "ivf", {"nprobe": 2})
+        assert im.build_index("iv1")["built"]
+        assert im.search("iv1", data[5], k=3, nprobe=8)[0][0] == "v5"
+        with pytest.raises(ValueError, match="cellprobe-family"):
+            im.search("iv1", data[0], k=1, recall_target=0.9)
+        # non-probed types reject both knobs
+        im.create_index("q8k", "s", "int8")
+        im.build_index("q8k")
+        with pytest.raises(ValueError, match="no probe knob"):
+            im.search("q8k", data[0], k=1, nprobe=4)
+
     def test_build_empty_store_fails(self, setup):
         registry, im, _ = setup
         registry.create("empty", dim=4)

@@ -36,7 +36,7 @@ def app(tmp_path_factory):
     application.stop()
 
 
-def _http(method, url, body=None, token=None, form=False):
+def _http(method, url, body=None, token=None, form=False, timeout=5):
     headers = {}
     data = None
     if body is not None:
@@ -50,7 +50,7 @@ def _http(method, url, body=None, token=None, form=False):
         headers["Authorization"] = f"Bearer {token}"
     req = urllib.request.Request(url, data=data, headers=headers, method=method)
     try:
-        with urllib.request.urlopen(req, timeout=5) as resp:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
             return resp.status, json.loads(resp.read() or b"{}")
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read() or b"{}")
@@ -316,15 +316,15 @@ class TestREST:
         status, body = _http(
             "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/vectors",
             {"vectors": [{"id": f"x{i}", "vector": vecs[i].tolist()}
-                         for i in range(400)]}, tok)
+                         for i in range(400)]}, tok, timeout=120)
         assert body["inserted"] == 400
         status, body = _http(
             "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/search",
-            {"vector": vecs[42].tolist(), "k": 3, "nprobe": 4}, tok)
+            {"vector": vecs[42].tolist(), "k": 3, "nprobe": 4}, tok, timeout=120)
         assert status == 200 and body["results"][0]["id"] == "x42"
         status, body = _http(
             "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/search",
-            {"vector": vecs[7].tolist(), "k": 3, "recall_target": 0.9}, tok)
+            {"vector": vecs[7].tolist(), "k": 3, "recall_target": 0.9}, tok, timeout=120)
         assert status == 200 and body["results"][0]["id"] == "x7"
         # either knob on a non-int4r store -> 400, not a crash
         status, _ = _http("POST", f"http://127.0.0.1:{port}/api/v1/stores",
