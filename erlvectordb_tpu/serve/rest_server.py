@@ -10,6 +10,8 @@ Capability parity with the reference's rest_api_server
   GET  /api/v1/stores/:name/stats                            (:339-340,544-556)
   POST /api/v1/stores/:name/vectors   insert                 (:317-328,419-439)
   POST /api/v1/stores/:name/search    top-k search           (:441-467)
+       (optional nprobe / recall_target: direct sub-linear dispatch)
+  POST /api/v1/stores/:name/calibrate recall-vs-nprobe curve (ours)
   DELETE /api/v1/stores/:name/vectors/:id   delete vector
   GET  /api/v1/ports/status, /api/v1/ports/service/:name     (:299-314,469-497)
   GET  /api/v1/cluster/status                                (:362-380)
@@ -250,6 +252,18 @@ class RestServer:
                             {"id": vid, "metadata": meta, "distance": dist}
                             for vid, meta, dist in hits
                         ]})
+                    if (len(parts) == 5 and parts[:3] == ["api", "v1", "stores"]
+                            and parts[4] == "calibrate"):
+                        if self._require("write") is None:
+                            return
+                        curve = outer.db.calibrate_store(
+                            parts[3],
+                            n_sample=int(body.get("n_sample", 256)),
+                            k=int(body.get("k", 10)))
+                        return self._reply(200, {
+                            "store": parts[3],
+                            "curve": {str(p): r
+                                      for p, r in sorted(curve.items())}})
                     if parts == ["api", "v1", "cluster", "join"]:
                         if self._require("admin") is None:
                             return

@@ -259,6 +259,20 @@ TOOLS: Dict[str, dict] = {
             ["store"],
         ),
         _schema(
+            "calibrate_store",
+            "Measure an int4r store's recall-vs-nprobe curve so "
+            "recall_target searches answer without a lazy first-use "
+            "calibration; returns the {nprobe: recall} curve (persisted "
+            "with snapshots)",
+            "write",
+            {
+                "store": {"type": "string"},
+                "n_sample": {"type": "integer", "default": 256},
+                "k": {"type": "integer", "default": 10},
+            },
+            ["store"],
+        ),
+        _schema(
             "backup_store",
             "Write a point-in-time backup",
             "admin",
@@ -438,6 +452,12 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         return {"stores": db.list_stores()}
     if name == "sync_store":
         return {"synced": db.sync(args["store"])}
+    if name == "calibrate_store":
+        curve = db.calibrate_store(
+            args["store"], n_sample=int(args.get("n_sample", 256)),
+            k=int(args.get("k", 10)))
+        return {"store": args["store"],
+                "curve": {str(p): r for p, r in sorted(curve.items())}}
     if name == "backup_store":
         path = db.backup_store(args["store"], args["backup_name"])
         return {"status": "ok", "backup_file": path.rsplit("/", 1)[-1]}

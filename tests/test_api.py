@@ -138,6 +138,10 @@ class TestDistributedVerbs:
                 + 0.2 * rng.standard_normal((400, 16))).astype(np.float32)
         db.any_store("rt4r").insert_batch(
             [f"v{i}" for i in range(400)], data)
+        # explicit calibration tool returns the curve (deep probe == 1.0)
+        out = call_tool(db, "calibrate_store",
+                        {"store": "rt4r", "n_sample": 64, "k": 5})
+        assert max(out["curve"].values()) == 1.0
         out = call_tool(db, "search_vectors_batch", {
             "store": "rt4r", "vectors": data[:4].tolist(), "k": 2,
             "recall_target": 0.9, "compact": True})

@@ -322,6 +322,14 @@ class TestREST:
             "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/search",
             {"vector": vecs[42].tolist(), "k": 3, "nprobe": 4}, tok, timeout=120)
         assert status == 200 and body["results"][0]["id"] == "x42"
+        # explicit calibration endpoint (otherwise lazily run on the first
+        # recall_target search): returns the {nprobe: recall} curve
+        status, body = _http(
+            "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/calibrate",
+            {"n_sample": 64, "k": 5}, tok, timeout=120)
+        assert status == 200
+        assert all(0.0 <= v <= 1.0 for v in body["curve"].values())
+        assert max(body["curve"].values()) == 1.0  # deep probe == ceiling
         status, body = _http(
             "POST", f"http://127.0.0.1:{port}/api/v1/stores/rest4r/search",
             {"vector": vecs[7].tolist(), "k": 3, "recall_target": 0.9}, tok, timeout=120)
