@@ -360,6 +360,12 @@ class CellProbeIndex:
             out["super_cents"] = np.asarray(
                 self.super_route.astype(jnp.float32))
             out["child_cap"] = np.asarray(self.child_cap)
+        curve = getattr(self, "_nprobe_curve", None)
+        if curve:
+            ps = sorted(curve)
+            out["curve_nprobe"] = np.asarray(ps, np.int64)
+            out["curve_recall"] = np.asarray([curve[p] for p in ps],
+                                             np.float64)
         return out
 
     @classmethod
@@ -370,4 +376,9 @@ class CellProbeIndex:
                   super_cents=d.get("super_cents"),
                   child_cap=int(d["child_cap"]) if "child_cap" in d else 0)
         idx.spilled = bool(int(d.get("spilled", 0)))
+        if "curve_nprobe" in d:
+            idx._nprobe_curve = {
+                int(p): float(r)
+                for p, r in zip(np.asarray(d["curve_nprobe"]),
+                                np.asarray(d["curve_recall"]))}
         return idx

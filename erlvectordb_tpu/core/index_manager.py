@@ -385,10 +385,6 @@ class IndexManager:
             key = "ep_cellprobe" if info.type == "ep_cellprobe" else "cell_probe"
             kw = {"nprobe": a["nprobe"] if nprobe is None else int(nprobe)}
             if recall_target is not None:
-                if info.type == "ep_cellprobe":
-                    raise ValueError(
-                        "recall_target calibration is single-index only; "
-                        "pass an explicit nprobe for ep_cellprobe")
                 kw = {"recall_target": float(recall_target)}
             dists, rows = a[key].search(
                 q, k=k,

@@ -216,14 +216,75 @@ class EPCellProbeIndex:
             norms = np.concatenate([norms, np.zeros(pad * cap, np.float32)])
             row_map = np.concatenate(
                 [row_map, np.full(pad * cap, -1, np.int64)])
-        return cls(mesh, cents, codes, scales, norms, row_map >= 0, row_map,
-                   cap)
+        idx = cls(mesh, cents, codes, scales, norms, row_map >= 0, row_map,
+                  cap)
+        # a single-chip curve is a CONSERVATIVE transfer: EP drops no
+        # (query, cell) pair, so EP recall >= single-chip at equal nprobe
+        if getattr(cp, "_nprobe_curve", None):
+            idx._nprobe_curve = dict(cp._nprobe_curve)
+        return idx
 
     # ----------------------------------------------------------------- search
 
+    def calibrate_nprobe(self, queries=None, n_sample: int = 256,
+                         k: int = 10, metric: str = "cosine") -> dict:
+        """Measure the recall@k-vs-nprobe curve against this index's own
+        deep probe (nprobe = min(n_cells, 512)) so ``search(recall_target=
+        ...)`` can pick the smallest qualifying GLOBAL nprobe — same
+        semantics as CellProbeIndex.calibrate_nprobe (EP drops no (query,
+        cell) pair, so the curve transfers shard-count-free).  ``queries``
+        defaults to sampled live rows decoded via a small on-device gather
+        of only the sampled cells; at pod scale that gather crosses ICI
+        once per calibration — pass held-out traffic to avoid it (and for
+        SLA-grade targeting)."""
+        if queries is None:
+            valid = np.asarray(jax.device_get(self.valid)).reshape(-1)
+            live = np.flatnonzero(valid)
+            rng = np.random.default_rng(len(live))
+            sel = rng.choice(live, size=min(n_sample, len(live)),
+                             replace=False)
+            cells = sel // self.cell_cap
+            slots = sel % self.cell_cap
+            codes = np.asarray(jax.device_get(
+                self.codes[cells, slots]), np.float32)      # [S, W]
+            scales = np.asarray(jax.device_get(self.scales[cells, slots]))
+            cents = np.asarray(jax.device_get(self.centroids))[cells]
+            queries = cents + codes * scales[:, None]
+        queries = np.asarray(queries, np.float32)
+        deep = min(self.n_cells, 512)
+        _, ref = self.search(queries, k=k, nprobe=deep, metric=metric)
+        curve = {}
+        for nprobe in [p for p in (4, 8, 16, 32, 64, 128, 256, 512)
+                       if p < deep]:
+            _, got = self.search(queries, k=k, nprobe=nprobe, metric=metric)
+            hit = sum(len(set(got[i].tolist()) & set(ref[i].tolist()))
+                      for i in range(len(queries)))
+            curve[nprobe] = round(hit / (len(queries) * k), 4)
+        curve[deep] = 1.0
+        self._nprobe_curve = curve
+        return dict(curve)
+
+    def nprobe_for(self, recall_target: float, k: int = 10,
+                   metric: str = "cosine") -> int:
+        """Smallest calibrated global nprobe meeting the ceiling-relative
+        recall@k target (lazily calibrates on first use)."""
+        if not (0.0 < recall_target <= 1.0):
+            raise ValueError("recall_target must be in (0, 1]")
+        if getattr(self, "_nprobe_curve", None) is None:
+            self.calibrate_nprobe(k=k, metric=metric)
+        for nprobe in sorted(self._nprobe_curve):
+            if self._nprobe_curve[nprobe] >= recall_target:
+                return nprobe
+        return max(self._nprobe_curve)
+
     def search(self, queries, k: int = 10, nprobe: int = 32,
-               metric: str = "cosine") -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (distances [B, k], store rows [B, k]; -1 = no hit)."""
+               metric: str = "cosine",
+               recall_target: float = None) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (distances [B, k], store rows [B, k]; -1 = no hit).
+        ``recall_target`` overrides ``nprobe`` with the smallest
+        calibrated value meeting the target (see calibrate_nprobe)."""
+        if recall_target is not None:
+            nprobe = self.nprobe_for(recall_target, k=k, metric=metric)
         q = np.asarray(queries, np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -244,7 +305,7 @@ class EPCellProbeIndex:
     # ------------------------------------------------------------------ misc
 
     def to_arrays(self) -> dict:
-        return {
+        out = {
             "centroids": np.asarray(self.centroids),
             "codes": np.asarray(self.codes).reshape(
                 self.n_cells * self.cell_cap, -1),
@@ -253,6 +314,13 @@ class EPCellProbeIndex:
             "row_map": self.row_map,
             "cell_cap": np.asarray(self.cell_cap),
         }
+        curve = getattr(self, "_nprobe_curve", None)
+        if curve:
+            ps = sorted(curve)
+            out["curve_nprobe"] = np.asarray(ps, np.int64)
+            out["curve_recall"] = np.asarray([curve[p] for p in ps],
+                                             np.float64)
+        return out
 
     @classmethod
     def from_arrays(cls, d: dict,

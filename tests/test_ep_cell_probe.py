@@ -106,6 +106,25 @@ class TestEPCellProbe:
         d2, r2 = ep2.search(queries[:8], k=5, nprobe=8, metric="cosine")
         np.testing.assert_array_equal(r1, r2)
 
+    def test_recall_target_calibration(self, setup):
+        data, cp, ep, queries = setup
+        curve = ep.calibrate_nprobe(n_sample=48, k=5)
+        assert max(curve.values()) == 1.0  # deep probe == ceiling
+        assert all(0.0 <= v <= 1.0 for v in curve.values())
+        # curve is monotone-ish: the deep entry dominates the smallest
+        assert curve[max(curve)] >= curve[min(curve)]
+        d, r = ep.search(queries[:8], k=5, recall_target=0.8,
+                         metric="cosine")
+        assert r.shape == (8, 5)
+        assert (r[np.arange(8), 0] == np.arange(8)).all()  # self top-1
+        with pytest.raises(ValueError):
+            ep.nprobe_for(1.5)
+        # the curve persists through to_arrays/from_arrays
+        arrays = {k: np.asarray(v) for k, v in ep.to_arrays().items()}
+        assert "curve_nprobe" in arrays
+        ep2 = EPCellProbeIndex.from_arrays(arrays, ep.mesh)
+        assert ep2._nprobe_curve == ep._nprobe_curve
+
 
 class TestIndexManagerEPCellProbe:
     def test_build_search_save_load(self, tmp_path):
