@@ -43,10 +43,11 @@ class Database:
                     else None
                 ),
             )
-            # staleness-driven cell refit, polled by the maintenance tick
-            # (the reference's index manager never refits anything —
-            # src/vector_index_manager.erl:58-66)
-            self.persistence.maintenance_cb = self._refit_stale_stores
+            # maintenance tick: staleness-driven cell refit (the
+            # reference's index manager never refits anything —
+            # src/vector_index_manager.erl:58-66) + persistence of
+            # lazily-computed calibration curves
+            self.persistence.maintenance_cb = self._maintenance_tick
         self.oauth = OAuthServer(
             enabled=self.config.oauth_enabled,
             access_lifetime=self.config.access_token_lifetime,
@@ -209,12 +210,19 @@ class Database:
         return st.search_batch(queries, k=k, metric=metric, **kw)
 
     def calibrate_store(self, store: str, queries=None, n_sample: int = 256,
-                        k: int = 10) -> dict:
+                        k: int = 10, metric: Optional[str] = None,
+                        ground_truth=None) -> dict:
         """Measure a local int4r store's recall-vs-nprobe curve (see
-        VectorStore.calibrate_nprobe); returns {nprobe: recall}."""
+        VectorStore.calibrate_nprobe); returns {nprobe: recall}.  Pass
+        ``queries`` + ``ground_truth`` (exact rows over the ORIGINAL f32
+        data, core/calibration.exact_ground_truth) for an exact-mode
+        curve whose recall_target guarantee is absolute; without it the
+        curve is ceiling-relative (the store holds only int4 residuals,
+        so it cannot self-measure its own quantization loss)."""
         st = self.any_store(store)
         self._check_nprobe(st)
-        return st.calibrate_nprobe(queries=queries, n_sample=n_sample, k=k)
+        return st.calibrate_nprobe(queries=queries, n_sample=n_sample, k=k,
+                                   metric=metric, ground_truth=ground_truth)
 
     @staticmethod
     def _check_nprobe(st) -> None:
@@ -388,6 +396,27 @@ class Database:
                 return sharded
         raise StoreNotFound(f"store {name!r} not found")
 
+    def _maintenance_tick(self) -> None:
+        """Runs on the persistence thread every sync interval."""
+        self._refit_stale_stores()
+        self._persist_dirty_calibrations()
+
+    def _persist_dirty_calibrations(self) -> int:
+        """Re-save index artifacts whose recall_target curves were lazily
+        computed since the last write, so a restart keeps them (ADVICE
+        r4: a lazily computed curve re-ran after every restart)."""
+        if self.persistence is None:
+            return 0
+        n = 0
+        for name in self.indexes.dirty_calibrations():
+            try:
+                self.indexes.save_index(
+                    name, Path(self.config.persistence_dir) / "indexes")
+                n += 1
+            except Exception:  # noqa: BLE001 — keep the tick alive
+                LOG.exception("persisting calibration for index %r", name)
+        return n
+
     def _refit_stale_stores(self) -> int:
         """Maintenance tick: refit int4r stores whose cell-layout churn
         crossed ``refit_threshold`` (VectorStore.is_stale).  Runs on the
@@ -442,9 +471,27 @@ class Database:
                      recall_target: Optional[float] = None):
         """``nprobe`` overrides the build-time probe width per request
         (ivf/cellprobe families); ``recall_target`` auto-picks the
-        smallest calibrated nprobe (cellprobe family)."""
+        smallest calibrated nprobe (cellprobe family; absolute after
+        calibrate_index(mode='exact'), deep-probe-relative otherwise)."""
         return self.indexes.search(name, query, k=k, nprobe=nprobe,
                                    recall_target=recall_target)
+
+    def calibrate_index(self, name: str, queries=None, n_sample: int = 256,
+                        k: int = 10, mode: str = "exact",
+                        metric: Optional[str] = None) -> dict:
+        """Calibrate a cellprobe-family index's recall_target curve and
+        persist it with the artifact.  ``mode="exact"`` (default)
+        measures ABSOLUTE recall@k against exact f32 ground truth from
+        the backing store (one brute device scan) and enforces the
+        quantization ceiling; ``mode="ceiling"`` is the cheap
+        self-relative curve (IndexManager.calibrate_index)."""
+        out = self.indexes.calibrate_index(
+            name, queries=queries, n_sample=n_sample, k=k, mode=mode,
+            metric=metric)
+        if self.persistence is not None:
+            self.indexes.save_index(
+                name, Path(self.config.persistence_dir) / "indexes")
+        return out
 
     # ----------------------------------------------------------- compression
 

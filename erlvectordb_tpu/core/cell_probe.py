@@ -25,6 +25,10 @@ import numpy as np
 
 import jax
 
+from erlvectordb_tpu.core.calibration import (
+    CalibrationSet,
+    measure_curve,
+)
 from erlvectordb_tpu.core.ivf import _balanced_assign
 from erlvectordb_tpu.ops.cell_probe import multiprobe_topk
 from erlvectordb_tpu.ops.kmeans import kmeans_fit
@@ -78,6 +82,9 @@ class CellProbeIndex:
         # multi-assigned (SOAR-spill) layouts carry duplicate rows: search
         # over-fetches and dedups per query (ops/cell_probe.dedup_rows_topk)
         self.spilled = False
+        # recall_target calibration curves, keyed (k, metric); lazy
+        # first-use calibration is serialized by the set's lock
+        self._calib = CalibrationSet()
 
     @property
     def row_map(self) -> np.ndarray:
@@ -231,50 +238,74 @@ class CellProbeIndex:
 
     # ----------------------------------------------------------------- search
 
+    def _member_queries(self, n_sample: int) -> np.ndarray:
+        """Decode up to n_sample live rows for self-calibration."""
+        valid = np.asarray(self.valid)
+        rows = np.flatnonzero(valid)
+        if len(rows) == 0:
+            raise ValueError("cannot calibrate an empty index")
+        rng = np.random.default_rng(len(rows))
+        rows = rng.choice(rows, size=min(n_sample, len(rows)),
+                          replace=False)
+        res = (np.asarray(self.codes[rows]).astype(np.float32)
+               * np.asarray(self.scales[rows])[:, None])
+        return res + np.asarray(self.centroids[rows // self.cell_cap])
+
     def calibrate_nprobe(self, queries=None, n_sample: int = 256,
-                         k: int = 10, metric: str = "cosine") -> dict:
-        """Measure the recall@k-vs-nprobe curve against the index's own
-        DEEP probe (nprobe = min(n_cells, 512), the residual-code
-        ceiling), so ``search(recall_target=...)`` can pick the smallest
-        qualifying nprobe.  Same semantics as
-        VectorStore.calibrate_nprobe; ``queries`` defaults to sampled
-        live rows decoded on host (member queries slightly flatter the
-        curve — pass held-out traffic for SLA-grade targeting)."""
+                         k: int = 10, metric: str = "cosine",
+                         ground_truth=None) -> dict:
+        """Measure the recall@k-vs-nprobe curve so
+        ``search(recall_target=...)`` can pick the smallest qualifying
+        nprobe.  Two modes (core/calibration.py):
+
+        * pass ``ground_truth`` ([S, >=k] exact store rows for
+          ``queries``, e.g. from calibration.exact_ground_truth over the
+          original f32 corpus — IndexManager.calibrate_index does this
+          automatically for f32 stores) -> EXACT mode: curve values are
+          absolute recall@k and the deep probe's value is the
+          quantization CEILING, which recall_target refuses to exceed;
+        * otherwise -> CEILING mode against the index's own deep probe
+          (nprobe = min(n_cells, 512)): recall at deep == 1.0 by
+          construction, quantization loss invisible.
+
+        ``queries`` defaults to sampled live rows decoded on host
+        (member queries slightly flatter the curve — pass held-out
+        traffic for SLA-grade targeting).  Curves are keyed by
+        (k, metric) and persist with the artifact."""
         if queries is None:
-            valid = np.asarray(self.valid)
-            rows = np.flatnonzero(valid)
-            rng = np.random.default_rng(len(rows))
-            rows = rng.choice(rows, size=min(n_sample, len(rows)),
-                              replace=False)
-            res = (np.asarray(self.codes[rows]).astype(np.float32)
-                   * np.asarray(self.scales[rows])[:, None])
-            queries = res + np.asarray(self.centroids[rows // self.cell_cap])
+            if ground_truth is not None:
+                raise ValueError("ground_truth requires explicit queries")
+            queries = self._member_queries(n_sample)
         queries = np.asarray(queries, np.float32)
         deep = min(self.n_cells, 512)
-        _, ref = self.search(queries, k=k, nprobe=deep, metric=metric)
-        curve = {}
-        for nprobe in [p for p in (4, 8, 16, 32, 64, 128, 256, 512)
-                       if p < deep]:
-            _, got = self.search(queries, k=k, nprobe=nprobe, metric=metric)
-            hit = sum(len(set(got[i].tolist()) & set(ref[i].tolist()))
-                      for i in range(len(queries)))
-            curve[nprobe] = round(hit / (len(queries) * k), 4)
-        curve[deep] = 1.0
-        self._nprobe_curve = curve
-        return dict(curve)
+
+        def search_rows(qs, kk, nprobe):
+            _, got = self.search(qs, k=kk, nprobe=nprobe, metric=metric)
+            return got
+
+        curve = measure_curve(search_rows, queries, k=k, metric=metric,
+                              deep=deep, ground_truth=ground_truth)
+        self._calib.put(curve)
+        return dict(curve.curve)
 
     def nprobe_for(self, recall_target: float, k: int = 10,
                    metric: str = "cosine") -> int:
-        """Smallest calibrated nprobe meeting the ceiling-relative
-        recall@k target (lazily calibrates on first use)."""
+        """Smallest calibrated nprobe meeting the recall@k target under
+        the curve's mode (absolute for exact-mode curves, which raise
+        RecallUnachievable above the ceiling; deep-probe-relative for
+        ceiling-mode).  Lazily self-calibrates (ceiling mode) on first
+        use per (k, metric)."""
         if not (0.0 < recall_target <= 1.0):
             raise ValueError("recall_target must be in (0, 1]")
-        if getattr(self, "_nprobe_curve", None) is None:
+
+        def compute():
             self.calibrate_nprobe(k=k, metric=metric)
-        for nprobe in sorted(self._nprobe_curve):
-            if self._nprobe_curve[nprobe] >= recall_target:
-                return nprobe
-        return max(self._nprobe_curve)
+            return self._calib.get(k, metric)
+
+        cur = self._calib.get(k, metric)
+        if cur is None:
+            cur = self._calib.get_or_compute(k, metric, compute)
+        return cur.nprobe_for(recall_target)
 
     def search(self, queries, k: int = 10, nprobe: int = 32,
                metric: str = "cosine",
@@ -332,6 +363,7 @@ class CellProbeIndex:
         fill = (self.row_map >= 0).reshape(self.n_cells, self.cell_cap).sum(1)
         return {
             "kind": "cell_probe",
+            "calibration": self._calib.summaries(),
             "hierarchical": self.super_route is not None,
             "supercells": (int(self.super_route.shape[0])
                            if self.super_route is not None else 0),
@@ -360,25 +392,29 @@ class CellProbeIndex:
             out["super_cents"] = np.asarray(
                 self.super_route.astype(jnp.float32))
             out["child_cap"] = np.asarray(self.child_cap)
-        curve = getattr(self, "_nprobe_curve", None)
-        if curve:
-            ps = sorted(curve)
-            out["curve_nprobe"] = np.asarray(ps, np.int64)
-            out["curve_recall"] = np.asarray([curve[p] for p in ps],
-                                             np.float64)
+        if self._calib:
+            out["calibrations"] = np.asarray(self._calib.to_json())
+            self._calib.mark_clean()
         return out
 
     @classmethod
     def from_arrays(cls, d: dict) -> "CellProbeIndex":
+        from erlvectordb_tpu.core.calibration import CalibrationSet
+
         row_map = np.asarray(d["row_map"])
         idx = cls(d["centroids"], d["codes"], d["scales"], d["norms"],
                   row_map >= 0, row_map, int(d["cell_cap"]),
                   super_cents=d.get("super_cents"),
                   child_cap=int(d["child_cap"]) if "child_cap" in d else 0)
         idx.spilled = bool(int(d.get("spilled", 0)))
-        if "curve_nprobe" in d:
-            idx._nprobe_curve = {
+        if "calibrations" in d:
+            idx._calib = CalibrationSet.from_json(
+                np.asarray(d["calibrations"]).item())
+            idx._calib.mark_clean()
+        elif "curve_nprobe" in d:  # pre-round-5 single un-keyed curve
+            idx._calib = CalibrationSet.from_legacy({
                 int(p): float(r)
                 for p, r in zip(np.asarray(d["curve_nprobe"]),
-                                np.asarray(d["curve_recall"]))}
+                                np.asarray(d["curve_recall"]))})
+            idx._calib.mark_clean()
         return idx

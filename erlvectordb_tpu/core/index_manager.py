@@ -68,7 +68,7 @@ class IndexInfo:
     artifact: Any = None  # the built object (codebook+codes for pq, ...)
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "name": self.name,
             "store": self.store,
             "type": self.type,
@@ -80,6 +80,21 @@ class IndexInfo:
             "error": self.error,
             "stats": self.stats,
         }
+        idx = self.probe_artifact()
+        calib = getattr(idx, "_calib", None)
+        if calib:
+            # which guarantee recall_target gives on this index: exact
+            # (absolute recall, ceiling enforced) vs ceiling (relative
+            # to the index's own deep probe)
+            d["calibration"] = calib.summaries()
+        return d
+
+    def probe_artifact(self):
+        """The cellprobe-family index object, if this is one."""
+        if isinstance(self.artifact, dict):
+            return (self.artifact.get("cell_probe")
+                    or self.artifact.get("ep_cellprobe"))
+        return None
 
 
 class IndexManager:
@@ -332,6 +347,74 @@ class IndexManager:
                     "nprobe": int(params.get("nprobe", 32))}
         return artifact, idx.stats()
 
+    # ---------------------------------------------------------- calibration
+
+    CALIBRATABLE = ("hnsw", "cellprobe", "ep_cellprobe")
+
+    def calibrate_index(self, name: str, queries=None, n_sample: int = 256,
+                        k: int = 10, mode: str = "exact",
+                        metric: Optional[str] = None) -> dict:
+        """Calibrate a cellprobe-family index's recall_target curve.
+
+        ``mode="exact"`` (default): sample (or take) queries, compute
+        EXACT ground truth with one brute f32 device scan over the
+        backing store's rows (core/calibration.exact_ground_truth), and
+        record an absolute recall@k curve whose deep-probe value is the
+        index's quantization ceiling — recall_target searches then
+        guarantee measured absolute recall and REFUSE targets above the
+        ceiling.  ``mode="ceiling"``: the index's cheap self-relative
+        curve (deep probe == 1.0 by construction; quantization loss
+        invisible).  ``queries`` default to sampled store rows — pass
+        held-out traffic for SLA-grade targeting.  The curve persists
+        with the index artifact (Database.calibrate_index re-saves it).
+        Returns {"curve", "mode", "ceiling", "k", "metric", ...}."""
+        with self._lock:
+            info = self._indexes.get(name)
+        if info is None:
+            raise IndexError_(f"index {name!r} not found")
+        if info.type not in self.CALIBRATABLE:
+            raise IndexError_(
+                f"index {name!r} ({info.type}) has no recall_target "
+                "calibration — cellprobe-family only")
+        if not info.built:
+            raise IndexError_(f"index {name!r} is not built")
+        idx = info.probe_artifact()
+        store = self._registry.get(info.store)
+        metric = metric or (store.metric if store.metric != "manhattan"
+                            else "euclidean")
+        gt = None
+        if mode == "exact":
+            from erlvectordb_tpu.core.calibration import exact_ground_truth
+
+            mat, rows, _norms = self._store_matrix(store, pad128=True)
+            if queries is None:
+                rng = np.random.default_rng(n_sample)
+                sel = rng.choice(mat.shape[0],
+                                 size=min(n_sample, mat.shape[0]),
+                                 replace=False)
+                queries = mat[sel]
+            gt = exact_ground_truth(mat, np.asarray(queries, np.float32),
+                                    k=k, metric=metric, rows=rows)
+        elif mode != "ceiling":
+            raise ValueError("mode must be 'exact' or 'ceiling'")
+        curve = idx.calibrate_nprobe(queries=queries, n_sample=n_sample,
+                                     k=k, metric=metric, ground_truth=gt)
+        out = idx._calib.get(k, metric).summary()
+        out["curve"] = {str(p): r for p, r in sorted(curve.items())}
+        return out
+
+    def dirty_calibrations(self) -> List[str]:
+        """Built cellprobe-family indexes whose calibration curves were
+        (lazily) computed since their artifact was last persisted."""
+        with self._lock:
+            out = []
+            for info in self._indexes.values():
+                idx = info.probe_artifact()
+                calib = getattr(idx, "_calib", None)
+                if info.built and calib is not None and calib.dirty:
+                    out.append(info.name)
+            return out
+
     # --------------------------------------------------------------- search
 
     def is_stale(self, name: str) -> bool:
@@ -349,10 +432,17 @@ class IndexManager:
 
         ``nprobe`` overrides the build-time probe width per request
         (ivf/cellprobe families); ``recall_target`` instead picks the
-        smallest calibrated nprobe meeting a ceiling-relative recall@k
-        (cellprobe family only — CellProbeIndex.calibrate_nprobe)."""
+        smallest calibrated nprobe meeting a recall@k target (cellprobe
+        family only).  The guarantee depends on the curve's mode: after
+        ``calibrate_index(mode="exact")`` targets are ABSOLUTE recall
+        vs exact f32 ground truth (targets above the quantization
+        ceiling raise); an uncalibrated index lazily self-calibrates in
+        ceiling mode, where the target is relative to the index's own
+        deep probe (see calibrate_index)."""
         if nprobe is not None and recall_target is not None:
             raise ValueError("pass either nprobe or recall_target, not both")
+        if nprobe is not None and int(nprobe) < 1:
+            raise ValueError("nprobe must be >= 1")
         with self._lock:
             info = self._indexes.get(name)
         if info is None:

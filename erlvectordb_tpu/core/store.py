@@ -37,6 +37,7 @@ import numpy as np
 from jax import lax
 
 from erlvectordb_tpu.core import search as search_mod
+from erlvectordb_tpu.core.calibration import CalibrationSet, measure_curve
 from erlvectordb_tpu.utils.locks import RWLock
 from erlvectordb_tpu.utils.metrics import metrics
 from erlvectordb_tpu.core.search import VALID_METRICS
@@ -425,7 +426,9 @@ class VectorStore:
         self._rq_books: Optional[jax.Array] = None  # [M2, 256, ds] f32
         self._rq_rot: Optional[jax.Array] = None    # [dp2, dp2] f32
         self.rq_pool = 64  # stage-2 rescore pool floor (max(4k_bucket, this))
-        self._nprobe_curve: Optional[Dict[int, float]] = None  # calibration
+        # recall_target calibration curves, keyed (k, metric); lazy
+        # first-use calibration serialized by the set's lock
+        self._calib = CalibrationSet()
         self._cell_cap = 0
         self._cell_next: Optional[np.ndarray] = None   # per-cell slot HWM
         self._cell_avail: Optional[np.ndarray] = None  # free slots per cell
@@ -1017,26 +1020,41 @@ class VectorStore:
     _NPROBE_GRID = (4, 8, 16, 32, 64, 128, 256, 512)
 
     def calibrate_nprobe(self, queries=None, n_sample: int = 256,
-                         k: int = 10) -> dict:
+                         k: int = 10, metric: Optional[str] = None,
+                         ground_truth=None) -> dict:
         """Measure the multiprobe recall@k curve so searches can take a
         ``recall_target=`` instead of a raw ``nprobe=`` (int4r stores).
 
-        Reference ranking is the store's own DEEP probe
-        (nprobe = min(n_cells, 512)) — the quantization ceiling of the
-        int4 residual codes, which no nprobe can beat; the curve is
-        therefore ceiling-relative (recall at deep == 1.0 by
-        construction).  ``queries`` defaults to ``n_sample`` live rows
-        decoded on device — member queries slightly flatter the curve vs
-        genuine out-of-sample traffic, so pass a held-out sample for
-        SLA-grade targeting.  Cost: one deep dispatch + one per grid point
-        (~100 ms device total at 8M x 768).  The curve persists with
-        snapshots and is consulted lazily on the first
-        ``recall_target=`` search."""
+        Two modes (core/calibration.py):
+
+        * pass ``ground_truth`` ([S, >=k] exact store rows for
+          ``queries``, computed on the ORIGINAL f32 data with
+          calibration.exact_ground_truth — the store itself holds only
+          int4 residuals, so the truth must come from outside) -> EXACT
+          mode: curve values are absolute recall@k, the deep probe's
+          value is the quantization CEILING, and recall_target refuses
+          targets above it (RecallUnachievable);
+        * otherwise -> CEILING mode against the store's own deep probe
+          (nprobe = min(n_cells, 512)): recall at deep == 1.0 by
+          construction; the int4 quantization loss is INVISIBLE to this
+          curve (e.g. a layout whose true ceiling is 0.90 "meets" a 0.95
+          ceiling-relative target at ~0.86 absolute).
+
+        ``queries`` defaults to ``n_sample`` live rows decoded on device
+        — member queries slightly flatter the curve vs genuine
+        out-of-sample traffic, so pass a held-out sample for SLA-grade
+        targeting.  Cost: one deep dispatch + one per grid point
+        (~100 ms device total at 8M x 768).  Curves are keyed by
+        (k, metric), persist with snapshots, and are consulted lazily on
+        the first ``recall_target=`` search."""
         if self.dtype != "int4r":
             raise ValueError("calibrate_nprobe requires an int4r store")
         if self.count == 0:
             raise ValueError("empty store")
+        metric = metric or self.metric
         if queries is None:
+            if ground_truth is not None:
+                raise ValueError("ground_truth requires explicit queries")
             with self._lock.read():
                 valid = np.asarray(self._valid)
                 rows = np.flatnonzero(valid)
@@ -1051,31 +1069,69 @@ class VectorStore:
                 queries = (cents + res)[:, : self._dim]
         queries = np.asarray(queries, np.float32)
         deep = min(int(self._centroids.shape[0]), 512)
-        t = self.search_batch_submit(queries, k=k, nprobe=deep)
-        _, ref_rows, _ = self.search_batch_complete_raw(t)
-        curve = {}
-        for nprobe in [p for p in self._NPROBE_GRID if p < deep]:
-            t = self.search_batch_submit(queries, k=k, nprobe=nprobe)
-            _, rows_p, _ = self.search_batch_complete_raw(t)
-            hit = sum(
-                len(set(rows_p[i].tolist()) & set(ref_rows[i].tolist()))
-                for i in range(len(queries)))
-            curve[nprobe] = round(hit / (len(queries) * k), 4)
-        curve[deep] = 1.0
-        self._nprobe_curve = curve
-        return dict(curve)
 
-    def _nprobe_for_target(self, target: float, k: int) -> int:
-        """Smallest calibrated nprobe meeting ``target`` (ceiling-relative
-        recall@k); lazily calibrates on first use."""
+        if ground_truth is None:
+            # ceiling mode compares the layout against itself: internal
+            # cell-slot rows are a consistent space on both sides
+            def search_rows(qs, kk, nprobe):
+                t = self.search_batch_submit(qs, k=kk, metric=metric,
+                                             nprobe=nprobe)
+                _, rows_p, _ = self.search_batch_complete_raw(t)
+                return rows_p
+        else:
+            # exact mode compares against ORIGINAL-ROW positions (from
+            # calibration.exact_ground_truth over the original f32 data),
+            # which equal the implicit ids of bulk-built stores
+            # ("0".."n-1"); internal rows are cell-permuted, so map
+            # results through their ids
+            def search_rows(qs, kk, nprobe):
+                t = self.search_batch_submit(qs, k=kk, metric=metric,
+                                             nprobe=nprobe)
+                dists_p, _rows_p, ids_p = self.search_batch_complete_raw(t)
+                if ids_p is None:
+                    return np.full((len(qs), kk), -1, np.int64)
+                out = np.full(ids_p.shape, -1, np.int64)
+                for i, row in enumerate(ids_p.tolist()):
+                    for j, vid in enumerate(row):
+                        if vid is None or not np.isfinite(dists_p[i, j]):
+                            continue
+                        try:
+                            out[i, j] = int(vid)
+                        except ValueError as e:
+                            raise ValueError(
+                                "exact-mode calibration compares ground-"
+                                "truth positions against implicit integer "
+                                "ids; this store has custom string ids — "
+                                "map your ground truth to ids and "
+                                "calibrate through the index surface "
+                                "instead") from e
+                return out
+
+        curve = measure_curve(search_rows, queries, k=k, metric=metric,
+                              deep=deep, grid=self._NPROBE_GRID,
+                              ground_truth=ground_truth)
+        self._calib.put(curve)
+        return dict(curve.curve)
+
+    def _nprobe_for_target(self, target: float, k: int,
+                           metric: Optional[str] = None) -> int:
+        """Smallest calibrated nprobe meeting ``target`` under the
+        curve's mode (absolute recall@k for exact-mode curves, which
+        raise RecallUnachievable above the quantization ceiling;
+        deep-probe-relative for ceiling-mode).  Lazily self-calibrates
+        (ceiling mode) per (k, metric) on first use."""
         if not (0.0 < target <= 1.0):
             raise ValueError("recall_target must be in (0, 1]")
-        if getattr(self, "_nprobe_curve", None) is None:
-            self.calibrate_nprobe(k=k)
-        for nprobe in sorted(self._nprobe_curve):
-            if self._nprobe_curve[nprobe] >= target:
-                return nprobe
-        return max(self._nprobe_curve)
+        metric = metric or self.metric
+
+        def compute():
+            self.calibrate_nprobe(k=k, metric=metric)
+            return self._calib.get(k, metric)
+
+        cur = self._calib.get(k, metric)
+        if cur is None:
+            cur = self._calib.get_or_compute(k, metric, compute)
+        return cur.nprobe_for(target)
 
     def search(
         self,
@@ -1241,15 +1297,17 @@ class VectorStore:
         if metric not in VALID_METRICS:
             raise ValueError(f"metric must be one of {VALID_METRICS}, got {metric!r}")
         if recall_target is not None:
-            # SLA knob: map a ceiling-relative recall target to the
-            # smallest calibrated nprobe (calibrate_nprobe)
+            # SLA knob: map a recall target to the smallest calibrated
+            # nprobe under the curve's mode (calibrate_nprobe — exact
+            # curves guarantee absolute recall, ceiling curves are
+            # relative to the store's own deep probe)
             if nprobe is not None:
                 raise ValueError(
                     "pass either nprobe or recall_target, not both")
             if self.dtype != "int4r":
                 raise ValueError(
                     "recall_target requires an int4r store (cell layout)")
-            nprobe = self._nprobe_for_target(recall_target, k)
+            nprobe = self._nprobe_for_target(recall_target, k, metric)
         if nprobe is not None:
             if self.dtype != "int4r":
                 raise ValueError(
@@ -1578,7 +1636,7 @@ class VectorStore:
 
     def get_stats(self) -> dict:
         """Stats shape parity with reference get_stats (src/vector_store.erl:166-173)."""
-        return {
+        stats = {
             "name": self.name,
             "count": self.count,
             "dimension": self._dim,
@@ -1588,6 +1646,11 @@ class VectorStore:
             "version": self.version,
             "memory_bytes": self.device_memory_bytes(),
         }
+        if self._calib:
+            # which guarantee recall_target gives on this store: exact
+            # (absolute, ceiling enforced) vs ceiling (deep-probe-relative)
+            stats["calibration"] = self._calib.summaries()
+        return stats
 
     def device_memory_bytes(self) -> int:
         if self._vectors is None:
@@ -1635,10 +1698,9 @@ class VectorStore:
             if self.dtype == "int4r" and self._centroids is not None:
                 state["centroids"] = np.asarray(self._centroids)
                 state["cell_cap"] = self._cell_cap
-                if getattr(self, "_nprobe_curve", None):
-                    state["nprobe_curve"] = {
-                        int(p): float(r)
-                        for p, r in self._nprobe_curve.items()}
+                if self._calib:
+                    state["calibrations"] = self._calib.to_json()
+                    self._calib.mark_clean()
                 state["cell_next"] = [int(x) for x in self._cell_next]
                 state["cell_free"] = {
                     str(c): list(v) for c, v in self._cell_free.items()
@@ -1680,10 +1742,14 @@ class VectorStore:
             store._centroids = store._put(
                 np.asarray(state["centroids"], np.float32))
             store._cell_cap = int(state.get("cell_cap", 64))
-            if "nprobe_curve" in state:
-                store._nprobe_curve = {
-                    int(p): float(r)
-                    for p, r in state["nprobe_curve"].items()}
+            if "calibrations" in state:
+                store._calib = CalibrationSet.from_json(
+                    state["calibrations"])
+            elif "nprobe_curve" in state:  # pre-round-5 un-keyed curve
+                store._calib = CalibrationSet.from_legacy(
+                    {int(p): float(r)
+                     for p, r in state["nprobe_curve"].items()},
+                    metric=state.get("metric", "cosine"))
             store._cell_next = np.asarray(state.get("cell_next", []), np.int64)
             store._cell_free = {
                 int(c): [int(r) for r in v]

@@ -31,6 +31,7 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from erlvectordb_tpu.core.calibration import CalibrationSet, measure_curve
 from erlvectordb_tpu.core.cell_probe import CellProbeIndex
 from erlvectordb_tpu.parallel.mesh import DATA_AXIS
 
@@ -180,6 +181,8 @@ class EPCellProbeIndex:
         self.active = jax.device_put(
             np.asarray(valid, bool).reshape(n_cells, cell_cap).any(axis=1),
             repl1)
+        # recall_target calibration curves, keyed (k, metric)
+        self._calib = CalibrationSet()
 
     # ------------------------------------------------------------------ build
 
@@ -218,64 +221,76 @@ class EPCellProbeIndex:
                 [row_map, np.full(pad * cap, -1, np.int64)])
         idx = cls(mesh, cents, codes, scales, norms, row_map >= 0, row_map,
                   cap)
-        # a single-chip curve is a CONSERVATIVE transfer: EP drops no
+        # single-chip curves are a CONSERVATIVE transfer: EP drops no
         # (query, cell) pair, so EP recall >= single-chip at equal nprobe
-        if getattr(cp, "_nprobe_curve", None):
-            idx._nprobe_curve = dict(cp._nprobe_curve)
+        if getattr(cp, "_calib", None):
+            idx._calib = CalibrationSet.from_json(cp._calib.to_json())
         return idx
 
     # ----------------------------------------------------------------- search
 
-    def calibrate_nprobe(self, queries=None, n_sample: int = 256,
-                         k: int = 10, metric: str = "cosine") -> dict:
-        """Measure the recall@k-vs-nprobe curve against this index's own
-        deep probe (nprobe = min(n_cells, 512)) so ``search(recall_target=
-        ...)`` can pick the smallest qualifying GLOBAL nprobe — same
-        semantics as CellProbeIndex.calibrate_nprobe (EP drops no (query,
-        cell) pair, so the curve transfers shard-count-free).  ``queries``
-        defaults to sampled live rows decoded via a small on-device gather
-        of only the sampled cells; at pod scale that gather crosses ICI
-        once per calibration — pass held-out traffic to avoid it (and for
+    def _member_queries(self, n_sample: int) -> np.ndarray:
+        """Decode up to n_sample live rows via a small on-device gather of
+        only the sampled cells; at pod scale that gather crosses ICI once
+        per calibration — pass held-out traffic to avoid it (and for
         SLA-grade targeting)."""
+        valid = np.asarray(jax.device_get(self.valid)).reshape(-1)
+        live = np.flatnonzero(valid)
+        if len(live) == 0:
+            raise ValueError("cannot calibrate an empty index")
+        rng = np.random.default_rng(len(live))
+        sel = rng.choice(live, size=min(n_sample, len(live)),
+                         replace=False)
+        cells = sel // self.cell_cap
+        slots = sel % self.cell_cap
+        codes = np.asarray(jax.device_get(
+            self.codes[cells, slots]), np.float32)      # [S, W]
+        scales = np.asarray(jax.device_get(self.scales[cells, slots]))
+        cents = np.asarray(jax.device_get(self.centroids))[cells]
+        return cents + codes * scales[:, None]
+
+    def calibrate_nprobe(self, queries=None, n_sample: int = 256,
+                         k: int = 10, metric: str = "cosine",
+                         ground_truth=None) -> dict:
+        """Measure the recall@k-vs-nprobe curve so ``search(recall_target=
+        ...)`` can pick the smallest qualifying GLOBAL nprobe — same
+        mode semantics as CellProbeIndex.calibrate_nprobe (pass
+        ``ground_truth`` exact rows for EXACT/absolute mode; default is
+        CEILING mode against this index's own deep probe).  EP drops no
+        (query, cell) pair, so curves transfer shard-count-free."""
         if queries is None:
-            valid = np.asarray(jax.device_get(self.valid)).reshape(-1)
-            live = np.flatnonzero(valid)
-            rng = np.random.default_rng(len(live))
-            sel = rng.choice(live, size=min(n_sample, len(live)),
-                             replace=False)
-            cells = sel // self.cell_cap
-            slots = sel % self.cell_cap
-            codes = np.asarray(jax.device_get(
-                self.codes[cells, slots]), np.float32)      # [S, W]
-            scales = np.asarray(jax.device_get(self.scales[cells, slots]))
-            cents = np.asarray(jax.device_get(self.centroids))[cells]
-            queries = cents + codes * scales[:, None]
+            if ground_truth is not None:
+                raise ValueError("ground_truth requires explicit queries")
+            queries = self._member_queries(n_sample)
         queries = np.asarray(queries, np.float32)
         deep = min(self.n_cells, 512)
-        _, ref = self.search(queries, k=k, nprobe=deep, metric=metric)
-        curve = {}
-        for nprobe in [p for p in (4, 8, 16, 32, 64, 128, 256, 512)
-                       if p < deep]:
-            _, got = self.search(queries, k=k, nprobe=nprobe, metric=metric)
-            hit = sum(len(set(got[i].tolist()) & set(ref[i].tolist()))
-                      for i in range(len(queries)))
-            curve[nprobe] = round(hit / (len(queries) * k), 4)
-        curve[deep] = 1.0
-        self._nprobe_curve = curve
-        return dict(curve)
+
+        def search_rows(qs, kk, nprobe):
+            _, got = self.search(qs, k=kk, nprobe=nprobe, metric=metric)
+            return got
+
+        curve = measure_curve(search_rows, queries, k=k, metric=metric,
+                              deep=deep, ground_truth=ground_truth)
+        self._calib.put(curve)
+        return dict(curve.curve)
 
     def nprobe_for(self, recall_target: float, k: int = 10,
                    metric: str = "cosine") -> int:
-        """Smallest calibrated global nprobe meeting the ceiling-relative
-        recall@k target (lazily calibrates on first use)."""
+        """Smallest calibrated global nprobe meeting the recall@k target
+        under the curve's mode (exact-mode curves raise
+        RecallUnachievable above the quantization ceiling); lazily
+        self-calibrates (ceiling mode) on first use per (k, metric)."""
         if not (0.0 < recall_target <= 1.0):
             raise ValueError("recall_target must be in (0, 1]")
-        if getattr(self, "_nprobe_curve", None) is None:
+
+        def compute():
             self.calibrate_nprobe(k=k, metric=metric)
-        for nprobe in sorted(self._nprobe_curve):
-            if self._nprobe_curve[nprobe] >= recall_target:
-                return nprobe
-        return max(self._nprobe_curve)
+            return self._calib.get(k, metric)
+
+        cur = self._calib.get(k, metric)
+        if cur is None:
+            cur = self._calib.get_or_compute(k, metric, compute)
+        return cur.nprobe_for(recall_target)
 
     def search(self, queries, k: int = 10, nprobe: int = 32,
                metric: str = "cosine",
@@ -314,12 +329,9 @@ class EPCellProbeIndex:
             "row_map": self.row_map,
             "cell_cap": np.asarray(self.cell_cap),
         }
-        curve = getattr(self, "_nprobe_curve", None)
-        if curve:
-            ps = sorted(curve)
-            out["curve_nprobe"] = np.asarray(ps, np.int64)
-            out["curve_recall"] = np.asarray([curve[p] for p in ps],
-                                             np.float64)
+        if self._calib:
+            out["calibrations"] = np.asarray(self._calib.to_json())
+            self._calib.mark_clean()
         return out
 
     @classmethod
@@ -335,6 +347,7 @@ class EPCellProbeIndex:
                 .reshape(self.n_cells, self.cell_cap).sum(1))
         return {
             "kind": "ep_cellprobe",
+            "calibration": self._calib.summaries(),
             "shards": int(self.n_shards),
             "n_cells": int(self.n_cells),
             "cell_cap": int(self.cell_cap),

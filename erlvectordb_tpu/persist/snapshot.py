@@ -343,12 +343,16 @@ class PersistenceManager:
         ver = store.version
         touched = len(getattr(store, "_touched_rows", ()))
         seq = self._delta_seq.get(name, 0)
+        calib = getattr(store, "_calib", None)
         use_delta = (
             getattr(store, "_touched_reliable", False)
             and not getattr(store, "_contig", 0)
             and 0 < touched <= max(1, int(self.MAX_DELTA_FRACTION * max(store.count, 1)))
             and seq < self.MAX_DELTAS
             and isinstance(store, VectorStore)
+            # deltas carry no calibration curves: a fresh (lazily
+            # computed) curve forces one full base so it survives restart
+            and not (calib is not None and calib.dirty)
         )
         if use_delta:
             save_delta(store, self.root, seq)
@@ -376,6 +380,7 @@ class PersistenceManager:
             pending = [
                 s for s in self._tracked.values()
                 if s.version != self._synced_version.get(s.name, -1)
+                or getattr(s, "_calib", None) is not None and s._calib.dirty
             ]
         n = 0
         for store in pending:

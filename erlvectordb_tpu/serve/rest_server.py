@@ -37,6 +37,7 @@ from erlvectordb_tpu.api import Database
 from erlvectordb_tpu.core.registry import StoreExists, StoreNotFound
 from erlvectordb_tpu.core.store import DimensionMismatch, InvalidVector
 from erlvectordb_tpu.infra.health import HealthCheckServer
+from erlvectordb_tpu.serve import tools as tools_mod
 
 logger = logging.getLogger("evdb.rest")
 
@@ -225,18 +226,12 @@ class RestServer:
                         if self._require("read") is None:
                             return
                         store = outer.db.any_store(parts[3])  # 404 first
-                        if (body.get("nprobe") is not None
-                                or body.get("recall_target") is not None):
+                        kw = tools_mod.probe_kwargs(body)  # validated 400s
+                        if kw:
                             # sub-linear latency path: direct dispatch IS
                             # the point (no batching window) — mirrors the
                             # MCP search_vectors tool (serve/tools.py)
                             outer.db._check_nprobe(store)
-                            kw = {}
-                            if body.get("nprobe") is not None:
-                                kw["nprobe"] = int(body["nprobe"])
-                            if body.get("recall_target") is not None:
-                                kw["recall_target"] = float(
-                                    body["recall_target"])
                             hits = store.search(
                                 body["vector"], k=int(body.get("k", 10)),
                                 metric=body.get("metric"),
@@ -259,9 +254,14 @@ class RestServer:
                         curve = outer.db.calibrate_store(
                             parts[3],
                             n_sample=int(body.get("n_sample", 256)),
-                            k=int(body.get("k", 10)))
+                            k=int(body.get("k", 10)),
+                            metric=body.get("metric"))
+                        # self-calibration is ceiling mode: recall relative
+                        # to the store's own deep probe (quantization loss
+                        # not counted) — exact mode needs external ground
+                        # truth (Database.calibrate_store / calibrate_index)
                         return self._reply(200, {
-                            "store": parts[3],
+                            "store": parts[3], "mode": "ceiling",
                             "curve": {str(p): r
                                       for p, r in sorted(curve.items())}})
                     if parts == ["api", "v1", "cluster", "join"]:

@@ -25,8 +25,9 @@ if TYPE_CHECKING:  # avoid circular import: api.py imports serve.oauth
     from erlvectordb_tpu.api import Database
 
 
-class ToolError(Exception):
-    pass
+class ToolError(ValueError):
+    """Domain error in a tool call (ValueError so every protocol surface
+    maps it to its 400-class response)."""
 
 
 def decode_query(args: Dict[str, Any]):
@@ -181,15 +182,24 @@ TOOLS: Dict[str, dict] = {
                 "metric": {"type": "string"},
                 "filter": {"type": "object",
                            "description": "metadata equality predicates (AND)"},
-                "nprobe": {"type": "integer",
+                "nprobe": {"type": "integer", "minimum": 1,
                            "description": "int4r stores: probe only the N "
                            "nearest cells (sub-linear low-latency path, "
                            "approximate)"},
                 "recall_target": {"type": "number",
                                   "description": "int4r stores: pick the "
                                   "smallest calibrated nprobe meeting this "
-                                  "ceiling-relative recall@k (alternative "
-                                  "to nprobe)"},
+                                  "recall@k (alternative to nprobe). "
+                                  "Guarantee depends on the store's "
+                                  "calibration mode (get_store_stats "
+                                  "'calibration'): 'exact' curves measure "
+                                  "ABSOLUTE recall vs exact f32 ground "
+                                  "truth and reject targets above the "
+                                  "quantization ceiling; uncalibrated "
+                                  "stores lazily self-calibrate in "
+                                  "'ceiling' mode, where recall is "
+                                  "relative to the store's own deep probe "
+                                  "and quantization loss is NOT counted"},
             },
             ["store"],
         ),
@@ -211,14 +221,16 @@ TOOLS: Dict[str, dict] = {
                 "k": {"type": "integer", "default": 10},
                 "metric": {"type": "string"},
                 "filter": {"type": "object"},
-                "nprobe": {"type": "integer",
+                "nprobe": {"type": "integer", "minimum": 1,
                            "description": "int4r stores: sub-linear "
                            "multiprobe (approximate)"},
                 "recall_target": {"type": "number",
-                                  "description": "int4r stores: pick the "
-                                  "smallest calibrated nprobe meeting this "
-                                  "ceiling-relative recall@k (alternative "
-                                  "to nprobe)"},
+                                  "description": "int4r stores: smallest "
+                                  "calibrated nprobe meeting this recall@k "
+                                  "(see search_vectors: absolute under "
+                                  "'exact' calibration, deep-probe-"
+                                  "relative under lazy 'ceiling' "
+                                  "calibration)"},
                 "compact": {"type": "boolean",
                             "description": "return parallel ids/distances "
                             "arrays without metadata (cheap to encode)"},
@@ -263,12 +275,18 @@ TOOLS: Dict[str, dict] = {
             "Measure an int4r store's recall-vs-nprobe curve so "
             "recall_target searches answer without a lazy first-use "
             "calibration; returns the {nprobe: recall} curve (persisted "
-            "with snapshots)",
+            "with snapshots).  NOTE: this self-calibration is CEILING "
+            "mode — recall relative to the store's own deep probe, "
+            "quantization loss not counted; absolute (exact-mode) "
+            "calibration needs the original f32 data and is available "
+            "through the Python API (Database.calibrate_store with "
+            "ground_truth) or calibrate_index for cellprobe indexes",
             "write",
             {
                 "store": {"type": "string"},
                 "n_sample": {"type": "integer", "default": 256},
                 "k": {"type": "integer", "default": 10},
+                "metric": {"type": "string"},
             },
             ["store"],
         ),
@@ -309,7 +327,9 @@ TOOLS: Dict[str, dict] = {
                 "name": {"type": "string"},
                 "store": {"type": "string"},
                 "type": {"type": "string",
-                         "enum": ["flat", "int8", "pq", "opq", "ivf", "ep_ivf"]},
+                         "enum": ["flat", "int8", "pq", "opq", "ivf",
+                                  "ep_ivf", "hnsw", "cellprobe",
+                                  "ep_cellprobe"]},
                 "parameters": {"type": "object"},
             },
             ["name", "store", "type"],
@@ -337,15 +357,41 @@ TOOLS: Dict[str, dict] = {
                 "name": {"type": "string"},
                 "vector": {"type": "array", "items": {"type": "number"}},
                 "k": {"type": "integer", "default": 10},
-                "nprobe": {"type": "integer",
+                "nprobe": {"type": "integer", "minimum": 1,
                            "description": "override the build-time probe "
                            "width (ivf/cellprobe-family indexes)"},
                 "recall_target": {"type": "number",
                                   "description": "cellprobe-family indexes: "
-                                  "pick the smallest calibrated nprobe "
-                                  "meeting this ceiling-relative recall@k"},
+                                  "smallest calibrated nprobe meeting this "
+                                  "recall@k — ABSOLUTE vs exact f32 ground "
+                                  "truth after calibrate_index "
+                                  "(mode='exact', targets above the "
+                                  "quantization ceiling are rejected); "
+                                  "deep-probe-relative under lazy "
+                                  "'ceiling' calibration (see "
+                                  "list_indexes 'calibration')"},
             },
             ["name", "vector"],
+        ),
+        _schema(
+            "calibrate_index",
+            "Calibrate a cellprobe-family index's recall_target curve. "
+            "mode='exact' (default) measures ABSOLUTE recall@k against "
+            "exact float32 ground truth from the backing store (one brute "
+            "device scan) and records the quantization ceiling, which "
+            "recall_target searches then refuse to exceed; "
+            "mode='ceiling' is the cheap self-relative curve. The curve "
+            "persists with the index artifact",
+            "write",
+            {
+                "name": {"type": "string"},
+                "n_sample": {"type": "integer", "default": 256},
+                "k": {"type": "integer", "default": 10},
+                "mode": {"type": "string", "enum": ["exact", "ceiling"],
+                         "default": "exact"},
+                "metric": {"type": "string"},
+            },
+            ["name"],
         ),
         _schema(
             "drop_index",
@@ -377,6 +423,27 @@ def check_permission(name: str, scopes: Set[str]) -> bool:
     return t is not None and t["x-scope"] in scopes
 
 
+def probe_kwargs(args: Dict[str, Any]) -> Dict[str, Any]:
+    """Validated nprobe/recall_target kwargs from request args — every
+    protocol surface shares this so degenerate values (nprobe=0,
+    recall_target=1.5) get a clean domain error, never a 0-probe
+    dispatch (ADVICE r4)."""
+    kw: Dict[str, Any] = {}
+    if args.get("nprobe") is not None:
+        nprobe = int(args["nprobe"])
+        if nprobe < 1:
+            raise ToolError("nprobe must be >= 1")
+        kw["nprobe"] = nprobe
+    if args.get("recall_target") is not None:
+        rt = float(args["recall_target"])
+        if not (0.0 < rt <= 1.0):
+            raise ToolError("recall_target must be in (0, 1]")
+        kw["recall_target"] = rt
+    if len(kw) == 2:
+        raise ToolError("pass either nprobe or recall_target, not both")
+    return kw
+
+
 def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
     """Execute one tool call against the database facade."""
     if name not in TOOLS:
@@ -404,11 +471,7 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
             # (no batching window) — only the probed cells are read
             store = db.any_store(args["store"])
             db._check_nprobe(store)  # clean ValueError for distributed stores
-            kw = {}
-            if args.get("nprobe") is not None:
-                kw["nprobe"] = int(args["nprobe"])
-            if args.get("recall_target") is not None:
-                kw["recall_target"] = float(args["recall_target"])
+            kw = probe_kwargs(args)
             hits = store.search(
                 decode_query(args), k=int(args.get("k", 10)),
                 metric=args.get("metric"), where=args.get("filter"), **kw)
@@ -426,12 +489,10 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
         qs = decode_queries(args)
         kw = dict(k=int(args.get("k", 10)), metric=args.get("metric"),
                   where=args.get("filter"))
-        if args.get("nprobe") is not None:
+        pk = probe_kwargs(args)
+        if pk:
             db._check_nprobe(store)
-            kw["nprobe"] = int(args["nprobe"])
-        if args.get("recall_target") is not None:
-            db._check_nprobe(store)
-            kw["recall_target"] = float(args["recall_target"])
+            kw.update(pk)
         if args.get("encoding") == "b64":
             cols = store.search_batch_complete_raw(
                 store.search_batch_submit(qs, **kw))
@@ -455,9 +516,14 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
     if name == "calibrate_store":
         curve = db.calibrate_store(
             args["store"], n_sample=int(args.get("n_sample", 256)),
-            k=int(args.get("k", 10)))
-        return {"store": args["store"],
+            k=int(args.get("k", 10)), metric=args.get("metric"))
+        return {"store": args["store"], "mode": "ceiling",
                 "curve": {str(p): r for p, r in sorted(curve.items())}}
+    if name == "calibrate_index":
+        return db.calibrate_index(
+            args["name"], n_sample=int(args.get("n_sample", 256)),
+            k=int(args.get("k", 10)), mode=args.get("mode", "exact"),
+            metric=args.get("metric"))
     if name == "backup_store":
         path = db.backup_store(args["store"], args["backup_name"])
         return {"status": "ok", "backup_file": path.rsplit("/", 1)[-1]}
@@ -477,11 +543,7 @@ def call_tool(db: "Database", name: str, args: Dict[str, Any]) -> Any:
     if name == "list_indexes":
         return {"indexes": db.list_indexes()}
     if name == "search_index":
-        kw = {}
-        if args.get("nprobe") is not None:
-            kw["nprobe"] = int(args["nprobe"])
-        if args.get("recall_target") is not None:
-            kw["recall_target"] = float(args["recall_target"])
+        kw = probe_kwargs(args)
         hits = db.search_index(args["name"], args["vector"],
                                k=int(args.get("k", 10)), **kw)
         return {"results": [

@@ -121,9 +121,10 @@ class TestEPCellProbe:
             ep.nprobe_for(1.5)
         # the curve persists through to_arrays/from_arrays
         arrays = {k: np.asarray(v) for k, v in ep.to_arrays().items()}
-        assert "curve_nprobe" in arrays
+        assert "calibrations" in arrays
         ep2 = EPCellProbeIndex.from_arrays(arrays, ep.mesh)
-        assert ep2._nprobe_curve == ep._nprobe_curve
+        assert (ep2._calib.get(5, "cosine").curve
+                == ep._calib.get(5, "cosine").curve)
 
 
 class TestIndexManagerEPCellProbe:

@@ -335,12 +335,14 @@ class TestNprobeCalibration:
         for a, b in zip(vals, vals[1:]):
             assert b >= a - 0.05, curve
         state = cal_store.export_state()
-        assert state["nprobe_curve"]
+        assert state["calibrations"]
         st2 = VectorStore.from_state(state)
-        assert st2._nprobe_curve == curve
+        cal2 = st2._calib.get(5, "cosine")
+        assert cal2 is not None and cal2.curve == curve
+        assert cal2.mode == "ceiling" and cal2.ceiling == 1.0
 
     def test_recall_target_search(self, cal_store):
-        if cal_store._nprobe_curve is None:
+        if cal_store._calib.get(5, "cosine") is None:
             cal_store.calibrate_nprobe(n_sample=64, k=5)
         q = np.asarray(cal_store.get("7")[0], np.float32)
         want = cal_store._nprobe_for_target(0.9, k=5)
