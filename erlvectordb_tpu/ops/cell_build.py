@@ -99,6 +99,25 @@ def _pad128(d: int) -> int:
     return -(-d // 128) * 128
 
 
+def _jit_donate(donate_argnums, static_argnames=()):
+    """jax.jit with buffer donation ONLY on TPU: CPU/GPU host backends
+    ignore donation and warn per call (the core/ivf.py:114 pattern, ADVICE
+    r4) — pick the variant lazily so importing this module never forces
+    backend init."""
+    def deco(fn):
+        j_don = jax.jit(fn, donate_argnums=donate_argnums,
+                        static_argnames=static_argnames)
+        j_plain = jax.jit(fn, static_argnames=static_argnames)
+
+        @functools.wraps(fn)
+        def call(*a, **k):
+            impl = j_don if jax.default_backend() == "tpu" else j_plain
+            return impl(*a, **k)
+
+        return call
+    return deco
+
+
 class CellBuildResult(NamedTuple):
     """Device-resident cell build output (perm maps slot -> original row)."""
 
@@ -117,7 +136,7 @@ class CellBuildResult(NamedTuple):
 # --------------------------------------------------------------------- stage
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("w",))
+@_jit_donate((0, 1, 2), static_argnames=("w",))
 def _stage_chunk(codes8, scales, norms, chunk, at, *, w):
     """Quantize one f32 chunk to int8 rows and write it at row ``at``."""
     x = chunk.astype(jnp.float32)
@@ -133,8 +152,7 @@ def _stage_chunk(codes8, scales, norms, chunk, at, *, w):
     return codes8, scales, norms
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("stride", "take", "w"))
+@_jit_donate((0,), static_argnames=("stride", "take", "w"))
 def _stage_sample(sample, chunk, at, *, stride, take, w):
     """Strided training rows from a chunk into the sample buffer."""
     x = chunk.astype(jnp.float32)
@@ -156,8 +174,7 @@ def _quant_cents_int8(cents):
     return q, s
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("j", "sub", "step", "g"))
+@_jit_donate((0, 1), static_argnames=("j", "sub", "step", "g"))
 def _choices_chunk(d_acc, i_acc, codes8, scales, cents8, cscale, cn2, c,
                    *, j, sub, step, g=1):
     """Route ``g`` row sub-chunks (indices c*g .. c*g+g-1) and write their
@@ -287,8 +304,7 @@ def _make_round_body(chd, ch_i, row_valid, *, k, cap, j, r0=0):
     return body_
 
 
-@functools.partial(jax.jit, donate_argnums=(3,),
-                   static_argnames=("k", "cap", "j", "max_rounds", "n_stop"))
+@_jit_donate((3,), static_argnames=("k", "cap", "j", "max_rounds", "n_stop"))
 def _assign_rounds(ch_d, ch_i, row_valid, owner0, fill_init,
                    *, k, cap, j, max_rounds, n_stop):
     """Up to ``max_rounds`` full-size acceptance rounds (from round 0).
@@ -308,9 +324,8 @@ def _assign_rounds(ch_d, ch_i, row_valid, owner0, fill_init,
     return owner, fill, rnd, n_act
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("m", "k", "cap", "j", "r0",
-                                    "max_rounds", "n_stop"))
+@_jit_donate((0, 1), static_argnames=("m", "k", "cap", "j", "r0",
+                                      "max_rounds", "n_stop"))
 def _assign_tail(owner, fill, ch_d, ch_i, row_valid, n_act,
                  *, m, k, cap, j, r0, max_rounds, n_stop):
     """Up to ``max_rounds`` rounds on the COMPACTED active tail,
@@ -350,8 +365,7 @@ def _assign_tail(owner, fill, ch_d, ch_i, row_valid, n_act,
     return owner, fill, jnp.stack([rnd, n_act])
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("k", "cap", "dump"))
+@_jit_donate((0,), static_argnames=("k", "cap", "dump"))
 def _assign_finish(owner, fill, row_valid, *, k, cap, dump):
     """Dump pass: unplaced rows -> cells with space (prefix-sum)."""
     left = (owner < 0) & row_valid
@@ -611,7 +625,7 @@ def _pack_int4(q):
     return (u[:, 0::2] << 4) | u[:, 1::2]
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnames=("k",))
+@_jit_donate((0, 1, 2), static_argnames=("k",))
 def _slot_scatter(slot8, slot_sc, slot_pm, codes8, scales_in, owner, pos,
                   *, k):
     """Scatter staged rows into the slot (cell-major) layout.
@@ -629,8 +643,7 @@ def _slot_scatter(slot8, slot_sc, slot_pm, codes8, scales_in, owner, pos,
     return slot8, slot_sc, slot_pm
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1),
-                   static_argnames=("bits", "cap", "blk", "aniso_eta"))
+@_jit_donate((0, 1), static_argnames=("bits", "cap", "blk", "aniso_eta"))
 def _encode_slots(slot8, slot_sc, slot_pm, cents_pad, *, bits, cap, blk,
                   aniso_eta=1.0):
     """Residual-quantize the slot-ordered staged rows block by block.

@@ -7,13 +7,25 @@ a dirty flag and a 30 s timer rewrites the whole DETS table
 (src/vector_store.erl:63-103).  Here:
 
   * the "live" tier is the store's device arrays themselves (HBM);
-  * ``save_store`` snapshots them to host and writes an atomic
-    ``state.npz`` + ``meta.json`` pair (write-to-temp + rename, so a crash
-    mid-sync never corrupts the previous snapshot — an upgrade over the
-    reference's delete-all-then-rewrite);
+  * ``save_store`` snapshots them to host as a GENERATION-NUMBERED
+    ``state_<gen>.npz`` + ``meta_<gen>.json`` pair (write-to-temp +
+    rename, npz first).  The npz embeds a ``__saved_at__`` echo of the
+    meta's timestamp, so the loader can PROVE a pair is consistent; it
+    picks the newest pair whose meta parses, whose npz opens, and whose
+    echo matches, then deletes nothing.  Older generations are removed
+    only after the new pair is fully committed — so a crash at ANY
+    point (between the two renames, mid-write, mid-cleanup) leaves a
+    previous consistent pair for the loader to fall back to.  The
+    reference rewrites its whole DETS table in place every sync
+    (delete-all-then-insert, src/vector_persistence.erl:255-273) — a
+    crash mid-rewrite there loses the table;
   * ``PersistenceManager`` runs the dirty-flag sync loop (default 30 s,
     configurable ``sync_interval`` like the reference) on a background
     thread and re-hydrates stores on open.
+
+Fault-injection coverage for these claims lives in
+``tests/test_crash_safety.py`` (kill -9 mid-sync, torn rename windows,
+truncated npz, meta/state skew, orphan tmp files).
 
 Optional at-rest compression (``compression="zlib"``) uses numpy's deflate
 container — the analogue of the reference's write-time compression hook
@@ -46,8 +58,59 @@ def _store_dir(root: Path, name: str) -> Path:
     return root / safe
 
 
+def _pair_gen(p: Path) -> int:
+    try:
+        return int(p.stem.rsplit("_", 1)[1])
+    except (IndexError, ValueError):
+        return -1
+
+
+def _resolve_snapshot(sdir: Path):
+    """Newest PROVABLY-consistent (meta, npz, meta_dict) snapshot pair.
+
+    A pair is consistent when the meta parses, the npz zip opens, and the
+    npz's ``__saved_at__`` echo equals the meta's ``saved_at``.  Torn
+    renames, truncated npz files, and meta/state skew all fail one of
+    those checks and fall through to the previous generation (or the
+    pre-round-5 legacy unversioned pair).  Returns None when no
+    consistent snapshot exists."""
+    candidates = sorted(sdir.glob("meta_*.json"), key=_pair_gen,
+                        reverse=True)
+    for mp in candidates:
+        npz = sdir / f"state_{mp.stem.rsplit('_', 1)[1]}.npz"
+        try:
+            meta = json.loads(mp.read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
+        if not npz.exists():
+            continue  # crash between the npz and meta renames... of a
+            # PREVIOUS cleanup; or manual deletion — either way unusable
+        try:
+            with np.load(npz) as z:
+                if "__saved_at__" not in z.files:
+                    continue
+                echo = float(z["__saved_at__"][0])
+        except Exception:  # noqa: BLE001 — truncated/corrupt zip
+            continue
+        if meta.get("saved_at") != echo:
+            continue  # skewed pair (e.g. new arrays + old meta)
+        return mp, npz, meta
+    # legacy unversioned pair (pre-generation snapshots): best effort
+    mp = sdir / "meta.json"
+    if mp.exists():
+        try:
+            meta = json.loads(mp.read_text())
+        except (json.JSONDecodeError, OSError):
+            return None
+        npz = sdir / "state.npz"
+        return mp, (npz if npz.exists() else None), meta
+    return None
+
+
 def save_store(store: VectorStore, root: str | os.PathLike, compression: Optional[str] = None) -> str:
-    """Atomically snapshot one store under ``root/<name>/``."""
+    """Snapshot one store under ``root/<name>/`` as a new generation pair
+    (crash-safe: the previous pair survives until this one is fully
+    committed — see module docstring)."""
     root = Path(root)
     sdir = _store_dir(root, store.name)
     sdir.mkdir(parents=True, exist_ok=True)
@@ -64,6 +127,9 @@ def save_store(store: VectorStore, root: str | os.PathLike, compression: Optiona
     meta["snapshot_format"] = SNAPSHOT_FORMAT
     meta["saved_at"] = time.time()
     meta["compression"] = compression or "none"
+    # consistency echo: the loader accepts a pair only when this matches
+    # the meta's saved_at (json round-trips the exact float)
+    arrays["__saved_at__"] = np.asarray([meta["saved_at"]], np.float64)
 
     buf = io.BytesIO()
     if compression == "zlib":
@@ -71,14 +137,29 @@ def save_store(store: VectorStore, root: str | os.PathLike, compression: Optiona
     else:
         np.savez(buf, **arrays)
 
-    tmp_npz = sdir / ".state.npz.tmp"
-    tmp_meta = sdir / ".meta.json.tmp"
+    old_metas = list(sdir.glob("meta_*.json"))
+    gen = max((_pair_gen(p) for p in old_metas), default=0) + 1
+    tmp_npz = sdir / f".state_{gen:08d}.npz.tmp"
+    tmp_meta = sdir / f".meta_{gen:08d}.json.tmp"
     tmp_npz.write_bytes(buf.getvalue())
     tmp_meta.write_text(json.dumps(meta))
-    os.replace(tmp_npz, sdir / "state.npz")
-    os.replace(tmp_meta, sdir / "meta.json")
-    # a fresh base supersedes (and timestamps-out) any old deltas
+    # npz first: the loader keys on meta files, so a meta implies its npz
+    # already landed; a crash between the renames leaves an ignored
+    # npz-only generation and the previous pair still loads
+    os.replace(tmp_npz, sdir / f"state_{gen:08d}.npz")
+    os.replace(tmp_meta, sdir / f"meta_{gen:08d}.json")
+    # the new pair is committed: retire older generations, the legacy
+    # unversioned pair, superseded deltas, and any orphan tmp files
+    for p in old_metas:
+        p.unlink(missing_ok=True)
+    for p in sdir.glob("state_*.npz"):
+        if _pair_gen(p) < gen:
+            p.unlink(missing_ok=True)
+    (sdir / "meta.json").unlink(missing_ok=True)
+    (sdir / "state.npz").unlink(missing_ok=True)
     clear_deltas(sdir)
+    for p in sdir.glob(".*.tmp"):
+        p.unlink(missing_ok=True)
     if hasattr(store, "_touched_rows"):
         store._touched_reliable = True
     return str(sdir)
@@ -91,7 +172,10 @@ def save_delta(store: VectorStore, root: str | os.PathLike, seq: int) -> int:
     (src/vector_persistence.erl:255-273).  Returns the number of rows
     written.  Caller guarantees a matching base snapshot exists."""
     sdir = _store_dir(Path(root), store.name)
-    base_meta = json.loads((sdir / "meta.json").read_text())
+    resolved = _resolve_snapshot(sdir)
+    if resolved is None:
+        raise FileNotFoundError(f"no base snapshot under {sdir}")
+    base_meta = resolved[2]  # anchor to the pair the loader will resolve
     with store._lock.read():
         rows = np.fromiter(sorted(store._touched_rows), np.int64,
                            len(store._touched_rows))
@@ -183,15 +267,17 @@ def load_store(name: str, root: str | os.PathLike, mesh=None):
     None if no snapshot exists.  Sharded snapshots re-hydrate onto ``mesh``
     (default: all devices)."""
     sdir = _store_dir(Path(root), name)
-    meta_path = sdir / "meta.json"
-    npz_path = sdir / "state.npz"
-    if not meta_path.exists():
+    if not sdir.exists():
         return None
-    state = json.loads(meta_path.read_text())
-    if npz_path.exists():
+    resolved = _resolve_snapshot(sdir)
+    if resolved is None:
+        return None
+    _mp, npz_path, state = resolved
+    if npz_path is not None and npz_path.exists():
         with np.load(npz_path) as z:
             for k in z.files:
-                state[k] = z[k]
+                if k != "__saved_at__":
+                    state[k] = z[k]
     if state.get("sharded"):
         from erlvectordb_tpu.parallel.mesh import make_mesh
         from erlvectordb_tpu.parallel.sharded_store import ShardedVectorStore
@@ -209,7 +295,10 @@ def list_persisted(root: str | os.PathLike) -> List[str]:
     root = Path(root)
     if not root.exists():
         return []
-    return sorted(p.name for p in root.iterdir() if (p / "meta.json").exists())
+    return sorted(
+        p.name for p in root.iterdir()
+        if p.is_dir() and ((p / "meta.json").exists()
+                           or any(p.glob("meta_*.json"))))
 
 
 def delete_persisted(name: str, root: str | os.PathLike) -> bool:
@@ -225,10 +314,12 @@ def delete_persisted(name: str, root: str | os.PathLike) -> bool:
 def get_store_info(name: str, root: str | os.PathLike) -> Optional[dict]:
     """Snapshot header without loading arrays (reference get_store_info)."""
     sdir = _store_dir(Path(root), name)
-    meta_path = sdir / "meta.json"
-    if not meta_path.exists():
+    if not sdir.exists():
         return None
-    meta = json.loads(meta_path.read_text())
+    resolved = _resolve_snapshot(sdir)
+    if resolved is None:
+        return None
+    meta = resolved[2]
     return {
         "name": meta.get("name", name),
         "dimension": meta.get("dim"),
@@ -263,6 +354,9 @@ class PersistenceManager:
         self._tracked: Dict[str, VectorStore] = {}
         self._synced_version: Dict[str, int] = {}
         self._delta_seq: Dict[str, int] = {}   # deltas written since base
+        # serializes snapshot writes per store (an explicit sync() racing
+        # the background loop must not interleave generation writes)
+        self._save_locks: Dict[str, threading.Lock] = {}
         self._lock = threading.RLock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -334,6 +428,13 @@ class PersistenceManager:
         """Incremental when possible: a store with an anchored delta chain
         and a small touched set gets an O(delta) delta file; otherwise a
         full base snapshot (which also compacts the chain)."""
+        name = store.name
+        with self._lock:
+            save_lock = self._save_locks.setdefault(name, threading.Lock())
+        with save_lock:
+            self._sync_store_locked(store)
+
+    def _sync_store_locked(self, store) -> None:
         name = store.name
         # capture the version BEFORE the (possibly seconds-long) save: a
         # write landing during the save bumps store.version past this, so

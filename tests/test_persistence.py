@@ -198,14 +198,15 @@ class TestIncrementalSnapshots:
         pm, store, data = self._mk_manager(tmp_path, rng)
         pm.sync("inc")  # full base
         sdir = tmp_path / "inc"
-        base_size = (sdir / "state.npz").stat().st_size
-        base_mtime = (sdir / "state.npz").stat().st_mtime_ns
+        [base] = sdir.glob("state_*.npz")  # generation-numbered pair
+        base_size = base.stat().st_size
+        base_mtime = base.stat().st_mtime_ns
         store.insert("extra", data[0] * 0.5, {"fresh": True})
         pm.sync("inc")
         deltas = list(sdir.glob("delta_*.npz"))
         assert len(deltas) == 1
         assert deltas[0].stat().st_size < base_size / 20  # O(delta), not O(N)
-        assert (sdir / "state.npz").stat().st_mtime_ns == base_mtime
+        assert base.stat().st_mtime_ns == base_mtime
 
     def test_reload_applies_deltas(self, tmp_path, rng):
         from erlvectordb_tpu.persist.snapshot import load_store
