@@ -270,11 +270,19 @@ def _store_dispatch_rates(store, qs, k, batch):
     ts = {}
     for nn in (4, 32):
         samples = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             pipe(nn)
             samples.append(time.perf_counter() - t0)
         ts[nn] = float(np.median(samples))
+        # headline dispersion: the per-dispatch rate is the slope between
+        # these two loop sizes, so their spread bounds the headline's
+        _TIMING_LOG.append({
+            "n_runs": len(samples), "min": round(min(samples), 6),
+            "median": round(ts[nn], 6), "max": round(max(samples), 6),
+            "spread": round(max(samples) / max(min(samples), 1e-9), 3),
+            "what": f"dispatch-slope loop n={nn}",
+        })
     sec_disp = max((ts[32] - ts[4]) / 28.0, 1e-9)
 
     def run_pipe():

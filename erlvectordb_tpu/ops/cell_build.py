@@ -742,6 +742,11 @@ def build_cells_streaming(
     train_rows: int = 262_144,
     kmeans_iters: int = 8,
     kmeans_init: str = "kpp",
+    kmeans_balance: float = 0.0,  # > 0: capacity-constrained Lloyd during
+    #                             TRAINING (ops/kmeans._lloyd price
+    #                             controller) — centroids pre-shaped for
+    #                             the capacity-bounded assignment
+    #                             (exp_balanced_lloyd.py for the A/B)
     k_block: int = 64,          # pad cell count to a multiple (store tiling)
     route_sub: int = 8192,      # rows per routing sub-chunk: bounds the
     #                             [sub, K] routing temps — at 18k+ cells the
@@ -828,7 +833,8 @@ def build_cells_streaming(
     # ---- seed k-means ---------------------------------------------------
     train = sample[:train_rows]
     cents, _ = kmeans_fit(train, jnp.uint32(seed), k=k_real,
-                          iters=kmeans_iters, init=kmeans_init)
+                          iters=kmeans_iters, init=kmeans_init,
+                          balance=kmeans_balance)
     jax.block_until_ready(cents)
     _blog("kmeans", cents[0])
     del train, sample          # ~0.8 GB HBM back before the routing passes

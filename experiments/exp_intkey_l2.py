@@ -1,0 +1,378 @@
+"""Round-5 (VERDICT r4 #4): can euclidean/dot big stores ride an
+integer-key plane like cosine's intkey, instead of the pos path's ~5
+f32 VPU ops/element?
+
+Cosine intkey works because the UNIT plane (127*x/|x|) makes the raw
+int32 MXU dot rank cosine across rows — no scoring math in the kernel
+(3 integer ops/element; fused_topk.py intkey block).  Euclidean was
+written off as "the -|x|^2 row bias is not integer-expressible per row
+once query scales differ"; dot because unit codes erase magnitudes.
+This experiment tests the fix suggested by the round-4 window-key work:
+
+  * a MAGNITUDE plane  c8m = round(127 * x / Nmax)  (one GLOBAL scale
+    Nmax = max row L2 norm): |c8m|_2 <= 127 keeps the raw dot inside
+    the same 2^18-ish bound as the unit plane, and the dot D = q8.c8m
+    is proportional to q.x ACROSS rows — so for metric=dot the existing
+    3-op intkey kernel applies verbatim, just on a different plane;
+  * for euclidean, quantize the -|x|^2/2 row bias into the SAME scaled-
+    int domain as D: with a BATCH-shared query scale s_B (instead of
+    per-query absmax), bias_int_i = round(127*|x_i|^2 / (2*Nmax*s_B))
+    is a per-row integer valid for the whole batch (one O(N) scalar
+    multiply per batch, amortized 1/(B*W)); the kernel key becomes
+    ((D - bias) << 10) | lane — 4 integer ops/element vs the pos
+    path's ~6 f32 ops + round.
+
+Measured here at 2M x 768 (config-3-class width, the l2 serving shape):
+selection recall vs exact f32 ground truth (pool-64 absmax rescore, the
+production tail) A/B'd against the actual pos-path store search, and
+scan-kernel ms/batch A/B on the same window.  Ship bar (VERDICT r4):
+>= 1.2x at equal recall, else record the negative.
+"""
+
+import sys
+import time
+
+import jax
+
+jax.devices()
+sys.path.insert(0, "/root/repo")
+
+import functools  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax import lax  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from erlvectordb_tpu.ops.fused_topk import (  # noqa: E402
+    POS_LANE_MASK,
+    POS_SLICE,
+    TILE_N,
+    _intkey_scan,
+    _pick_bt,
+    _pick_sub,
+)
+
+INTKEY_SHIFT = 10
+
+B = 1024
+W = 768
+N_TILES = 256          # 1.049M rows (> POS_MIN_TILES so pos path applies;
+#                        tunnel upload budget caps the corpus — round-5
+#                        window measured ~4 MB/s host->device)
+N = N_TILES * TILE_N
+K = 10
+POOL = 64
+
+
+# --------------------------------------------------------------- l2key kernel
+
+
+def _make_l2key_kernel(sub: int):
+    """intkey body + per-row integer bias subtract (euclidean ranking).
+    Software-pipelined like _make_intkey_kernel."""
+    s_per_tile = TILE_N // POS_SLICE
+
+    def dot_tile(q, codes_ref, t):
+        sl = slice(t * TILE_N, (t + 1) * TILE_N)
+        return lax.dot_general(q, codes_ref[sl, :], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    def kern(q_ref, codes_ref, bias_ref, out_ref):
+        q = q_ref[:]
+
+        def extract(d, lane, t):
+            sl = slice(t * TILE_N, (t + 1) * TILE_N)
+            kk = ((d - bias_ref[:, sl]) << INTKEY_SHIFT) | lane
+            for sx in range(s_per_tile):
+                ssl = slice(sx * POS_SLICE, (sx + 1) * POS_SLICE)
+                out_ref[0, :, t * s_per_tile + sx] = jnp.max(
+                    kk[:, ssl], axis=1)
+
+        d_prev = dot_tile(q, codes_ref, 0)
+        lane = (lax.broadcasted_iota(jnp.int32, d_prev.shape, 1)
+                & POS_LANE_MASK)
+        for t in range(sub - 1):
+            d_next = dot_tile(q, codes_ref, t + 1)
+            extract(d_prev, lane, t)
+            d_prev = d_next
+        extract(d_prev, lane, sub - 1)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles",))
+def _l2key_scan(codes_mag, q_in, bias_int, *, n_tiles):
+    bq, w = q_in.shape
+    bt = _pick_bt(bq)
+    nb = bq // bt
+    sub = _pick_sub(codes_mag.shape[0], n_tiles, w, max_sub=8)
+    n_big = -(-n_tiles // sub)
+    big_n = sub * TILE_N
+    spt = sub * (TILE_N // POS_SLICE)
+
+    out = pl.pallas_call(
+        _make_l2key_kernel(sub),
+        grid=(n_big, nb),
+        in_specs=[
+            pl.BlockSpec((bt, w), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, spt), lambda j, i: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_big, bq, spt), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * w * n_big * big_n,
+            bytes_accessed=n_big * big_n * w + bq * w + n_big * big_n * 4
+            + bq * n_big * spt * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q_in, codes_mag, bias_int[None, :])
+    return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
+
+
+# ------------------------------------------------------------------- helpers
+
+
+def timeit(fn, iters=4, warmup=2):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), float(min(ts)), float(max(ts))
+
+
+def recall_vs(ref, got, k):
+    hit = sum(len(set(ref[i][:k].tolist()) & set(got[i][:k].tolist()))
+              for i in range(len(ref)))
+    return hit / (len(ref) * k)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    print(f"corpus {N} x {W} clustered; B={B} k={K}", file=sys.stderr)
+    centers = rng.standard_normal((4096, W)).astype(np.float32)
+    own = rng.integers(0, 4096, N)
+    data = np.empty((N, W), np.float32)
+    ch = 1 << 18
+    for i in range(0, N, ch):
+        sl = slice(i, min(i + ch, N))
+        data[sl] = (centers[own[sl]]
+                    + 0.35 * rng.standard_normal((sl.stop - sl.start, W)))
+    queries = (centers[rng.integers(0, 4096, B)]
+               + 0.35 * rng.standard_normal((B, W))).astype(np.float32)
+
+    # ---- ONE streaming upload pass: GT (both metrics) + both planes --------
+    # the tunnel is the budget (~4-10 MB/s host->device this window): each
+    # f32 chunk is uploaded ONCE and consumed on device for the euclid+dot
+    # ground-truth folds AND the absmax/magnitude int8 plane writes
+    norms = np.linalg.norm(data, axis=1)
+    nmax = float(norms.max())
+    absmax = np.abs(data).max(axis=1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    norms_d = jnp.asarray(norms.astype(np.float32))
+    scales_d = jnp.asarray(scales)
+
+    qs_dev = jnp.asarray(queries)
+    ch = 1 << 17
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5),
+                       static_argnames=())
+    def fold(bs_e, br_e, bs_d, br_d, c8buf, c8mbuf, blk, sc_blk, at):
+        dots = jnp.dot(qs_dev, blk.T, preferred_element_type=jnp.float32)
+        bn2 = jnp.sum(blk * blk, axis=1)
+        rows = at + jnp.arange(blk.shape[0], dtype=jnp.int32)
+        # euclid fold (rank by 2qx - |x|^2)
+        sc_e = 2.0 * dots - bn2[None, :]
+        cat_s = jnp.concatenate([bs_e, sc_e], axis=1)
+        cat_r = jnp.concatenate(
+            [br_e, jnp.broadcast_to(rows[None, :], sc_e.shape)], axis=1)
+        s, idx = lax.top_k(cat_s, K)
+        bs_e, br_e = s, jnp.take_along_axis(cat_r, idx, axis=1)
+        # dot fold
+        cat_s = jnp.concatenate([bs_d, dots], axis=1)
+        cat_r = jnp.concatenate(
+            [br_d, jnp.broadcast_to(rows[None, :], dots.shape)], axis=1)
+        s, idx = lax.top_k(cat_s, K)
+        bs_d, br_d = s, jnp.take_along_axis(cat_r, idx, axis=1)
+        # planes
+        q_abs = jnp.clip(jnp.round(blk / sc_blk[:, None]),
+                         -127, 127).astype(jnp.int8)
+        q_mag = jnp.clip(jnp.round(blk * (127.0 / nmax)),
+                         -127, 127).astype(jnp.int8)
+        c8buf = lax.dynamic_update_slice(c8buf, q_abs, (at, 0))
+        c8mbuf = lax.dynamic_update_slice(c8mbuf, q_mag, (at, 0))
+        return bs_e, br_e, bs_d, br_d, c8buf, c8mbuf
+
+    bs_e = jnp.full((B, K), -jnp.inf, jnp.float32)
+    br_e = jnp.full((B, K), -1, jnp.int32)
+    bs_d = jnp.full((B, K), -jnp.inf, jnp.float32)
+    br_d = jnp.full((B, K), -1, jnp.int32)
+    c8 = jnp.zeros((N, W), jnp.int8)
+    c8m = jnp.zeros((N, W), jnp.int8)
+    t0 = time.perf_counter()
+    for i in range(0, N, ch):
+        blk = jnp.asarray(data[i:i + ch])          # the one upload
+        bs_e, br_e, bs_d, br_d, c8, c8m = fold(
+            bs_e, br_e, bs_d, br_d, c8, c8m, blk,
+            scales_d[i:i + ch], jnp.int32(i))
+    gt = np.asarray(br_e).astype(np.int64)
+    gt_dot = np.asarray(br_d).astype(np.int64)
+    print(f"single-pass GT+planes in {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    # batch-shared query quantization (bias validity across the batch)
+    s_b = float(np.abs(queries).max()) / 127.0
+    q8b = jnp.asarray(np.clip(np.round(queries / s_b),
+                              -127, 127).astype(np.int8))
+    # D = q8b . c8m  ~  (q.x) * 127 / (nmax * s_b)
+    # rank 2q.x - |x|^2  <=>  D - bias with bias = 127|x|^2/(2 nmax s_b)
+    bias_f = 127.0 * norms.astype(np.float64) ** 2 / (2.0 * nmax * s_b)
+    d_bound = 127.0 * 127.0 * np.sqrt(W) * 1.02  # |q8|_2 <= 127 sqrt(W)
+    worst = d_bound + bias_f.max()
+    rs = 0
+    while worst / (1 << rs) >= (1 << 20):  # (key >> 10) must fit int32
+        rs += 1
+    print(f"nmax={nmax:.2f} s_b={s_b:.5f} bias_max={bias_f.max():,.0f} "
+          f"d_bound={d_bound:,.0f} right-shift rs={rs}", file=sys.stderr)
+    bias_int = jnp.asarray(np.round(bias_f / (1 << rs)).astype(np.int32))
+
+    @jax.jit
+    def l2key_select(q8, bias):
+        keys = _l2key_scan(c8m, q8, bias, n_tiles=N_TILES)
+        topkeys, sel = lax.top_k(keys, POOL)
+        return sel * POS_SLICE + (topkeys & POS_LANE_MASK)
+
+    @jax.jit
+    def dotkey_select(q8):
+        keys = _intkey_scan(c8m, q8, n_tiles=N_TILES)
+        topkeys, sel = lax.top_k(keys, POOL)
+        return sel * POS_SLICE + (topkeys & POS_LANE_MASK)
+
+    @jax.jit
+    def rescore(rows, qs, metric_dot: bool = False):
+        # exact f32 rescore on the absmax plane (the production tail)
+        cand = c8[rows].astype(jnp.float32) * scales_d[rows][:, :, None]
+        dots = jnp.einsum("bkw,bw->bk", cand, qs,
+                          preferred_element_type=jnp.float32)
+        if metric_dot:
+            vals = dots
+        else:
+            nn = norms_d[rows]
+            vals = 2.0 * dots - nn * nn
+        _, sel = lax.top_k(vals, K)
+        return jnp.take_along_axis(rows, sel, axis=1)
+
+    qs_d = jnp.asarray(queries)
+    if rs:
+        @jax.jit
+        def l2key_keys_rs(q8, bias):
+            # right-shifted domain: shift D too (done by shifting the dot
+            # result is not expressible without a kernel change; instead
+            # shift the QUERY quantization: q8 stays, bias already shifted,
+            # and we accept rs bits less dot precision by shifting keys
+            # post-hoc is NOT equivalent — so for rs>0 this experiment
+            # simply reports the bound violation)
+            raise SystemExit("rs>0: bound violated, record negative")
+
+    # ---- euclidean recall ---------------------------------------------------
+    rows_l2 = np.asarray(rescore(l2key_select(q8b, bias_int), qs_d))
+    r_l2key = recall_vs(np.asarray(gt), rows_l2, K)
+
+    # pos-path baseline: the actual store search (window-key pos kernel)
+    from erlvectordb_tpu.core.store import VectorStore
+
+    store = VectorStore("l2x", dim=W, metric="euclidean", dtype="int8")
+    store._capacity = N
+    store._vectors = c8
+    store._scales = scales_d
+    store._norms = norms_d
+    store._valid = jnp.ones((N,), bool)
+    store._contig = N
+    store._next_row = N
+    t = store.search_batch_submit(queries, k=K)
+    _d, rows_pos, _i = store.search_batch_complete_raw(t)
+    r_pos = recall_vs(np.asarray(gt), rows_pos, K)
+
+    # int8 quantization ceiling: exact scan in the int8 domain
+    import os
+    os.environ["EVDB_EXACT_SCAN"] = "1"
+    import erlvectordb_tpu.ops.fused_topk as ft
+    ft.POS_PATH_ENABLED = False
+    t = store.search_batch_submit(queries, k=K)
+    _d, rows_ceil, _i = store.search_batch_complete_raw(t)
+    ft.POS_PATH_ENABLED = True
+    del os.environ["EVDB_EXACT_SCAN"]
+    r_ceil = recall_vs(np.asarray(gt), rows_ceil, K)
+
+    print(f"euclidean recall@10 vs exact-f32:  l2key={r_l2key:.4f}  "
+          f"pos={r_pos:.4f}  int8-ceiling={r_ceil:.4f}")
+
+    # ---- dot recall ----------------------------------------------------------
+    rows_dk = np.asarray(rescore(dotkey_select(q8b), qs_d, metric_dot=True))
+    r_dotkey = recall_vs(np.asarray(gt_dot), rows_dk, K)
+    store.metric = "dot"
+    t = store.search_batch_submit(queries, k=K, metric="dot")
+    _d, rows_posd, _i = store.search_batch_complete_raw(t)
+    r_posd = recall_vs(np.asarray(gt_dot), rows_posd, K)
+    print(f"dot recall@10 vs exact-f32:        dotkey={r_dotkey:.4f}  "
+          f"pos={r_posd:.4f}")
+
+    # ---- timing: FULL paths, apples-to-apples -------------------------------
+    # both paths share the pool top_k + exact rescore tail; fused_topk
+    # routes euclidean/dot through the real pos path at this n_tiles
+    from erlvectordb_tpu.ops.fused_topk import fused_topk
+
+    valid = jnp.ones((N,), bool)
+
+    def run_pos_full(metric):
+        d, r = fused_topk(c8, scales_d, norms_d, valid, qs_d,
+                          metric=metric, k=K, n_tiles=N_TILES)
+        jax.block_until_ready(r)
+
+    def run_l2_full():
+        jax.block_until_ready(rescore(l2key_select(q8b, bias_int), qs_d))
+
+    def run_dot_full():
+        jax.block_until_ready(
+            rescore(dotkey_select(q8b), qs_d, metric_dot=True))
+
+    def run_l2_scan():
+        jax.block_until_ready(_l2key_scan(c8m, q8b, bias_int,
+                                          n_tiles=N_TILES))
+
+    def run_dot_scan():
+        jax.block_until_ready(_intkey_scan(c8m, q8b, n_tiles=N_TILES))
+
+    med_l2, lo_l2, hi_l2 = timeit(run_l2_full)
+    med_dk, lo_dk, hi_dk = timeit(run_dot_full)
+    med_pe, lo_pe, hi_pe = timeit(lambda: run_pos_full("euclidean"))
+    med_pd, lo_pd, hi_pd = timeit(lambda: run_pos_full("dot"))
+    med_sl, _, _ = timeit(run_l2_scan)
+    med_sd, _, _ = timeit(run_dot_scan)
+
+    def fmt(m, lo, hi):
+        return f"{m*1e3:.2f} [{lo*1e3:.2f},{hi*1e3:.2f}]"
+
+    print(f"full-path ms/batch (B={B}, {N}x{W}):")
+    print(f"  euclidean: l2key={fmt(med_l2, lo_l2, hi_l2)}  "
+          f"pos={fmt(med_pe, lo_pe, hi_pe)}  -> {med_pe/med_l2:.2f}x")
+    print(f"  dot:       dotkey={fmt(med_dk, lo_dk, hi_dk)}  "
+          f"pos={fmt(med_pd, lo_pd, hi_pd)}  -> {med_pd/med_dk:.2f}x")
+    print(f"  scans alone: l2key={med_sl*1e3:.2f} dotkey={med_sd*1e3:.2f}")
+    print(f"  device-true QPS euclid: l2key={B/med_l2:,.0f} "
+          f"pos={B/med_pe:,.0f}; dot: dotkey={B/med_dk:,.0f} "
+          f"pos={B/med_pd:,.0f}")
+
+
+if __name__ == "__main__":
+    main()

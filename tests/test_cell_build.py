@@ -452,3 +452,77 @@ class TestOddChunkCount:
             residual_bits=8, train_rows=1024, k_block=8, refits=1,
             route_sub=1024)
         assert res.counts.sum() == n
+
+
+class TestBalancedLloyd:
+    """Capacity-constrained Lloyd during training (ROADMAP #9): the price
+    controller should tighten the cluster-size distribution on iid data
+    (the assign worst case) without degrading quantization error much."""
+
+    def test_balance_harmless_on_iid(self):
+        """iid gaussian is already balanced under plain Lloyd: the price
+        controller's deadband must leave both the partition spread and
+        the quantization error essentially untouched."""
+        import jax.numpy as jnp
+
+        from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.standard_normal((20_000, 16)).astype(np.float32))
+        k = 64
+
+        def spread(balance):
+            cents, assign = kmeans_fit(x, jnp.uint32(0), k=k, iters=12,
+                                       init="kpp", balance=balance)
+            counts = np.bincount(np.asarray(assign), minlength=k)
+            err = float(jnp.mean(jnp.sum(
+                (x - cents[assign]) ** 2, axis=-1)))
+            return counts.std() / counts.mean(), err
+
+        cv0, err0 = spread(0.0)
+        cv1, err1 = spread(0.3)  # the stable operating range is <= ~0.3
+        assert cv1 < max(2 * cv0, 0.35), (cv0, cv1)
+        assert err1 < err0 * 1.05, (err0, err1)
+
+    def test_balance_moves_centroids_into_mass(self):
+        """On a skewed geometry (fat modes holding 70% of the data) the
+        price controller should pull MORE centroids into the dense mass —
+        visible as lower quantization error at equal iterations (the
+        end-to-end build effect is measured in exp_balanced_lloyd.py)."""
+        import jax.numpy as jnp
+
+        from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+        rng = np.random.default_rng(5)
+        fat = rng.standard_normal((6, 16)).astype(np.float32)
+        thin = rng.standard_normal((58, 16)).astype(np.float32)
+        n = 20_000
+        nf = int(n * 0.7)
+        x = jnp.asarray(np.concatenate([
+            fat[rng.integers(0, 6, nf)]
+            + 0.15 * rng.standard_normal((nf, 16)),
+            thin[rng.integers(0, 58, n - nf)]
+            + 0.15 * rng.standard_normal((n - nf, 16)),
+        ]).astype(np.float32))
+
+        def err_of(balance):
+            cents, assign = kmeans_fit(x, jnp.uint32(0), k=64, iters=15,
+                                       init="kpp", balance=balance)
+            return float(jnp.mean(jnp.sum(
+                (x - cents[assign]) ** 2, axis=-1)))
+
+        e0 = err_of(0.0)
+        e1 = err_of(1.0)
+        assert e1 < e0, (e0, e1)
+
+    def test_balance_zero_is_identity_path(self):
+        import jax.numpy as jnp
+
+        from erlvectordb_tpu.ops.kmeans import kmeans_fit
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((2_000, 8)).astype(np.float32))
+        c1, a1 = kmeans_fit(x, jnp.uint32(3), k=16, iters=6, init="kpp")
+        c2, a2 = kmeans_fit(x, jnp.uint32(3), k=16, iters=6, init="kpp",
+                            balance=0.0)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
