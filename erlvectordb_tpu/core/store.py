@@ -129,6 +129,29 @@ def _bulk_build_unit(arr, cap):
     return jnp.pad(u, ((0, cap - n), (0, 0)))
 
 
+def _plane_kind(metric: str) -> str:
+    """Which int8 key plane a metric selects on: cosine ranks on the UNIT
+    plane (127*x/|x|); euclidean/dot on the MAGNITUDE plane (127*x/S, one
+    global scale S) — see fused_topk's intkey block comment."""
+    return "unit" if metric == "cosine" else "mag"
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_insert_mag(plane, rows, new_vecs, inv_scale):
+    """Maintain the magnitude plane (shared GLOBAL scale): codes are
+    round(x * 127/S).  Callers guarantee |x| <= S (plane invalidated and
+    lazily rebuilt otherwise), so the clip only catches rounding."""
+    u = jnp.clip(jnp.round(new_vecs * inv_scale), -127, 127).astype(jnp.int8)
+    return plane.at[rows].set(u, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _bulk_build_mag(arr, cap, inv_scale):
+    n = arr.shape[0]
+    u = jnp.clip(jnp.round(arr * inv_scale), -127, 127).astype(jnp.int8)
+    return jnp.pad(u, ((0, cap - n), (0, 0)))
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
 def _scatter_insert_int4(packed, scales, norms, valid, rows, new_vecs):
     absmax = jnp.max(jnp.abs(new_vecs), axis=-1)
@@ -400,13 +423,17 @@ class VectorStore:
         self._scales: Optional[jax.Array] = None    # int8 stores only
         self._norms: Optional[jax.Array] = None
         self._valid: Optional[jax.Array] = None
-        # intkey (int8 + cosine speed mode): second int8 plane with SHARED
-        # per-row scale so the raw int32 MXU dot ranks cosine cross-row —
-        # the hot kernel drops all scoring math (fused_topk intkey block
-        # comment).  Costs 2x code memory (still under f32 rows); derived
-        # on device from the absmax plane when missing (snapshot restore).
+        # intkey (int8 speed mode): second int8 plane with a SHARED scale so
+        # the raw int32 MXU dot ranks the metric cross-row — the hot kernel
+        # drops all scoring math (fused_topk intkey block comment).  cosine
+        # stores keep a UNIT plane (per-row |x| scale); euclidean/dot stores
+        # a MAGNITUDE plane (one global scale S = _plane_scale, with the
+        # -|x|^2/2 row bias folded into the key domain per batch).  Costs 2x
+        # code memory (still under f32 rows); derived on device from the
+        # absmax plane when missing (snapshot restore / S outgrown).
         self.intkey = intkey
         self._codes_unit: Optional[jax.Array] = None
+        self._plane_scale: Optional[float] = None  # mag plane's S
 
         # int4r (cell-residual) state: rows live at cell*cell_cap + slot,
         # codes are 4-bit RESIDUALS against the row's cell centroid — the
@@ -627,7 +654,9 @@ class VectorStore:
         if self.dtype == "int8":
             self._vectors = self._put(np.zeros((cap, width), np.int8))
             self._scales = self._put(np.ones((cap,), np.float32))
-            if self.intkey:
+            if self.intkey and _plane_kind(self.metric) == "unit":
+                # mag planes wait for data: their global scale S comes from
+                # the corpus (lazy derivation in _ensure_unit_plane)
                 self._codes_unit = self._put(np.zeros((cap, width), np.int8))
         elif self.dtype == "int4":
             self._vectors = self._put(np.zeros((cap, width // 2), np.uint8))
@@ -930,8 +959,25 @@ class VectorStore:
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
                 )
                 if self.intkey and self._codes_unit is not None:
-                    self._codes_unit = _scatter_insert_unit(
-                        self._codes_unit, rows_j, vecs_j)
+                    if _plane_kind(self.metric) == "unit":
+                        self._codes_unit = _scatter_insert_unit(
+                            self._codes_unit, rows_j, vecs_j)
+                    else:
+                        # magnitude plane: a row outgrowing the global scale
+                        # S invalidates the plane (rebuilt lazily with a
+                        # fresh S on the next keyed search); otherwise one
+                        # shared-scale scatter.  Host-side norm check — arr
+                        # is the validated numpy batch.
+                        mx = float(np.sqrt((arr.astype(np.float64) ** 2)
+                                           .sum(axis=1).max()))
+                        if (self._plane_scale is None
+                                or mx > self._plane_scale):
+                            self._codes_unit = None
+                            self._plane_scale = None
+                        else:
+                            self._codes_unit = _scatter_insert_mag(
+                                self._codes_unit, rows_j, vecs_j,
+                                127.0 / self._plane_scale)
             elif self.dtype == "int4":
                 (self._vectors, self._scales, self._norms, self._valid) = _scatter_insert_int4(
                     self._vectors, self._scales, self._norms, self._valid, rows_j, vecs_j
@@ -1534,9 +1580,17 @@ class VectorStore:
             # per-tile candidates on-chip — never materializes [B, N] in HBM.
             nt = ft.n_tiles_for(self._next_row, self._capacity)
             cu = None
+            ps = None
+            # the key plane only serves requests whose metric matches its
+            # kind (a unit plane ranks cosine, a mag plane ranks dot AND
+            # euclidean) — a per-request metric override outside the
+            # plane's kind rides the pos path instead
             if (self.intkey and self.dtype == "int8"
-                    and ft.intkey_applies(metric, nt, kb)):
+                    and ft.intkey_applies(metric, nt, kb)
+                    and _plane_kind(metric) == _plane_kind(self.metric)):
                 cu = self._ensure_unit_plane()
+                if metric == "euclidean" and cu is not None:
+                    ps = self._plane_scale
             dists, rows = ft.fused_topk(
                 self._vectors,
                 self._scales if self.dtype in ("int8", "int4") else None,
@@ -1547,6 +1601,7 @@ class VectorStore:
                 k=kb,
                 n_tiles=nt,
                 codes_unit=cu,
+                plane_scale=ps,
             )
         elif self.dtype == "int8":
             dists, rows = search_mod.exact_topk_int8(
@@ -1565,8 +1620,9 @@ class VectorStore:
         return self._finish_ticket(dists, rows, nq, k, kb)
 
     def _ensure_unit_plane(self):
-        """The intkey unit plane, derived on device from the absmax plane
-        when missing (snapshot restore / first search after enabling).
+        """The intkey key plane (unit for cosine stores, magnitude for
+        euclidean/dot), derived on device from the absmax plane when missing
+        (snapshot restore / first search after enabling / outgrown S).
         Idempotent cache fill, safe under the read lock like _cents_rt."""
         if self._vectors is None:
             return None
@@ -1574,8 +1630,19 @@ class VectorStore:
                 or self._codes_unit.shape[0] != self._capacity):
             from erlvectordb_tpu.ops import fused_topk as ft
 
-            self._codes_unit = ft.requantize_unit(
-                self._vectors, self._scales, self._norms, self._valid)
+            if _plane_kind(self.metric) == "unit":
+                self._codes_unit = ft.requantize_unit(
+                    self._vectors, self._scales, self._norms, self._valid)
+            else:
+                nmax = float(jnp.max(jnp.where(self._valid, self._norms,
+                                               0.0)))
+                if nmax <= 0.0:
+                    return None  # nothing valid to key; pos path serves
+                # 1.25x slack so typical future inserts stay inside S
+                self._plane_scale = 1.25 * nmax
+                self._codes_unit = ft.requantize_mag(
+                    self._vectors, self._scales, self._valid,
+                    self._plane_scale)
         return self._codes_unit
 
     def _finish_ticket(self, dists, rows, nq, k, kb, rows_are_orig=False):
@@ -2260,8 +2327,15 @@ class VectorStore:
                 codes, scales, norms, valid,
             )
             if intkey:
-                # exact unit plane from the f32 rows (no double quantization)
-                store._codes_unit = _bulk_build_unit(arr_dev, cap)
+                # exact key plane from the f32 rows (no double quantization)
+                if _plane_kind(metric) == "unit":
+                    store._codes_unit = _bulk_build_unit(arr_dev, cap)
+                else:
+                    nmax = float(jnp.max(norms))
+                    if nmax > 0.0:
+                        store._plane_scale = 1.25 * nmax
+                        store._codes_unit = _bulk_build_mag(
+                            arr_dev, cap, 127.0 / store._plane_scale)
         elif store.dtype == "int4":
             packed, scales, norms, valid = _bulk_build_int4(arr_dev, cap)
             store._vectors, store._scales, store._norms, store._valid = (

@@ -399,12 +399,30 @@ def _pos_scan(codes, q, qm, f, g, m, b, *, n_tiles, use_qm):
 # only in the corner where every valid row in its slice scores negative for
 # that query — same approximation class as the pos path's slice-top-1.
 #
-# Cosine ONLY: euclidean needs the -|x|^2 row bias (not integer-expressible
-# per row once query scales differ) and dot needs row magnitudes, which unit
-# codes erase by construction.  Measured (v5e, 1.2M x 128, same window):
-# intkey scan 2.94 ms vs pos scan 3.34 ms per 1024-query batch, with the
-# software-pipelined sub=8 body (exp_intkey_pipe.py) at 2.84-2.94 ms vs the
-# MXU floor of 2.10 ms.
+# Measured (v5e, 1.2M x 128, same window): intkey scan 2.94 ms vs pos scan
+# 3.34 ms per 1024-query batch, with the software-pipelined sub=8 body
+# (exp_intkey_pipe.py) at 2.84-2.94 ms vs the MXU floor of 2.10 ms.
+#
+# EUCLIDEAN / DOT (round 5, exp_intkey_l2.py): the same trick extends to the
+# other two MXU metrics via a MAGNITUDE plane c8m = round(127 * x / S) with
+# one GLOBAL scale S >= max row norm ("plane scale"): |c8m|_2 <= 127 keeps
+# the raw dot inside the same 2^18-class bound, and D = q8 . c8m is
+# proportional to q.x ACROSS rows.  metric=dot therefore reuses _intkey_scan
+# verbatim on the magnitude plane.  metric=euclidean ranks 2 q.x - |x|^2;
+# with a BATCH-shared query scale s_b (instead of per-query absmax) the row
+# bias quantizes into the same scaled-int domain as D —
+# bias_i = round(127 |x_i|^2 / (2 S s_b)), one O(N) elementwise multiply per
+# batch — and the kernel computes ((D - bias) << 10) | lane, 4 integer VPU
+# ops/element (_l2key_scan) vs the pos path's ~6 f32 ops + round.  Measured
+# at 1.2M x 128 (config-3-class width, where extraction is ~30% of scan):
+# euclid 1.41x device-true over the pos path at equal recall (0.9352 vs
+# 0.9342), dot 1.58x (0.9725 vs 0.9718).  At W=768 the scan is MXU-bound and
+# the key trick measured 1.00-1.04x — the plane still ships there (no
+# regression), the win is at narrow rows.  Bound: bias is clamped to 2^20 so
+# (D - bias) << 10 cannot wrap int32 for W <= 2048; rows whose true bias
+# exceeds the clamp (queries ~130x smaller than the largest row norm) degrade
+# to selection-grade ties at the bottom and the exact rescore re-ranks any
+# that reach the pool.
 # ---------------------------------------------------------------------------
 
 INTKEY_SHIFT = 10  # log2(POS_SLICE): low bits carry the lane
@@ -481,10 +499,90 @@ def _intkey_scan(codes_unit, q_in, *, n_tiles):
     return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
 
 
+def _make_l2key_kernel(sub: int):
+    """intkey body + per-row integer bias subtract (euclidean ranking):
+    key = ((D - bias) << 10) | lane, 4 integer VPU ops/element.  Software-
+    pipelined like _make_intkey_kernel (sub-tile t+1's MXU dot issues before
+    sub-tile t's extraction)."""
+    s_per_tile = TILE_N // POS_SLICE
+
+    def dot_tile(q, codes_ref, t):
+        sl = slice(t * TILE_N, (t + 1) * TILE_N)
+        return lax.dot_general(q, codes_ref[sl, :], (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+
+    def kern(q_ref, codes_ref, bias_ref, out_ref):
+        q = q_ref[:]
+
+        def extract(d, lane, t):
+            sl = slice(t * TILE_N, (t + 1) * TILE_N)
+            kk = ((d - bias_ref[:, sl]) << INTKEY_SHIFT) | lane
+            for sx in range(s_per_tile):
+                ssl = slice(sx * POS_SLICE, (sx + 1) * POS_SLICE)
+                out_ref[0, :, t * s_per_tile + sx] = jnp.max(
+                    kk[:, ssl], axis=1)
+
+        d_prev = dot_tile(q, codes_ref, 0)
+        lane = (lax.broadcasted_iota(jnp.int32, d_prev.shape, 1)
+                & POS_LANE_MASK)
+        for t in range(sub - 1):
+            d_next = dot_tile(q, codes_ref, t + 1)
+            extract(d_prev, lane, t)
+            d_prev = d_next
+        extract(d_prev, lane, sub - 1)
+
+    return kern
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles",))
+def _l2key_scan(codes_mag, q_in, bias_int, *, n_tiles):
+    """Euclidean integer-key scan over the magnitude plane.  ``bias_int``
+    is the per-row [N_cap] int32 quantized -|x|^2/2 bias in the batch's
+    scaled-int dot domain (caller clamps it to < 2^20 so the shifted key
+    cannot wrap; see the intkey block comment)."""
+    bq, w = q_in.shape
+    bt = _pick_bt(bq)
+    nb = bq // bt
+    sub = _pick_sub(codes_mag.shape[0], n_tiles, w, max_sub=8)
+    n_big = -(-n_tiles // sub)
+    big_n = sub * TILE_N
+    spt = sub * (TILE_N // POS_SLICE)
+
+    out = pl.pallas_call(
+        _make_l2key_kernel(sub),
+        grid=(n_big, nb),
+        in_specs=[
+            pl.BlockSpec((bt, w), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((big_n, w), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, big_n), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt, spt), lambda j, i: (j, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_big, bq, spt), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * w * n_big * big_n,
+            bytes_accessed=n_big * big_n * w + bq * w + n_big * big_n * 4
+            + bq * n_big * spt * 4,
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q_in, codes_mag, bias_int[None, :])
+    return out.transpose(1, 0, 2).reshape(bq, n_big * spt)
+
+
+# keys carry (dot - bias) in the high 22 bits; clamping bias below 2^20
+# keeps |(D - bias)| < 2^21 for W <= 2048, so the << 10 never wraps int32
+L2KEY_BIAS_MAX = float(1 << 20)
+
+
 def intkey_applies(metric: str, n_tiles: int, k: int) -> bool:
-    """Unit-plane gate: pos-path size/k gates, cosine only (see block
-    comment), and the same EVDB_EXACT_SCAN opt-out."""
-    return (POS_PATH_ENABLED and metric == "cosine"
+    """Key-plane gate: pos-path size/k gates, the three MXU metrics
+    (cosine rides the unit plane; euclidean/dot the magnitude plane —
+    see block comment), and the same EVDB_EXACT_SCAN opt-out."""
+    return (POS_PATH_ENABLED and metric in ("cosine", "euclidean", "dot")
             and n_tiles >= POS_MIN_TILES and k <= POS_MAX_K)
 
 
@@ -523,10 +621,24 @@ def _rescore_pool(codes, q_in, qmult, m, rowbias, top_rows, post, queries,
 
 
 def _intkey_topk(codes, codes_unit, norms, valid, queries, q_in, qmult,
-                 rowmult, rowbias, post, *, k, n_tiles, b_orig, pad_b):
-    """Intkey merge: raw-int-key pool selection over the unit plane + exact
-    absmax-plane rescore (cosine only)."""
-    keys = _intkey_scan(codes_unit, q_in, n_tiles=n_tiles)
+                 rowmult, rowbias, post, *, metric, k, n_tiles, b_orig,
+                 pad_b, plane_scale=None):
+    """Key-plane merge: raw-int-key pool selection + exact absmax-plane
+    rescore.  cosine selects on the unit plane and dot on the magnitude
+    plane with the same 3-op kernel (any per-query scale preserves
+    within-query rank); euclidean folds the row bias into the key domain
+    via a BATCH-shared query scale (``plane_scale`` = the magnitude
+    plane's global scale S, traced f32 scalar)."""
+    if metric == "euclidean":
+        # batch-shared re-quantization: one scale for the whole batch so
+        # bias_i = 127 |x_i|^2 / (2 S s_b) is a per-row int valid batch-wide
+        s_b = jnp.maximum(jnp.max(jnp.abs(queries)), 1e-30) / 127.0
+        q8b = jnp.clip(jnp.round(queries / s_b), -127, 127).astype(jnp.int8)
+        bias_f = norms * norms * (127.0 / 2.0) / (plane_scale * s_b)
+        bias_i = jnp.minimum(bias_f, L2KEY_BIAS_MAX).astype(jnp.int32)
+        keys = _l2key_scan(codes_unit, q8b, bias_i, n_tiles=n_tiles)
+    else:
+        keys = _intkey_scan(codes_unit, q_in, n_tiles=n_tiles)
     kk = min(k, keys.shape[1])
     pool = min(max(4 * kk, 64), keys.shape[1])
     topkeys, sel = lax.top_k(keys, pool)
@@ -546,6 +658,21 @@ def requantize_unit(codes: jax.Array, scales: jax.Array, norms: jax.Array,
     codes so their intkey ranks below every positive-dot row."""
     f = jnp.where(valid & (norms > 0),
                   127.0 * scales / jnp.where(norms > 0, norms, 1.0), 0.0)
+    return _requantize_rows(codes, f, chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def requantize_mag(codes: jax.Array, scales: jax.Array, valid: jax.Array,
+                   plane_scale, chunk: int = 65536) -> jax.Array:
+    """Derive the MAGNITUDE plane (euclidean/dot key plane, 127*x/S with
+    the global ``plane_scale`` S) from an existing absmax int8 plane on
+    device: mag ~ round(codes * 127*scale/S).  Selection-grade like
+    requantize_unit; invalid rows get ZERO codes."""
+    f = jnp.where(valid, 127.0 * scales / plane_scale, 0.0)
+    return _requantize_rows(codes, f, chunk)
+
+
+def _requantize_rows(codes, f, chunk):
     n, w = codes.shape
     ch = min(chunk, n)
     n_ch = -(-n // ch)
@@ -935,13 +1062,17 @@ def fused_topk(
     metric: str,
     k: int,
     n_tiles: int,                # scan only the first n_tiles*TILE_N rows
-    codes_unit: Optional[jax.Array] = None,  # [N_cap, W] int8 unit plane
+    codes_unit: Optional[jax.Array] = None,  # [N_cap, W] int8 key plane
+    plane_scale=None,            # traced f32 scalar: magnitude-plane S
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused scan + candidate top-k. Returns (distances [B, k], rows [B, k]).
 
-    ``codes_unit``: optional shared-scale ("unit") int8 plane for the intkey
+    ``codes_unit``: optional shared-scale int8 key plane for the intkey
     scan — selection by raw int32 dots, exact rescore on the absmax plane
-    (cosine + big-store gated; see the intkey block comment)."""
+    (big-store gated; see the intkey block comment).  For cosine this is
+    the UNIT plane (127*x/|x|); for euclidean/dot the MAGNITUDE plane
+    (127*x/S) whose global scale ``plane_scale`` the euclidean bias fold
+    needs."""
     b = queries.shape[0]
     bt = _pick_bt(b)
     pad_b = (-b) % bt
@@ -956,8 +1087,9 @@ def fused_topk(
 
     if codes_unit is not None and intkey_applies(metric, n_tiles, k):
         return _intkey_topk(codes, codes_unit, norms, valid, queries, q_in,
-                            qmult, rowmult, rowbias, post, k=k,
-                            n_tiles=n_tiles, b_orig=b, pad_b=pad_b)
+                            qmult, rowmult, rowbias, post, metric=metric,
+                            k=k, n_tiles=n_tiles, b_orig=b, pad_b=pad_b,
+                            plane_scale=plane_scale)
 
     if pos_path_applies(metric, n_tiles, k):
         return _pos_topk(codes, scales, norms, valid, queries, q_in, qmult,

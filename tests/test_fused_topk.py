@@ -313,12 +313,15 @@ def _unit_quantize(data):
     return np.clip(np.round(data * f[:, None]), -127, 127).astype(np.int8)
 
 
-def test_intkey_gate_is_cosine_only():
+def test_intkey_gate_covers_mxu_metrics():
     import erlvectordb_tpu.ops.fused_topk as ft
 
     assert ft.intkey_applies("cosine", ft.POS_MIN_TILES, 10)
-    assert not ft.intkey_applies("euclidean", ft.POS_MIN_TILES, 10)
-    assert not ft.intkey_applies("dot", ft.POS_MIN_TILES, 10)
+    # round 5: euclidean/dot ride the magnitude plane (exp_intkey_l2:
+    # 1.41x/1.58x at 1.2M x 128)
+    assert ft.intkey_applies("euclidean", ft.POS_MIN_TILES, 10)
+    assert ft.intkey_applies("dot", ft.POS_MIN_TILES, 10)
+    assert not ft.intkey_applies("manhattan", ft.POS_MIN_TILES, 10)
     assert not ft.intkey_applies("cosine", ft.POS_MIN_TILES - 1, 10)
     assert not ft.intkey_applies("cosine", ft.POS_MIN_TILES, ft.POS_MAX_K + 1)
 
@@ -371,6 +374,85 @@ def test_intkey_deleted_rows_excluded(spiked_corpus, pos_gate):
     r_f = np.asarray(r_f)
     assert targets[1] not in r_f[0]
     assert set(targets) - {targets[1]} <= set(r_f[0])
+
+
+def _mag_quantize(data):
+    s = float(np.linalg.norm(data, axis=1).max())
+    return (np.clip(np.round(data * (127.0 / s)), -127, 127).astype(np.int8),
+            s)
+
+
+@pytest.mark.parametrize("metric", ["euclidean", "dot"])
+def test_magplane_matches_xla(spiked_corpus, pos_gate, metric):
+    """Round 5: euclidean/dot key selection on the MAGNITUDE plane (l2key
+    bias fold / raw-dot ranking) matches the exact int8 scan's top results
+    (exp_intkey_l2: 1.41x/1.58x at 1.2M x 128)."""
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    mag, s = _mag_quantize(data)
+    mag[~valid] = 0
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    ps = s if metric == "euclidean" else None
+    d_f, r_f = fused_topk(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=k,
+        n_tiles=nt, codes_unit=jnp.asarray(mag), plane_scale=ps,
+    )
+    d_x, r_x = exact_topk_int8(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=k,
+    )
+    _, r_wide = exact_topk_int8(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric=metric, k=24,
+    )
+    d_f, r_f, d_x, r_x, r_wide = map(np.asarray, (d_f, r_f, d_x, r_x, r_wide))
+    # planted near-copies of query 0 dominate under both metrics
+    assert set(r_f[0]) == set(r_x[0]) == set(targets)
+    np.testing.assert_allclose(np.sort(d_f[0]), np.sort(d_x[0]),
+                               rtol=1e-3, atol=1e-3)
+    for b in range(1, queries.shape[0]):
+        assert set(r_f[b]) <= set(r_wide[b]), b
+    # top-1 may swap with a NEAR-TIE neighbor (8-bit global-scale plane is
+    # selection-grade); the returned distance must stay within tie width
+    np.testing.assert_allclose(d_f[:, 0], d_x[:, 0], rtol=1e-2, atol=1e-2)
+
+
+def test_magplane_deleted_rows_excluded(spiked_corpus, pos_gate):
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    valid = valid.copy()
+    valid[targets[1]] = False
+    mag, s = _mag_quantize(data)
+    mag[~valid] = 0
+    k = 6
+    nt = n_tiles_for(data.shape[0], data.shape[0])
+    _, r_f = fused_topk(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(norms),
+        jnp.asarray(valid), jnp.asarray(queries), metric="euclidean", k=k,
+        n_tiles=nt, codes_unit=jnp.asarray(mag), plane_scale=s,
+    )
+    r_f = np.asarray(r_f)
+    assert targets[1] not in r_f[0]
+    assert set(targets) - {targets[1]} <= set(r_f[0])
+
+
+def test_requantize_mag_matches_direct(spiked_corpus):
+    """Deriving the magnitude plane from the absmax plane (snapshot
+    restore) stays within one quantization step of direct-from-f32
+    encoding and zeroes invalid rows."""
+    from erlvectordb_tpu.ops.fused_topk import requantize_mag
+
+    data, norms, valid, queries, targets = spiked_corpus
+    codes, scales = _quantize(data)
+    direct, s = _mag_quantize(data)
+    derived = np.asarray(requantize_mag(
+        jnp.asarray(codes), jnp.asarray(scales), jnp.asarray(valid), s))
+    assert np.all(derived[~valid] == 0)
+    diff = np.abs(derived[valid].astype(np.int32)
+                  - direct[valid].astype(np.int32))
+    assert diff.max() <= 2 and (diff > 1).mean() < 0.01
 
 
 def test_requantize_unit_matches_direct(spiked_corpus):

@@ -589,6 +589,88 @@ class TestIntkeyStore:
         assert store.device_memory_bytes() > plain.device_memory_bytes()
 
 
+class TestIntkeyMagPlane:
+    """Round 5: intkey euclidean/dot stores select on the MAGNITUDE plane
+    (127*x/S global scale; euclidean folds the -|x|^2/2 row bias into the
+    key domain per batch — exp_intkey_l2 measured 1.41x/1.58x over the pos
+    path at 1.2M x 128).  Same gate-lowering harness as TestIntkeyStore."""
+
+    @pytest.fixture(autouse=True)
+    def _gate(self, monkeypatch):
+        import erlvectordb_tpu.ops.fused_topk as ft
+
+        monkeypatch.setattr(ft, "POS_MIN_TILES", 1)
+        real = ft.fused_topk_available
+        monkeypatch.setattr(
+            ft, "fused_topk_available",
+            lambda count, cap, metric, backend, k=10: real(
+                count, cap, metric, "tpu", k))
+
+    def _mk(self, rng, metric, n=20000, d=64):
+        # heterogeneous row magnitudes so euclid/dot genuinely differ
+        data = (rng.standard_normal((n, d))
+                * (1.0 + 2.0 * rng.random((n, 1)))).astype(np.float32)
+        store = VectorStore("ikm", dtype="int8", intkey=True, metric=metric)
+        store.insert_batch([f"v{i}" for i in range(n)], data)
+        return store, data
+
+    @pytest.mark.parametrize("metric", ["euclidean", "dot"])
+    def test_search_matches_plain_int8(self, rng, metric):
+        store, data = self._mk(rng, metric)
+        assert store._codes_unit is None  # mag plane is lazy (S from data)
+        res = store.search(data[42], k=1)
+        assert res[0][0] == "v42"
+        assert store._codes_unit is not None  # derived on first search
+        assert store._plane_scale and store._plane_scale > 0
+        plain = VectorStore("plm", dtype="int8", metric=metric)
+        plain.insert_batch([f"v{i}" for i in range(len(data))], data)
+        qs = rng.standard_normal((16, data.shape[1])).astype(np.float32)
+        hits = 0
+        for a, b in zip(store.search_batch(qs, k=10),
+                        plain.search_batch(qs, k=10)):
+            hits += len({x[0] for x in a} & {x[0] for x in b})
+        assert hits / 160 >= 0.9
+
+    def test_outgrown_scale_invalidates_then_rebuilds(self, rng):
+        store, data = self._mk(rng, "euclidean", n=5000)
+        store.search(data[0], k=1)  # materialize the lazy plane
+        assert store._codes_unit is not None
+        big = (data[7] * 100.0).astype(np.float32)
+        store.insert("vbig", big)
+        # host-side norm check dropped the stale plane
+        assert store._codes_unit is None and store._plane_scale is None
+        res = store.search(big, k=1)  # lazy rebuild with a fresh S
+        assert res[0][0] == "vbig"
+        assert store._codes_unit is not None
+        assert store._plane_scale > np.linalg.norm(big)
+
+    def test_delete_zeroes_plane_and_excludes(self, rng):
+        store, data = self._mk(rng, "euclidean", n=5000)
+        store.search(data[0], k=1)  # materialize the lazy plane
+        assert store.delete("v42")
+        assert np.all(np.asarray(store._codes_unit[42]) == 0)
+        res = store.search(data[42], k=3)
+        assert "v42" not in [r[0] for r in res]
+
+    def test_metric_override_outside_plane_kind_still_correct(self, rng):
+        # a mag-plane store asked for cosine rides the pos path (the plane
+        # only ranks its own kind) — results must still be correct
+        store, data = self._mk(rng, "euclidean", n=5000)
+        res = store.search(data[42], k=1, metric="cosine")
+        assert res[0][0] == "v42"
+
+    def test_snapshot_restore_rederives_mag_plane(self, rng, tmp_path):
+        from erlvectordb_tpu.persist.snapshot import load_store, save_store
+
+        store, data = self._mk(rng, "dot", n=5000)
+        save_store(store, tmp_path)
+        back = load_store("ikm", tmp_path)
+        assert back.intkey and back._codes_unit is None  # lazy
+        res = back.search(data[42], k=1)
+        assert res[0][0] == "v42"
+        assert back._codes_unit is not None and back._plane_scale > 0
+
+
 class TestRQStore:
     """Second-stage residual quantization (``rq_m`` on from_matrix):
     OPQ error codes over the int4 reconstruction error, rescored in
